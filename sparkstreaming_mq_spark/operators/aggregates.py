@@ -1,0 +1,303 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A10).
+
+Capability parity target: the archetype's per-window/per-key counting
+stage (SURVEY.md §0.3 step 3; reference snapshot is empty,
+/root/reference/.gitignore:1-2).
+
+Scale notes: every groupBy below is Spark's two-phase HashAggregate —
+map-side partial combine, shuffle only the (keys × partial-state) rows,
+final aggregate post-shuffle. Low-cardinality keys (returnflag, status,
+event_type) collapse to a handful of rows before the exchange, so these
+stay scan-bound at 100 TB. ``count(distinct)`` triggers Catalyst's
+Expand rewrite (one shuffle per distinct column set); the approx variants
+(HLL / KLL-style quantile sketches) are single-pass, fixed-state, and are
+the 100 TB default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark.registry import query
+from sparkstreaming_mq_spark.tables import load_table
+
+
+# --- A1: grouped hash aggregate (partial+final) is exercised by the flagship
+# q01_pricing_summary (operators/relational.py) and most joins; here the
+# remaining members of the family.
+
+# --- A2: global aggregate -----------------------------------------------------
+
+@query(
+    "a2_global_agg",
+    oracle="""
+SELECT
+  count(*)                         AS n_rows,
+  round(sum(l_extendedprice), 2)   AS total_price,
+  round(avg(l_discount), 6)        AS avg_disc,
+  round(min(l_quantity), 2)        AS min_qty,
+  round(max(l_quantity), 2)        AS max_qty,
+  round(stddev_samp(l_quantity), 4) AS sd_qty
+FROM lineitem
+""",
+)
+def a2_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate: single-row result, purely map-side + one
+    tiny final reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+    )
+
+
+# --- A3: distinct aggregates --------------------------------------------------
+
+@query(
+    "a3_distinct_agg",
+    oracle="""
+SELECT
+  o_orderstatus,
+  count(DISTINCT o_custkey)     AS n_custs,
+  count(DISTINCT o_orderpriority) AS n_prios,
+  count(*)                      AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def a3_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) over two columns → Catalyst Expand rewrite."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --- A4: approximate count-distinct (HLL) — rows-only oracle -------------------
+
+@query("a4_approx_count_distinct")
+def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch count-distinct per event_type. No SQL oracle: the
+    estimate is engine-specific (driver records rows-only); the pytest
+    suite asserts ±5% of exact instead."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- A5: percentiles ------------------------------------------------------------
+
+@query(
+    "a5_percentiles",
+    oracle="""
+SELECT
+  l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+  round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+  round(median(l_quantity), 4)                   AS med_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def a5_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). The approximate KLL-sketch variant is
+    a5b below — that one is the 100 TB path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+    )
+
+
+@query("a5b_approx_percentiles")
+def a5b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles: fixed memory per group, single pass —
+    the variant to use at 100 TB. Rows-only oracle (estimate is
+    engine-specific); pytest bounds the error vs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+    )
+
+
+# --- A6: collection aggregates ---------------------------------------------------
+
+@query(
+    "a6_collect",
+    oracle="""
+SELECT
+  n.n_name,
+  list_sort(list(DISTINCT c.c_mktsegment)) AS segments,
+  count(*) AS n_cust
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def a6_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set per group; array_sort'ed for deterministic comparison
+    (collect order is partition-dependent, SURVEY.md §5)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count("*").alias("n_cust"),
+        )
+    )
+
+
+# --- A7: rollup / cube / grouping sets ---------------------------------------------
+
+@query(
+    "a7_rollup",
+    oracle="""
+SELECT
+  r.r_name AS region,
+  n.n_name AS nation,
+  grouping(r.r_name) + 2 * grouping(n.n_name) AS gid,
+  count(*) AS n_cust,
+  round(sum(c.c_acctbal), 2) AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region→nation with grouping ids."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "c_acctbal",
+        )
+    )
+    return joined.rollup("region", "nation").agg(
+        (F.grouping("region") + 2 * F.grouping("nation")).alias("gid"),
+        F.count("*").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@query(
+    "a7_cube",
+    oracle="""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  count(*) AS n,
+  round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def a7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority (all 4 grouping sets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# --- A8: pivot -------------------------------------------------------------------
+
+@query(
+    "a8_pivot",
+    oracle="""
+SELECT
+  user_id,
+  count(*) FILTER (event_type = 'click')    AS click,
+  count(*) FILTER (event_type = 'view')     AS view,
+  count(*) FILTER (event_type = 'purchase') AS purchase,
+  count(*) FILTER (event_type = 'signup')   AS signup,
+  count(*) FILTER (event_type = 'error')    AS error
+FROM events
+GROUP BY user_id
+""",
+)
+def a8_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type counts per user. Pinning the pivot values keeps
+    the plan single-pass (no distinct-values pre-query) — required
+    practice at scale."""
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    # pivot leaves NULL for absent combinations; oracle's FILTER yields 0.
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("click", "view", "purchase", "signup", "error")],
+    )
+
+
+# --- A9: HAVING ---------------------------------------------------------------------
+
+@query(
+    "a9_having",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 12 AND sum(o_totalprice) > 1000000
+""",
+)
+def a9_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregate filter (HAVING) = .agg().filter()."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.sum("o_totalprice").alias("__raw_spend"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("__raw_spend") > 1000000))
+        .drop("__raw_spend")
+    )
+
+
+# --- A10: custom UDAF (grouped-agg pandas UDF) — rows-only -------------------------
+
+@query("a10_udaf_geomean")
+def a10_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (geometric mean of order price per status) as an
+    Arrow-vectorized GROUPED_AGG pandas UDF — the engine's UDAF
+    extension point (SURVEY.md §2.9 U3). Python touches only the
+    grouped column batches, not whole rows."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: "pd.Series") -> float:
+        return float(np.exp(np.log(v[v > 0]).mean()))
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(geomean("o_totalprice"), 2).alias("geomean_price")
+    )

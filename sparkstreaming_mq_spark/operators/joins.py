@@ -1,0 +1,333 @@
+"""Join operators (SURVEY.md §2.3 J1-J8; stream joins J9/J10 live in
+streaming/).
+
+Capability parity target: the archetype's enrichment step — join the
+message stream against static dimension tables (SURVEY.md §0.3; the
+reference snapshot itself is empty, /root/reference/.gitignore:1-2).
+
+Scale notes, per operator:
+- J1/J2: fact-fact equi joins shuffle on the join key; Catalyst picks
+  sort-merge, AQE can demote to broadcast at runtime when one side's
+  shuffle stats come out small, and splits skewed partitions.
+- J3: dimension joins take an explicit ``broadcast()`` hint — nation /
+  region / supplier are bounded regardless of data scale, so the fact
+  side never shuffles (this is the difference between O(fact) and
+  O(fact shuffle) at 100 TB).
+- J4/J5: cross/theta joins are BroadcastNestedLoopJoin; only ever used
+  with a bounded side.
+- J8 (as-of): no native Spark primitive — expressed as a union +
+  window ``last_value`` over event time, which shuffles each side once
+  on the partition key (no range-explosion, no pandas fallback needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark.registry import query
+from sparkstreaming_mq_spark.tables import load_table
+
+
+# --- J1: inner equi join (star-schema FK chain) ----------------------------
+
+@query(
+    "j1_inner_equi",
+    oracle="""
+SELECT
+  c.c_mktsegment,
+  o.o_orderpriority,
+  count(*)                                            AS n_lines,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY c.c_mktsegment, o.o_orderpriority
+""",
+)
+def j1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer revenue rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# --- J2: outer joins --------------------------------------------------------
+
+@query(
+    "j2_left_outer",
+    oracle="""
+SELECT
+  c.c_custkey,
+  count(o.o_orderkey)                      AS n_orders,
+  round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+FROM customer c
+LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+GROUP BY c.c_custkey
+""",
+)
+def j2_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeps customers with zero matching orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "F")
+    return (
+        cust.join(orders, cond, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "j2_full_outer",
+    oracle="""
+WITH cust_nations AS (
+  SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY c_nationkey
+), supp_nations AS (
+  SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY s_nationkey
+)
+SELECT
+  coalesce(c.nk, s.nk) AS nationkey,
+  coalesce(c.n_cust, 0) AS n_cust,
+  coalesce(s.n_supp, 0) AS n_supp
+FROM cust_nations c
+FULL OUTER JOIN supp_nations s ON c.nk = s.nk
+""",
+)
+def j2_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer vs supplier counts."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("cnk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cust.join(supp, cust.cnk == supp.snk, "full").select(
+        F.coalesce("cnk", "snk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# --- J3: broadcast dimension join -------------------------------------------
+
+@query(
+    "j3_broadcast_dim",
+    oracle="""
+SELECT
+  r.r_name AS region,
+  n.n_name AS nation,
+  count(*) AS n_cust,
+  round(avg(c.c_acctbal), 4) AS avg_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def j3_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly broadcast nation+region: the fact side never shuffles
+    for the join (plan shows BroadcastHashJoin)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+# --- J4: cross join -----------------------------------------------------------
+
+@query(
+    "j4_cross",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r
+CROSS JOIN nation n
+""",
+)
+def j4_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two bounded dims (5 × 25)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+# --- J5: theta / range join -----------------------------------------------------
+
+@query(
+    "j5_theta_range",
+    oracle="""
+SELECT
+  o.o_orderpriority,
+  count(*) AS n_late_lines
+FROM lineitem l
+JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY o.o_orderpriority
+""",
+)
+def j5_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range residual: lines shipped >90 days after order.
+    The equi part keeps it a hash/sort-merge join (the range term is a
+    post-join residual filter, NOT a nested loop)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > F.date_add(orders.o_orderdate, 90)
+    )
+    return li.join(orders, cond).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_late_lines")
+    )
+
+
+# --- J6/J7: semi and anti joins ----------------------------------------------
+
+@query(
+    "j6_left_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+""",
+)
+def j6_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS: customers having at least one big order."""
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "j7_left_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+)
+""",
+)
+def j7_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# --- J8: as-of join -------------------------------------------------------------
+
+ASOF_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), signups AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'signup'
+)
+SELECT
+  p.user_id,
+  date_trunc('second', p.ts)      AS purchase_ts,
+  date_trunc('second', max(s.ts)) AS last_signup_ts,
+  round(max(p.value), 4)          AS value
+FROM purchases p
+LEFT JOIN signups s
+  ON s.user_id = p.user_id AND s.ts <= p.ts
+GROUP BY p.user_id, p.ts
+"""
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    build_cols: list[str] | None = None,
+) -> DataFrame:
+    """Generic as-of join: for each probe row, attach the latest build row
+    with ``build_ts <= probe_ts`` for the same ``on`` key.
+
+    Implemented as union + event-time window (``last_value`` of the build
+    attributes over rows up to the current one), not as a range join: one
+    shuffle on ``on``, no candidate-pair explosion — the shape that holds
+    at 100 TB. Ties on equal timestamps: build rows sort before probe
+    rows (a build row AT the probe timestamp is visible to it).
+    """
+    build_cols = build_cols or []
+    side = F.col("__side")
+    probe_tagged = probe.withColumn("__ts", F.col(probe_ts)).withColumn("__side", F.lit(1))
+    build_tagged = build.select(
+        F.col(on),
+        F.col(build_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in build_cols],
+    )
+    unioned = probe_tagged.unionByName(build_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), side.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last(F.when(side == 0, F.col("__ts")), ignorenulls=True).over(w).alias("__asof_ts"),
+        *[
+            F.last(F.when(side == 0, F.col(c)), ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in build_cols
+        ],
+    )
+    return carried.filter(side == 1).drop("__side", "__ts", *build_cols)
+
+
+@query("j8_asof", oracle=ASOF_ORACLE)
+def j8_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on the events table: each purchase gets the user's most
+    recent signup at-or-before it (ns ts truncated to seconds for oracle
+    parity, FIXTURES.md)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(purchases, signups, on="user_id", probe_ts="ts", build_ts="ts")
+    return joined.select(
+        "user_id",
+        F.date_trunc("second", "ts").alias("purchase_ts"),
+        F.date_trunc("second", "__asof_ts").alias("last_signup_ts"),
+        F.round("value", 4).alias("value"),
+    )
