@@ -16,8 +16,11 @@ the 100 TB default.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from sparkstreaming_mq_spark.registry import query
 from sparkstreaming_mq_spark.tables import load_table
@@ -289,12 +292,9 @@ def a10_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-vectorized GROUPED_AGG pandas UDF — the engine's UDAF
     extension point (SURVEY.md §2.9 U3). Python touches only the
     grouped column batches, not whole rows."""
-    import numpy as np
-    import pandas as pd  # noqa: F401
-    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
-    def geomean(v: "pd.Series") -> float:
+    def geomean(v: pd.Series) -> float:
         return float(np.exp(np.log(v[v > 0]).mean()))
 
     orders = load_table(spark, sf_dir, "orders")

@@ -74,21 +74,35 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   o_orderkey                                   AS order_key,
   CAST(o_custkey AS INTEGER)                   AS cust_key_i32,
-  round(o_totalprice * 1.1, 2)                 AS gross_price,
+  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)), 2)
+       AS DOUBLE)                              AS gross_price,
   upper(o_orderstatus)                         AS status_uc,
-  CAST(o_orderdate AS DATE)                    AS order_date
+  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date
 FROM orders
 """,
 )
 def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column select + compute + rename + cast; prunes the scan to 5 cols."""
+    """Column select + compute + rename + cast; prunes the scan to 5 cols.
+
+    ``gross_price`` goes through exact decimal arithmetic on BOTH engines:
+    double `* 1.1` lands on .005 boundaries where Spark's and DuckDB's
+    float-round modes diverge (round-1 finding); decimal(18,2)×decimal(3,1)
+    is exact, both engines round decimals half-up, then the cast back to
+    double is value-preserving.
+    """
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         F.col("o_orderkey").alias("order_key"),
         F.col("o_custkey").cast("int").alias("cust_key_i32"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("gross_price"),
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)") * F.lit("1.1").cast("decimal(3,1)"), 2
+        )
+        .cast("double")
+        .alias("gross_price"),
         F.upper("o_orderstatus").alias("status_uc"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        # date-typed output hashes asymmetrically (datetime.date vs
+        # midnight Timestamp); round-trip through DATE→TIMESTAMP instead.
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("order_date"),
     )
 
 

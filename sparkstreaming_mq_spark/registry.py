@@ -44,20 +44,36 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Modules that register queries on import. Imported lazily (no import
+# cycle with modules that import ``query`` from here) and defensively:
+# one broken/missing module must never hide every other operator from
+# the driver harness.
+_QUERY_MODULES: tuple[str, ...] = (
+    "sparkstreaming_mq_spark.operators.relational",
+    "sparkstreaming_mq_spark.operators.aggregates",
+    "sparkstreaming_mq_spark.operators.joins",
+    "sparkstreaming_mq_spark.operators.scalar_functions",
+    "sparkstreaming_mq_spark.operators.windows",
+    "sparkstreaming_mq_spark.operators.setops",
+    "sparkstreaming_mq_spark.operators.llm",
+    "sparkstreaming_mq_spark.operators.udfs",
+    "sparkstreaming_mq_spark.streaming.queries",
+)
+
+LOAD_ERRORS: dict[str, str] = {}
+
+
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
-    # Imported here (not at module top) so registry.py has no import
-    # cycle with the operator modules that import ``query`` from it.
-    from sparkstreaming_mq_spark.operators import (  # noqa: F401
-        aggregates,
-        joins,
-        llm,
-        relational,
-        scalar_functions,
-        setops,
-        windows,
-    )
-    from sparkstreaming_mq_spark.streaming import queries as streaming_queries  # noqa: F401
+    import importlib
+    import sys
+
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except Exception as exc:  # pragma: no cover - defensive
+            LOAD_ERRORS[mod] = f"{type(exc).__name__}: {exc}"
+            print(f"[registry] WARNING: skipping {mod}: {exc}", file=sys.stderr)
 
 
 def all_queries() -> dict[str, QueryFn]:

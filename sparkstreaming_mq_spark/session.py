@@ -29,7 +29,27 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Streaming tests replay finite file sources; keep micro-batches lean.
     "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+    # events.parquet stores INT64 TIMESTAMP(NANOS) which Spark 4 refuses
+    # to read as TimestampType (PARQUET_TYPE_ILLEGAL). Read it as a raw
+    # ns-since-epoch long instead; tables.load_table converts it back to
+    # a µs TimestampType column. ms-precision tables are unaffected.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+# Subset of ENGINE_CONF that is runtime-settable on an existing session —
+# needed because the driver harness passes us ITS SparkSession, built
+# without our builder. All SQLConf entries are dynamic.
+RUNTIME_CONF: dict[str, str] = ENGINE_CONF
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply the engine's dynamic SQL conf to an externally-built session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf on this build — keep going
+            pass
+    return spark
 
 
 def get_spark(

@@ -9,6 +9,9 @@ Catalyst gets predicate pushdown + column pruning for free.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark.session import apply_runtime_conf
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -34,10 +37,21 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar scan of one fixture table."""
+    """Columnar scan of one fixture table.
+
+    ``events.ts`` is physically INT64 TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as a ns-epoch long
+    and is converted here to a µs ``TimestampType`` so every consumer
+    sees a proper timestamp column. (DuckDB keeps ns — oracle queries
+    must ``date_trunc`` on both sides before emitting raw ``ts``.)
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    apply_runtime_conf(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
