@@ -1,0 +1,303 @@
+"""Scalar function families (SURVEY.md §2.7 F1-F7).
+
+Capability parity target: the archetype's payload-ETL expression layer
+(SURVEY.md §0.3 step 2 — parse fields out of MQ messages, derive
+columns; the reference snapshot itself is empty,
+/root/reference/.gitignore:1-2). One representative oracle-checked
+query per family.
+
+Scale notes: every function here is a built-in Catalyst expression —
+JVM-side, codegen'd into the enclosing WholeStageCodegen span, zero
+Python boundary crossings. At 100 TB these queries are scan-bound;
+the projections prune the parquet scan to the referenced columns.
+
+Oracle-parity dialect notes (verified against DuckDB 1.0.0):
+- Spark ``regexp_replace`` replaces ALL matches; DuckDB needs the 'g'
+  flag to do the same.
+- Spark ``sha2(x, 256)`` == DuckDB ``sha256(x)`` (hex output both).
+- Spark ``get_json_object(c, '$.k')`` == DuckDB
+  ``json_extract_string(c, '$.k')``.
+- Spark ``aggregate``/``transform``/``filter`` (higher-order) == DuckDB
+  ``list_aggregate``/``list_transform``/``list_filter``.
+- Never emit DATE-typed or raw-ns columns (hash asymmetry): cast to
+  TIMESTAMP / date_trunc on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark.registry import query
+from sparkstreaming_mq_spark.tables import load_table
+
+
+# --- F1: string functions ---------------------------------------------------
+
+@query(
+    "f1_string",
+    oracle="""
+SELECT
+  c_custkey,
+  upper(c_mktsegment)                                   AS seg_uc,
+  lower(c_name)                                         AS name_lc,
+  substring(c_name, 1, 8)                               AS name_head,
+  length(c_name)                                        AS name_len,
+  concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+  replace(c_name, 'Customer#', 'C')                     AS name_short,
+  lpad(CAST(c_custkey AS VARCHAR), 10, '0')             AS key_padded,
+  trim(concat(' ', c_mktsegment, ' '))                  AS seg_trimmed,
+  instr(c_name, '#')                                    AS hash_pos,
+  regexp_extract(c_name, '([0-9]+)', 1)                 AS key_digits,
+  regexp_replace(c_name, '[0-9]', 'x', 'g')             AS name_masked,
+  translate(c_mktsegment, 'AEIOU', 'aeiou')             AS seg_volc
+FROM customer
+""",
+)
+def f1_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substring, pad, concat, replace, regex,
+    translate — all codegen'd JVM expressions."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_uc"),
+        F.lower("c_name").alias("name_lc"),
+        F.substring("c_name", 1, 8).alias("name_head"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C")).alias("name_short"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trimmed"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("key_digits"),
+        F.regexp_replace("c_name", "[0-9]", "x").alias("name_masked"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_volc"),
+    )
+
+
+# --- F2: date/time functions ------------------------------------------------
+
+@query(
+    "f2_datetime",
+    oracle="""
+SELECT
+  o_orderkey,
+  year(o_orderdate)                                  AS yr,
+  month(o_orderdate)                                 AS mo,
+  day(o_orderdate)                                   AS dom,
+  date_trunc('month', o_orderdate)                   AS month_start,
+  o_orderdate + INTERVAL 30 DAY                      AS due_ts,
+  date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_left,
+  CAST(epoch(o_orderdate) AS BIGINT)                 AS epoch_s,
+  strftime(o_orderdate, '%Y-%m')                     AS ym_label
+FROM orders
+""",
+)
+def f2_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract, truncate, interval arithmetic,
+    day-diff, epoch seconds, formatting."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_left"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym_label"),
+    )
+
+
+# --- F3: math functions -----------------------------------------------------
+
+@query(
+    "f3_math",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  round(abs(l_discount - 0.05), 4)          AS disc_dev,
+  CAST(ceil(l_extendedprice) AS BIGINT)     AS price_ceil,
+  CAST(floor(l_extendedprice) AS BIGINT)    AS price_floor,
+  round(sqrt(l_quantity), 6)                AS qty_sqrt,
+  round(pow(l_quantity, 2), 2)              AS qty_sq,
+  round(ln(l_extendedprice), 6)             AS price_ln,
+  round(log10(l_extendedprice), 6)          AS price_log10,
+  CAST(sign(l_quantity - 25) AS BIGINT)     AS qty_sign,
+  mod(l_orderkey, 7)                        AS key_mod7,
+  round(sin(l_tax), 6)                      AS tax_sin,
+  round(cos(l_tax), 6)                      AS tax_cos
+FROM lineitem
+""",
+)
+def f3_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: rounding, roots, powers, logs, trig, modulo."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.signum(F.col("l_quantity") - 25).cast("long").alias("qty_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.round(F.sin("l_tax"), 6).alias("tax_sin"),
+        F.round(F.cos("l_tax"), 6).alias("tax_cos"),
+    )
+
+
+# --- F4: JSON payload parsing (the archetype's core ETL step) ---------------
+
+@query(
+    "f4_json",
+    oracle="""
+SELECT
+  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+  count(*)                                                AS n,
+  round(avg(value), 4)                                    AS avg_value,
+  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY k_bucket
+""",
+)
+def f4_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family on the MQ-payload column ``events.props``: both the
+    path-extract (``get_json_object``) and the typed-schema
+    (``from_json``) forms; the equality filter between them proves
+    they agree on every row."""
+    e = load_table(spark, sf_dir, "events")
+    k_path = F.get_json_object("props", "$.k").cast("int")
+    k_typed = F.from_json("props", "k INT").getField("k")
+    return (
+        e.withColumn("k", k_path)
+        .filter(k_typed == F.col("k"))  # always true; exercises from_json
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# --- F5: array / higher-order functions -------------------------------------
+
+@query(
+    "f5_array",
+    oracle="""
+SELECT
+  doc_id,
+  len(string_split(text, ' '))                          AS n_tokens,
+  len(list_distinct(string_split(text, ' ')))           AS n_uniq,
+  list_sort(list_distinct(string_split(text, ' ')))[1:3] AS first3,
+  list_contains(string_split(text, ' '), 'data')        AS has_data,
+  list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'max')
+                                                        AS max_tok_len,
+  list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum')
+                                                        AS sum_tok_len,
+  len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS n_long
+FROM documents
+""",
+)
+def f5_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order transform/filter/aggregate —
+    all JVM-side lambda expressions (no Python)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lens = F.transform(toks, lambda x: F.length(x))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first3"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.array_max(lens).alias("max_tok_len"),
+        F.aggregate(lens, F.lit(0), lambda acc, x: acc + x).alias("sum_tok_len"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+    )
+
+
+@query(
+    "f5b_explode",
+    oracle="""
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+""",
+)
+def f5b_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode() row-generation: token frequency across the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- F6: map / struct functions ---------------------------------------------
+
+@query(
+    "f6_map_struct",
+    oracle="""
+SELECT
+  c_custkey,
+  round(c_acctbal, 2)   AS bal_from_struct,
+  c_mktsegment          AS seg_from_struct,
+  round(c_acctbal, 2)   AS bal_from_map,
+  'bal,key'             AS map_key_list
+FROM customer
+""",
+)
+def f6_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct build + field access, map build + element_at + map_keys.
+    The oracle mirrors the *values* (struct/map machinery is
+    Spark-side; the round-trip must be lossless)."""
+    c = load_table(spark, sf_dir, "customer")
+    st = F.struct(F.round("c_acctbal", 2).alias("bal"), F.col("c_mktsegment").alias("seg"))
+    m = F.create_map(
+        F.lit("bal"), F.round("c_acctbal", 2), F.lit("key"), F.col("c_custkey").cast("double")
+    )
+    return c.select(
+        "c_custkey",
+        st.getField("bal").alias("bal_from_struct"),
+        st.getField("seg").alias("seg_from_struct"),
+        F.element_at(m, "bal").alias("bal_from_map"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("map_key_list"),
+    )
+
+
+# --- F7: hash functions ------------------------------------------------------
+
+@query(
+    "f7_hash",
+    oracle="""
+SELECT
+  doc_id,
+  md5(text)            AS h_md5,
+  sha256(text)         AS h_sha256,
+  length(sha256(text)) AS sha_len
+FROM documents
+""",
+)
+def f7_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family: md5 + sha2-256 (hex, engine-portable). xxhash64 /
+    crc32 / hash are Spark-specific (no DuckDB twin) and are exercised
+    by the MinHash/fingerprint operators in operators/llm.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.length(F.sha2("text", 256)).alias("sha_len"),
+    )

@@ -1,0 +1,227 @@
+"""Sort / limit / top-k / set operations / sampling (SURVEY.md §2.6 O1-O9).
+
+Scale notes: global ORDER BY is a range-partitioned sort (sampled
+boundaries, no single-node funnel); ORDER BY + LIMIT fuses into
+``TakeOrderedAndProject`` — each partition keeps only k rows and the
+driver merges k·p rows, so top-k never materializes a global sort.
+Set ops are hash aggregates / joins under the hood and shuffle once on
+the full row. Determinism: LIMIT queries pin a total order with a
+unique tiebreak (SURVEY.md §2.6 O1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark.registry import query
+from sparkstreaming_mq_spark.tables import load_table
+
+
+# --- O1: global sort (+ deterministic LIMIT) ---------------------------------
+
+@query(
+    "o1_global_sort",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order over orders; unique tiebreak pins the LIMIT."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"), "o_orderpriority")
+        .limit(100)
+    )
+
+
+# --- O2: partition-local sort -------------------------------------------------
+
+@query(
+    "o2_sort_within_partitions",
+    oracle="""
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+FROM lineitem
+WHERE l_quantity > 45
+""",
+)
+def o2_sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortWithinPartitions: cheap partition-local pre-sort (no
+    exchange). Row *content* is order-insensitive-hash-identical to the
+    unsorted relation, which is exactly what the oracle checks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+    )
+
+
+# --- O3: limit ---------------------------------------------------------------
+
+@query(
+    "o3_limit",
+    oracle="""
+SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus LIMIT 2
+""",
+)
+def o3_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT over a deterministically ordered distinct set."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus").distinct().orderBy("o_orderstatus").limit(2)
+
+
+# --- O4: top-k (ORDER BY + LIMIT fusion) --------------------------------------
+
+@query(
+    "o4_topk",
+    oracle="""
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
+""",
+)
+def o4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 lineitems by price → TakeOrderedAndProject (per-partition
+    heap of 20, not a global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+        .limit(20)
+    )
+
+
+# --- O5/O6: union all / union distinct ----------------------------------------
+
+@query(
+    "o5_union_all",
+    oracle="""
+SELECT o_custkey AS custkey, round(o_totalprice, 2) AS amount, 'order' AS src
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT c_custkey AS custkey, round(c_acctbal, 2) AS amount, 'balance' AS src
+FROM customer WHERE c_acctbal > 0
+""",
+)
+def o5_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag concatenation of two differently-sourced relations."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey"),
+        F.round("o_totalprice", 2).alias("amount"),
+        F.lit("order").alias("src"),
+    )
+    b = c.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.round("c_acctbal", 2).alias("amount"),
+        F.lit("balance").alias("src"),
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "o6_union_distinct",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+UNION
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+""",
+)
+def o6_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union (dedup across both inputs)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.filter(F.col("o_totalprice") > 250000).select(F.col("o_custkey").alias("custkey"))
+    b = c.filter(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
+# --- O7: intersect / intersect all --------------------------------------------
+
+@query(
+    "o7_intersect",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def o7_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: customers with both F and O orders."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(op)
+
+
+@query(
+    "o7b_intersect_all",
+    oracle="""
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def o7b_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (multiplicity = min of the two sides)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return f.intersectAll(op)
+
+
+# --- O8: except / except all ---------------------------------------------------
+
+@query(
+    "o8_except",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+""",
+)
+def o8_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: customers who never ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.select(F.col("c_custkey").alias("custkey"))
+        .subtract(o.select(F.col("o_custkey").alias("custkey")))
+    )
+
+
+@query(
+    "o8b_except_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders
+EXCEPT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def o8b_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (multiplicity subtraction): per-customer order
+    count minus their F-status count."""
+    o = load_table(spark, sf_dir, "orders")
+    all_keys = o.select(F.col("o_custkey").alias("custkey"))
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return all_keys.exceptAll(f_keys)
+
+
+# --- O9: sampling (rows-only: engine RNGs differ) ------------------------------
+
+@query("o9_sample")
+def o9_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample of lineitem. No SQL oracle — sampling
+    RNG streams are engine-specific; the pytest layer asserts the
+    fraction lands near 10% and that the same seed is reproducible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -1,0 +1,186 @@
+"""Window functions (SURVEY.md §2.5 W1-W4).
+
+Capability parity target: per-key sequence analytics over the message
+stream — ranking, offsets, running aggregates (SURVEY.md §0.3; the
+reference snapshot is empty, /root/reference/.gitignore:1-2).
+
+Scale notes: every window below partitions by a business key, so the
+physical plan is one hash exchange on the key + a partition-local sort
+— the same shape as a groupBy, no global sort. Determinism: every
+ORDER BY carries a unique tiebreak column (o_orderkey / l_linenumber),
+otherwise rank/offset results are partition-order-dependent and the
+oracle hash would flap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark.registry import query
+from sparkstreaming_mq_spark.tables import load_table
+
+
+# --- W1: ranking functions ---------------------------------------------------
+
+@query(
+    "w1_ranking",
+    oracle="""
+SELECT
+  o_orderkey,
+  o_orderstatus,
+  row_number()   OVER w AS rn,
+  rank()         OVER w AS rnk,
+  dense_rank()   OVER w AS drnk,
+  ntile(4)       OVER w AS quartile,
+  round(percent_rank() OVER w, 6) AS prank,
+  round(cume_dist()    OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over status partitions ordered by price."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# --- W2: analytic / offset functions -----------------------------------------
+
+@query(
+    "w2_offsets",
+    oracle="""
+SELECT
+  o_custkey,
+  o_orderkey,
+  round(o_totalprice, 2)                                    AS price,
+  round(lag(o_totalprice)  OVER w, 2)                       AS prev_price,
+  round(lead(o_totalprice) OVER w, 2)                       AS next_price,
+  round(first_value(o_totalprice) OVER w2, 2)               AS first_price,
+  round(last_value(o_totalprice)  OVER w2, 2)               AS last_price,
+  round(nth_value(o_totalprice, 2) OVER w2, 2)              AS second_price
+FROM orders
+WINDOW
+  w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def w2_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first/last/nth_value per customer order history."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w2), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w2), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w2), 2).alias("second_price"),
+    )
+
+
+# --- W3: framed running aggregates -------------------------------------------
+
+@query(
+    "w3_frames",
+    oracle="""
+SELECT
+  o_custkey,
+  o_orderkey,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend,
+  CAST(round(avg(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS DOUBLE)         AS ma3,
+  count(*) OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice
+    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)         AS n_within_10k
+FROM orders
+""",
+)
+def w3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row frames (running sum, 3-row moving average) and a numeric
+    RANGE frame. Range frames include whole tie-groups, so they're
+    deterministic without a tiebreak; row frames carry one. The framed
+    sums/avgs go through exact decimal — windowed float sums accumulate
+    in engine-specific order (DuckDB uses a segment tree) and flap
+    .005-boundary rounding otherwise."""
+    o = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ma3 = seq.rowsBetween(-2, Window.currentRow)
+    band = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(price_dec).over(running), 2).cast("double").alias("running_spend"),
+        # round to 3, not 2: a 2-row frame averages an odd-cent sum to
+        # exactly x.xx5, where double-vs-decimal half-up diverges; no
+        # 1-3 row average of 2-decimal inputs has a 4th-decimal halfway.
+        F.round(F.avg(price_dec).over(ma3), 3).cast("double").alias("ma3"),
+        F.count("*").over(band).alias("n_within_10k"),
+    )
+
+
+# --- W4: per-group top-k ------------------------------------------------------
+
+@query(
+    "w4_topk_per_group",
+    oracle="""
+SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS price, rn
+FROM (
+  SELECT
+    c.c_mktsegment,
+    o.o_orderkey,
+    o.o_totalprice,
+    row_number() OVER (PARTITION BY c.c_mktsegment
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+)
+WHERE rn <= 5
+""",
+)
+def w4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 orders per market segment: rank-then-filter. At scale the
+    window's hash exchange is the only shuffle; AQE handles skewed
+    segments."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "rn",
+        )
+    )
