@@ -1,0 +1,745 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.10 L1-L6 + scale variants).
+
+The north-star extension set (/root/repo/BASELINE.json:6): dedup
+(exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding near-dup),
+similarity search (exact cosine top-k baseline + LSH-bucketed ANN),
+text analysis (stats, quality, lang-id, token counting,
+fingerprinting), normalization, and multimodal binary columns. The
+reference snapshot has no implementation to cite
+(/root/reference/.gitignore:1-2 is the whole repo); semantics follow
+the public MinHash/SimHash/LSH literature and the driver fixtures
+(FIXTURES.md: ``documents``, ``embeddings``).
+
+Scale design (100 TB bar):
+- Exact dedup / fingerprinting: hash-groupBy — one shuffle on a
+  64-char digest, map-side partial agg collapses duplicates early.
+- MinHash: one explode + one 64-expression grouped MIN (no UDF, no
+  per-seed passes); banding turns all-pairs into per-band hash-join
+  buckets. Candidate verification touches only bucket collisions.
+- SimHash: per-token bit contributions via bitwise ops + grouped sums
+  (JVM codegen), band-join on bytes — never a crossJoin.
+- Similarity search: top-k against a *bounded* broadcast query set is
+  a linear scan (the right baseline); the ANN variant prunes with
+  deterministic random-hyperplane buckets.
+- Token-postings joins (Jaccard) are quadratic in per-token document
+  frequency; the exact operator is the correctness oracle, the LSH
+  operator is the scale path.
+
+Every float ratio emitted is rounded; every pair output is normalized
+to ``doc_a < doc_b``; every hash seed is a fixed literal (SURVEY.md §7
+known-hard list: determinism across partitions).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark.registry import query
+from sparkstreaming_mq_spark.tables import load_table
+
+# Fixed stopword list shared by quality scoring and lang-id.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# --- L1: exact dedup ---------------------------------------------------------
+
+@query(
+    "l1_exact_dedup",
+    oracle="""
+SELECT
+  sha256(text)  AS h,
+  min(doc_id)   AS keeper,
+  count(*)      AS n_copies
+FROM documents
+GROUP BY sha256(text)
+""",
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (byte-identical) dedup: sha2-256 group, deterministic
+    min-doc_id keeper. One shuffle on the digest."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+# --- L6: text normalization --------------------------------------------------
+
+@query(
+    "l6_normalize",
+    oracle="""
+SELECT
+  doc_id,
+  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                      ' +', ' ', 'g')) AS norm_text
+FROM documents
+""",
+)
+def l6_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization chain ahead of dedup: lowercase → strip
+    non-alphanumerics → collapse whitespace → trim."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    return d.select("doc_id", norm.alias("norm_text"))
+
+
+# --- L4: text analysis -------------------------------------------------------
+
+@query(
+    "l4_text_stats",
+    oracle="""
+SELECT
+  lang,
+  count(*)                                          AS n_docs,
+  round(avg(n_chars), 4)                            AS avg_chars,
+  round(avg(len(string_split(text, ' '))), 4)       AS avg_tokens,
+  max(len(string_split(text, ' ')))                 AS max_tokens,
+  min(n_chars)                                      AS min_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def l4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level text statistics per language."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+        F.max(n_tok).alias("max_tokens"),
+        F.min("n_chars").alias("min_chars"),
+    )
+
+
+@query(
+    "l4b_quality_score",
+    oracle=f"""
+SELECT
+  doc_id,
+  len(string_split(text, ' '))  AS n_tokens,
+  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')), 4)  AS uniq_ratio,
+  round(CAST(len(list_filter(string_split(text, ' '),
+                             x -> list_contains([{_STOP_SQL}], x))) AS DOUBLE)
+        / len(string_split(text, ' ')), 4)  AS stop_ratio,
+  round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_tok,
+  (len(string_split(text, ' ')) >= 5 AND
+   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) > 0.3) AS keep
+FROM documents
+""",
+)
+def l4b_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, uniqueness ratio,
+    stopword ratio, chars-per-token, and a keep/drop filter flag —
+    the standard pre-training quality gate, all JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    stops = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    uniq_ratio = n_uniq.cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.round(n_stop.cast("double") / n_tok, 4).alias("stop_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 4).alias("chars_per_tok"),
+        ((n_tok >= 5) & (uniq_ratio > 0.3)).alias("keep"),
+    )
+
+
+@query(
+    "l4c_token_count",
+    oracle="""
+SELECT
+  doc_id,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish,
+  len(string_split(text, ' '))                              AS n_ws
+FROM documents
+""",
+)
+def l4c_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        # idx=0 → whole-match extraction (the pattern has no capture group)
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "n_bpeish"
+        ),
+        F.size(F.split("text", " ")).alias("n_ws"),
+    )
+
+
+@query(
+    "l4d_fingerprint",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM fp
+GROUP BY fingerprint
+HAVING count(*) > 1
+""",
+)
+def l4d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the L6-normalized text;
+    emit only colliding fingerprints (normalized duplicates)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    return (
+        d.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --- L3: similarity search — exact cosine top-k (baseline) -------------------
+
+TOPK_QUERY_IDS = 5  # vec_id < 5 are the probe vectors
+TOPK_K = 10
+
+L3_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {TOPK_QUERY_IDS}
+),
+scored AS (
+  SELECT
+    q.query_id,
+    e.vec_id AS neighbor_id,
+    round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, sim, rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TOPK_K}
+"""
+
+
+def cosine_sim(a, b):
+    """Cosine similarity of two array<double> columns via JVM
+    higher-order functions (zip_with dot product + aggregate norms) —
+    no Python boundary."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+@query("l3_cosine_topk", oracle=L3_ORACLE)
+def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: a bounded query set broadcast against the
+    corpus — a linear scan + per-query top-k heap, the correct
+    brute-force baseline at any corpus size. Ranking uses the ROUNDED
+    similarity (+ id tiebreak) so float noise below 1e-4 can't flip
+    neighbor order between engines."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    corpus = e.select("vec_id", emb_d.alias("ce"))
+    q = e.filter(F.col("vec_id") < TOPK_QUERY_IDS).select(
+        F.col("vec_id").alias("query_id"), emb_d.alias("qe")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_sim(F.col("qe"), F.col("ce")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_K)
+    )
+
+
+# --- L2b: exact n-gram (token-set) Jaccard near-dup --------------------------
+
+JACCARD_THRESHOLD = 0.5
+
+L2B_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jac
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("l2b_ngram_jaccard", oracle=L2B_ORACLE)
+def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs via a token-postings
+    self-join (intersection counts), never a crossJoin. This is the
+    correctness oracle for the MinHash operator; cost is quadratic in
+    per-token document frequency, so at 100 TB l2_minhash_lsh is the
+    production path and this runs on samples."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    sz = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jac"))
+    )
+
+
+# --- L4e: language identification (n-gram/marker heuristic) -------------------
+
+LANG_MARKERS = {
+    "en": ("the", "is", "and", "of", "to"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "les", "et", "est", "une"),
+}
+
+
+@query("l4e_langid")
+def l4e_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count per-language marker-token hits,
+    argmax with a fixed tie order, 'und' when nothing matches. All
+    JVM-side higher-order functions (no Python). Rows-only oracle —
+    the heuristic is engine-defined, not ANSI-SQL semantics; pytest
+    asserts determinism and the und/match split. (The synthetic corpus
+    is a shared bag-of-words vocabulary, so this exercises the operator
+    shape, not linguistic accuracy.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def marker_pred(marks):
+        # closure, not a default arg: PySpark derives higher-order-
+        # function arity from the lambda's parameter count.
+        return lambda x: F.array_contains(marks, x)
+
+    hit_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        marks = F.array(*[F.lit(m) for m in markers])
+        hit_cols.append(F.size(F.filter(toks, marker_pred(marks))).alias(f"hits_{lang}"))
+    scored = d.select("doc_id", "lang", *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("und")
+    # reversed so earlier languages win ties (when-chain first-match)
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        best.alias("n_marker_hits"),
+    )
+
+
+# --- L2: MinHash + LSH banding near-dup (the 100 TB dedup path) --------------
+
+MINHASH_PERMS = 64
+LSH_BANDS = 16  # 16 bands × 4 rows → P(candidate | j=0.8) ≈ 0.9997
+MINHASH_THRESHOLD = 0.8
+
+
+def _token_sets(d: DataFrame) -> DataFrame:
+    return d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+
+
+@query("l2_minhash_lsh")
+def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH near-dup detection, pure DataFrame ops:
+
+    1. one explode to token postings; 64 grouped MINs of
+       ``xxhash64(token, seed)`` build the signature (single shuffle,
+       no UDF, fixed integer seeds → deterministic across partitions);
+    2. 16 band hashes over 4-row slices; explode to (band, band_hash)
+       and self-join → candidate pairs only where a band collides —
+       never an all-pairs product;
+    3. exact Jaccard verification on candidates via array_intersect
+       over the collected token sets; keep pairs ≥ 0.8.
+
+    Rows-only oracle (LSH has a ~3e-4 false-negative rate at j=0.8 by
+    design); the pytest layer checks recall against l2b's exact pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"mh{i}")
+            for i in range(MINHASH_PERMS)
+        ]
+    )
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                            F.lit(b),
+                        ).alias("bh"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = _token_sets(d)
+    ta = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size(F.array_union("ta", "tb"))
+    jac = inter.cast("double") / union
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(jac >= MINHASH_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jac"))
+    )
+
+
+# --- L2c: SimHash near-dup ----------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 6
+
+
+@query("l2c_simhash")
+def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: per-token 32-bit hash, per-bit ±1 grouped
+    sums → sign bits → one integer fingerprint per doc; candidate
+    pairs share one of four 8-bit bands; keep pairs with Hamming
+    distance ≤ 6. All bitwise JVM expressions, one shuffle for the
+    signature, band self-join for candidates."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
+    h = F.xxhash64("token")
+    per_bit = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    sigs = per_bit.select("doc_id", simhash.cast("long").alias("simhash"))
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("band"),
+                        F.shiftright("simhash", 8 * t).bitwiseAND(F.lit(255)).alias("bv"),
+                    )
+                    for t in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+# --- L3b: ANN via random-hyperplane LSH buckets (the 100 TB search path) -----
+
+ANN_TABLES = 8
+ANN_BITS = 8
+ANN_PROBE_RADIUS = 1  # also probe buckets within Hamming distance 1
+EMBED_DIM = 64
+
+
+def _hyperplane(table: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane components from
+    md5 — no RNG state, identical on every executor and every run."""
+    out = []
+    for dim in range(EMBED_DIM):
+        digest = hashlib.md5(f"ann:{table}:{bit}:{dim}".encode()).digest()
+        out.append((int.from_bytes(digest[:4], "big") % 2001 - 1000) / 1000.0)
+    return out
+
+
+def _bucket_col(emb, table: int):
+    """8-bit bucket id for one LSH table: sign bits of 8 hyperplane dots."""
+    acc = F.lit(0)
+    for bit in range(ANN_BITS):
+        w = F.array(*[F.lit(x) for x in _hyperplane(table, bit)])
+        dot = F.aggregate(
+            F.zip_with(emb, w, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+        acc = acc + F.when(dot > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return acc
+
+
+@query("l3b_ann_lsh")
+def l3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors: 8 independent 8-bit
+    random-hyperplane tables with multi-probe — each query also probes
+    every bucket within Hamming distance 1 of its own (9 buckets/table),
+    so a single flipped sign bit can't lose a neighbor. Candidates get
+    exact cosine; per-query top-10. At 100 TB the bucket join prunes to
+    ~9/256 of the corpus per table instead of a full scan. Rows-only
+    oracle; pytest measures recall vs the exact l3 result — note the
+    fixture vectors are near-orthogonal (max pair cosine ≈ 0.51), the
+    adversarial regime for any sublinear ANN; recall is high exactly in
+    the near-dup regime where LSH is the right tool (see l7)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", emb_d.alias("emb"))
+    buckets = base.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), _bucket_col(F.col("emb"), t).alias("bkt"))
+                    for t in range(ANN_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "emb", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    # multi-probe: expand each query bucket to itself + all Hamming-1
+    # neighbors (bit flips); the corpus side stays single-bucket.
+    probes = [F.col("bkt")] + [
+        F.col("bkt").bitwiseXOR(F.lit(1 << j)) for j in range(ANN_BITS)
+    ]
+    q = (
+        buckets.filter(F.col("vec_id") < TOPK_QUERY_IDS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            "tbl",
+            F.explode(F.array(*probes)).alias("bkt"),
+        )
+    )
+    cands = (
+        buckets.join(F.broadcast(q), ["tbl", "bkt"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qe", "vec_id", "emb")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_sim(F.col("qe"), F.col("emb")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOPK_K)
+
+
+# --- L7: embedding-cosine near-dup --------------------------------------------
+
+NEARDUP_SIM = 0.98
+
+
+@query("l7_embed_neardup")
+def l7_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucketed candidates (two
+    8-bit tables) + exact cosine ≥ 0.98. Same pruning shape as l3b —
+    pair generation is per-bucket, never all-pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", emb_d.alias("emb"))
+    buckets = base.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), _bucket_col(F.col("emb"), t).alias("bkt"))
+                    for t in range(2)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "emb", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("a.emb").alias("ea"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("b.emb").alias("eb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = cosine_sim(F.col("ea"), F.col("eb"))
+    return pairs.select(
+        "vec_a", "vec_b", F.round(sim, 4).alias("sim")
+    ).filter(F.col("sim") >= NEARDUP_SIM)
+
+
+# --- L5: multimodal binary columns -------------------------------------------
+
+@query(
+    "l5_multimodal_meta",
+    oracle="""
+SELECT
+  doc_id,
+  octet_length(encode(text))  AS n_bytes,
+  sha256(text)                AS media_sha,
+  'utf8-text'                 AS media_kind
+FROM documents
+""",
+)
+def l5_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: an opaque BinaryType media payload
+    + typed metadata struct, carried through a relational projection.
+    The binary never crosses to Python here; size/digest are JVM ops.
+    (Fixture corpus has no real media, so the payload is the utf-8
+    document bytes — the column shapes are what the operator proves.
+    Oracle note: DuckDB 1.0 sha256 takes VARCHAR only; sha256(text)
+    equals sha2(encode(text,'utf-8'), 256) byte-for-byte.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    media = F.encode("text", "utf-8")
+    meta = F.struct(
+        F.length(media).alias("n_bytes"),
+        F.sha2(media, 256).alias("sha"),
+        F.lit("utf8-text").alias("kind"),
+    )
+    framed = d.select("doc_id", media.alias("media"), meta.alias("meta"))
+    return framed.select(
+        "doc_id",
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("meta.sha").alias("media_sha"),
+        F.col("meta.kind").alias("media_kind"),
+    )
+
+
+@query("l5b_media_features")
+def l5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode / feature-extraction over ``mapInPandas``: Arrow
+    batches of (doc_id, media-binary) flow to Python; a real deployment
+    would decode images/audio here (PIL/librosa are NOT in this
+    container — that path raises NotImplementedError); the deterministic
+    stub derives pseudo width/height/features from the bytes so the
+    Spark-side plumbing (schema, batch shape, binary transport) is
+    fully real and testable."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    framed = d.select("doc_id", F.encode("text", "utf-8").alias("media"))
+
+    def extract(batches):
+        for pdf in batches:
+            feats = []
+            for blob in pdf["media"]:
+                b = bytes(blob)
+                if not b:
+                    feats.append((0, 0, [0.0, 0.0, 0.0, 0.0]))
+                    continue
+                # Real decode would be: img = PIL.Image.open(io.BytesIO(b))
+                # → raise NotImplementedError("image decode needs PIL")
+                feats.append(
+                    (
+                        1 + b[0],
+                        1 + b[-1],
+                        [
+                            round(len(b) / 1000.0, 6),
+                            round(b[0] / 255.0, 6),
+                            round(b[len(b) // 2] / 255.0, 6),
+                            round(b[-1] / 255.0, 6),
+                        ],
+                    )
+                )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "feat": [f[2] for f in feats],
+                }
+            )
+            yield out
+
+    return framed.mapInPandas(
+        extract, "doc_id long, width int, height int, feat array<double>"
+    )
