@@ -1,0 +1,183 @@
+"""Python UDF surface (SURVEY.md §2.9 U1-U6; U3 lives in
+aggregates.a10_udaf_geomean).
+
+Each operator exercises one Python-extension mechanism on a real
+pipeline, with the computation chosen to be SQL-mirrorable so the
+DuckDB oracle can hash-check the full result — the UDF *machinery* is
+Spark-side, the *semantics* are engine-portable.
+
+Scale notes: everything here crosses the JVM↔Python boundary in Arrow
+record batches (pandas UDF / mapInPandas / applyInPandas), never
+row-at-a-time pickling except u1 — which exists precisely to cover the
+plain-UDF API point and is Arrow-optimized in Spark 4
+(spark.sql.execution.pythonUDF.arrow.enabled defaults on). The UDF
+path is the engine's slow lane: the production operators in the other
+modules stay JVM-native; these are the extension points for logic that
+genuinely can't be expressed relationally.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+from pyspark.sql.types import StringType
+
+from sparkstreaming_mq_spark.registry import query
+from sparkstreaming_mq_spark.tables import load_table
+
+
+# --- U1: scalar (row-at-a-time) Python UDF -----------------------------------
+
+@query(
+    "u1_scalar_udf",
+    oracle="""
+SELECT c_custkey,
+       concat(upper(c_mktsegment), ':', CAST(length(c_name) AS VARCHAR)) AS tag
+FROM customer
+""",
+)
+def u1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic scalar UDF (Arrow-optimized in 4.x): per-row string
+    tagging. The same logic in SQL is the oracle."""
+
+    @udf(returnType=StringType())
+    def tag(seg: str, name: str) -> str:
+        return f"{seg.upper()}:{len(name)}"
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", tag("c_mktsegment", "c_name").alias("tag"))
+
+
+# --- U2: vectorized (pandas) scalar UDF --------------------------------------
+
+@query(
+    "u2_pandas_udf",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+FROM lineitem
+""",
+)
+def u2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized Series→Series UDF: whole-column pandas math,
+    ~10-100× the throughput of u1's per-row path. The raw double
+    product is emitted unrounded: identical IEEE op order on both
+    sides → bitwise-equal values (pandas .round would be half-to-even
+    and any double→decimal narrowing differs between engines on
+    below-ulp boundaries — both round-1-class parity traps)."""
+
+    @pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+    )
+
+
+# --- U4: grouped-map applyInPandas -------------------------------------------
+
+@query(
+    "u4_apply_in_pandas",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderstatus))
+             / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderstatus), 4) AS z
+FROM orders
+""",
+)
+def u4_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group DataFrame→DataFrame transform: z-score normalization
+    within each order status. Each group arrives as one pandas frame
+    (the grouped-map UDTF-ish extension point); the SQL window mirror
+    is the oracle. At scale: one shuffle on the group key, groups must
+    fit in executor memory — the documented contract of this API."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_orderstatus": pdf["o_orderstatus"],
+                "z": ((pdf["o_totalprice"] - mean) / sd).round(4),
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").applyInPandas(
+        zscore, "o_orderkey long, o_orderstatus string, z double"
+    )
+
+
+# --- U5: mapInPandas ----------------------------------------------------------
+
+@query(
+    "u5_map_in_pandas",
+    oracle="""
+SELECT l_orderkey, l_linenumber, round(l_quantity * l_extendedprice, 2) AS qty_value
+FROM lineitem
+WHERE l_quantity > 45
+""",
+)
+def u5_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-batch transform: an iterator of Arrow batches in,
+    filtered/derived batches out — the streaming-friendly bulk
+    extension point (same mechanism the multimodal decoder l5b uses)."""
+
+    def flow(batches):
+        for pdf in batches:
+            keep = pdf[pdf["l_quantity"] > 45]
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": keep["l_orderkey"],
+                    "l_linenumber": keep["l_linenumber"],
+                    "qty_value": (keep["l_quantity"] * keep["l_extendedprice"]).round(2),
+                }
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return li.mapInPandas(flow, "l_orderkey long, l_linenumber int, qty_value double")
+
+
+# --- U6: Python UDTF ----------------------------------------------------------
+
+@query(
+    "u6_udtf_tokenize",
+    oracle="""
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER) AS pos,
+       unnest(string_split(text, ' ')) AS token
+FROM documents
+WHERE doc_id < 50
+""",
+)
+def u6_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function: one document row in, one row
+    per token out (with 1-based position) — the row-expanding extension
+    point (SURVEY.md §2.9 U6), invoked through the canonical SQL
+    LATERAL join."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="out_doc_id bigint, pos int, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield doc_id, i, tok
+
+    spark.udtf.register("sg_tokenize", Tokenize)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("__u6_docs")
+    return spark.sql(
+        """
+        SELECT t.out_doc_id AS doc_id, t.pos, t.token
+        FROM __u6_docs, LATERAL sg_tokenize(doc_id, text) t
+        """
+    )

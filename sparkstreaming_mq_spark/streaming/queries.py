@@ -1,0 +1,417 @@
+"""Registered streaming queries (SURVEY.md §2.8 T1-T10, §2.3 J9/J10).
+
+Each callable executes a genuinely *streaming* pipeline (readStream →
+transform → writeStream with checkpoint) to completion under
+Trigger.AvailableNow, then returns the materialized result so the
+driver harness can compare it. Queries whose streaming semantics are
+prefix-complete (complete-mode aggregation, inner joins, dedup over a
+fully-replayed bounded stream) carry a DuckDB oracle — the
+stream-batch equivalence property from the Structured Streaming model
+(/root/repo/PAPERS.md:7); watermark-dependent append-mode results are
+rows-only (late-data drops are the *point* of those operators).
+
+Scale notes: every stateful operator here keys its state (window ×
+group key, event_id, user_id), so state shards across executors with
+the shuffle; watermarks bound state size — the unbounded-dedup and
+unwatermarked-aggregation variants are deliberately absent from the
+production path (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark.registry import query
+from sparkstreaming_mq_spark.streaming.sources import (
+    read_events_stream,
+    read_events_stream_chunked,
+    run_stream_foreach_batch,
+    run_stream_to_parquet,
+    run_stream_to_table,
+)
+from sparkstreaming_mq_spark.tables import load_table
+
+
+# --- S1 + T9: file-replay source, passthrough completeness -------------------
+
+@query(
+    "s1_stream_replay",
+    oracle="""
+SELECT event_id, user_id, event_type, round(value, 4) AS value,
+       date_trunc('second', ts) AS ts_s
+FROM events
+""",
+)
+def s1_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MQ-source substitute: replay the full events stream through the
+    file source and deliver every envelope record exactly once
+    (append mode, AvailableNow trigger, checkpointed offsets). The
+    oracle proves no message is lost or duplicated."""
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.date_trunc("second", "ts").alias("ts_s"),
+    )
+    return run_stream_to_table(stream, "append")
+
+
+# --- T2: tumbling window aggregation (complete mode → prefix-complete) -------
+
+@query(
+    "t2_stream_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,
+       round(sum(value), 2) AS total
+FROM events
+GROUP BY win_start, event_type
+""",
+)
+def t2_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type, complete
+    output mode over a multi-micro-batch replay — equals the batch
+    aggregation (stream-batch equivalence)."""
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    out = run_stream_to_table(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("win_start"), "event_type", "n", "total"
+    )
+
+
+# --- T3: sliding window aggregation ------------------------------------------
+
+@query(
+    "t3_stream_sliding",
+    oracle="""
+SELECT ws AS win_start, event_type, count(*) AS n
+FROM (
+  SELECT event_type,
+         unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+  FROM events
+)
+GROUP BY ws, event_type
+""",
+)
+def t3_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h size, 1h slide): every event lands in two
+    overlapping windows; complete mode, equals the batch expansion."""
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+    agg = stream.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    out = run_stream_to_table(agg, "complete")
+    return out.select(F.col("window.start").alias("win_start"), "event_type", "n")
+
+
+# --- T1 + T6: watermark + late-data drops (append mode; rows-only) -----------
+
+@query("t6_stream_late_data")
+def t6_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode tumbling count over an OUT-OF-ORDER
+    replay (hash-interleaved chunks): each micro-batch advances the
+    watermark to max(ts)-30min, so later chunks' old events are
+    dropped and only finalized windows emit. Deterministic given the
+    fixed chunk assignment and trigger sequence, but intentionally NOT
+    equal to the batch result — no SQL oracle; the pytest layer
+    asserts emitted_windows ⊆ batch_windows and counts ≤ batch counts."""
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="hash")
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_stream_to_table(agg, "append")
+    return out.select(F.col("window.start").alias("win_start"), "n")
+
+
+# --- T5: streaming dedup ------------------------------------------------------
+
+@query(
+    "t5_stream_dedup",
+    oracle="""
+SELECT event_id, event_type, round(value, 4) AS value
+FROM events
+""",
+)
+def t5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → effectively-once: the replay is unioned with
+    itself (every message delivered twice) and dropDuplicates on the
+    message id restores exactly-once delivery. Oracle = each event
+    exactly once."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    doubled = a.unionByName(b)
+    deduped = doubled.dropDuplicates(["event_id"]).select(
+        "event_id", "event_type", F.round("value", 4).alias("value")
+    )
+    return run_stream_to_table(deduped, "append")
+
+
+# --- T4: session windows ------------------------------------------------------
+
+@query("t4_stream_session")
+def t4_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-minute inactivity gap) per user:
+    watermarked append mode over in-order chunks. Rows-only — sessions
+    still open at end-of-stream are unflushed by design; pytest checks
+    the flushed sessions against a batch sessionization."""
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    out = run_stream_to_table(agg, "append")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("sess_start"),
+        "n_events",
+        "total",
+    )
+
+
+# --- J9: stream–static join ---------------------------------------------------
+
+@query(
+    "j9_stream_static_join",
+    oracle="""
+SELECT n.n_name AS nation, e.event_type, count(*) AS n,
+       round(sum(e.value), 2) AS total
+FROM events e
+JOIN nation n ON CAST(e.user_id % 25 AS INTEGER) = n.n_nationkey
+GROUP BY nation, e.event_type
+""",
+)
+def j9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich the live stream with a broadcast dimension table (the
+    archetype's lookup-join), then aggregate in complete mode. The
+    static side is a bounded dim → broadcast hash join per
+    micro-batch, no stream-side shuffle for the join."""
+    stream = read_events_stream(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    joined = stream.join(
+        F.broadcast(nation),
+        (F.col("user_id") % 25).cast("int") == F.col("n_nationkey"),
+    )
+    agg = joined.groupBy(F.col("n_name").alias("nation"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    return run_stream_to_table(agg, "complete")
+
+
+# --- J10: stream–stream join --------------------------------------------------
+
+@query(
+    "j10_stream_stream_join",
+    oracle="""
+SELECT s.user_id,
+       date_trunc('second', s.ts) AS signup_ts,
+       date_trunc('second', p.ts) AS purchase_ts,
+       round(p.value, 4) AS value
+FROM events s
+JOIN events p
+  ON s.user_id = p.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+""",
+)
+def j10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream inner join: purchases within 2 hours after a
+    signup, both sides watermarked, time-interval join condition
+    bounding the state. Inner-join emission is prefix-complete over a
+    full replay → batch-equal oracle."""
+    signups = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "4 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "4 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select(
+        "user_id",
+        F.date_trunc("second", "s_ts").alias("signup_ts"),
+        F.date_trunc("second", "p_ts").alias("purchase_ts"),
+        F.round("value", 4).alias("value"),
+    )
+    return run_stream_to_table(joined, "append")
+
+
+# --- S6: file sink round-trip -------------------------------------------------
+
+@query(
+    "s6_stream_file_sink",
+    oracle="""
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+""",
+)
+def s6_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet file sink (append mode + checkpoint WAL), then a batch
+    read-back aggregation — the deliver-to-files leg of the archetype.
+    """
+    stream = read_events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    path = run_stream_to_parquet(stream)
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- S7: foreachBatch external-store delivery ---------------------------------
+
+@query(
+    "s7_stream_foreachbatch",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM events
+GROUP BY event_type
+""",
+)
+def s7_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External DB/KV delivery via foreachBatch: each micro-batch is
+    appended to an 'upsert log' (parquet keyed by epoch — the pattern a
+    JDBC/Redis writer follows, idempotent on retry by epoch id), then
+    the log is compacted exactly-once per event and aggregated."""
+    import tempfile
+
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time").select(
+        "event_id", "event_type", "value"
+    )
+    store = tempfile.mkdtemp(prefix="sparkgraft_kv_")
+
+    def deliver(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    run_stream_foreach_batch(stream, deliver)
+    log = spark.read.parquet(store)
+    # upsert compaction: last write per key wins (idempotent replays)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_id").orderBy(F.col("__epoch").desc())
+    latest = (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__epoch")
+    )
+    return latest.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+# --- T7: arbitrary stateful operator (custom per-key state machine) -----------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in µs
+
+
+@query("t7_stateful_sessionize")
+def t7_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key state machine via ``applyInPandasWithState``: a
+    hand-rolled sessionizer keeping (start, last, count, sum) per user
+    across micro-batches, emitting a session row whenever a 30-minute
+    gap closes it. This is the engine's arbitrary-stateful extension
+    point (SURVEY.md §2.8 T7) — the state survives between triggers in
+    the checkpointed state store, exactly like a production counter or
+    CEP operator. Sessions still open at end-of-stream stay in state
+    (unflushed), matching t4's semantics; rows-only oracle + pytest
+    equivalence vs batch sessionization."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time").select(
+        "user_id", "ts", "value"
+    )
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        (uid,) = key
+        if state.exists:
+            start, last, n, tot = state.get
+        else:
+            start, last, n, tot = None, None, 0, 0.0
+        closed: list[tuple] = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                us = int(ts.value // 1000)  # pandas ns → µs
+                if last is not None and us - last > SESSION_GAP_US:
+                    closed.append((uid, start, last, n, round(tot, 2)))
+                    start, n, tot = us, 0, 0.0
+                if start is None:
+                    start = us
+                last, n, tot = us, n + 1, tot + float(val)
+        state.update((start, last, n, tot))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "start_us", "end_us", "n_events", "total"],
+            )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id long, start_us long, end_us long, n_events long, total double",
+        stateStructType="start long, last long, n long, total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = run_stream_to_table(out, "append")
+    return res.select(
+        "user_id",
+        F.timestamp_micros("start_us").alias("sess_start"),
+        F.timestamp_micros("end_us").alias("sess_end"),
+        "n_events",
+        "total",
+    )
+
+
+# --- T10: stream monitoring ---------------------------------------------------
+
+@query("t10_stream_progress")
+def t10_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-progress observability (replaces the archetype's log
+    files): run a replay and surface per-batch progress counters from
+    the StreamingQuery API as rows."""
+    import tempfile
+    import uuid as _uuid
+
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time").select(
+        "event_id", "event_type"
+    )
+    name = f"prog_{_uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix="sparkgraft_ckpt_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (int(p["batchId"]), int(p["numInputRows"]))
+        for p in (q.recentProgress or [])
+        if p is not None
+    ]
+    return spark.createDataFrame(rows, "batch_id long, num_input_rows long")

@@ -1,0 +1,213 @@
+"""Streaming sources/sinks and deterministic replay utilities.
+
+The MQ ingestion path (SURVEY.md §2.1 S1/S2/S8) with an offline
+file-replay substitute: ``events.parquet`` replayed through Spark's
+file stream source — optionally split into ordered or interleaved
+chunk files so multi-micro-batch behavior (watermark advancement,
+late-data drops) is reproducible (SURVEY.md §5.3).
+
+Scale notes: the file source checkpoints file offsets exactly like the
+kafka source checkpoints partition offsets, so every downstream
+operator behaves identically on a real queue; ``maxFilesPerTrigger``
+plays the role of ``maxOffsetsPerTrigger`` for bounded micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from sparkstreaming_mq_spark.session import apply_runtime_conf
+from sparkstreaming_mq_spark.tables import load_table
+
+# Schema of the materialized replay files: ``tables.load_table`` has
+# already converted the fixture's ns-long ts to a µs TimestampType
+# before the chunks are written, so the stream sees a proper
+# event-time column directly.
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 substitute: unbounded DataFrame replaying events.parquet
+    through the file stream source (single replay file → single
+    micro-batch under Trigger.AvailableNow). The file source requires a
+    *directory*, so the event file is materialized once into a replay
+    dir (read-only testdata is never touched)."""
+    return read_events_stream_chunked(spark, sf_dir, n_chunks=1, order="time")
+
+
+def chunked_events_dir(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4, order: str = "time"
+) -> str:
+    """Materialize events.parquet as ``n_chunks`` replay files under
+    /tmp (cached per (sf, n, order)).
+
+    order='time': chunk k holds the k-th time range → in-order replay,
+    watermark advances monotonically between micro-batches.
+    order='hash': chunk k holds rows with hash(event_id)%n == k → every
+    chunk spans the full time range, so later chunks deliver events far
+    behind the watermark — the deterministic late-data scenario.
+    """
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{n_chunks}_{order}"
+    out = os.path.join(tempfile.gettempdir(), "sparkgraft_replay", key)
+    done = os.path.join(out, "_READY")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    events = load_table(spark, sf_dir, "events")
+    if n_chunks == 1:
+        ranked = events.withColumn("__chunk", F.lit(0))
+    elif order == "time":
+        # chunk by ts order: rank rows by ts via ntile for equal chunks
+        from pyspark.sql import Window
+
+        ranked = events.withColumn(
+            "__chunk",
+            F.ntile(n_chunks).over(Window.orderBy("ts", "event_id")) - 1,
+        )
+    else:
+        ranked = events.withColumn(
+            "__chunk", F.pmod(F.xxhash64("event_id"), F.lit(n_chunks))
+        )
+    # write sequentially so file modification times follow chunk order
+    # (the file source picks up files oldest-first)
+    for k in range(n_chunks):
+        (
+            ranked.filter(F.col("__chunk") == k)
+            .drop("__chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"chunk_{k:03d}"))
+        )
+    open(done, "w").close()
+    return out
+
+
+def read_events_stream_chunked(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    order: str = "time",
+) -> DataFrame:
+    """Multi-micro-batch replay: one chunk file per trigger."""
+    apply_runtime_conf(spark)
+    base = chunked_events_dir(spark, sf_dir, n_chunks, order)
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{base}/chunk_*")
+    )
+
+
+def run_stream_to_table(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion with
+    Trigger.AvailableNow into a memory sink (S5) and return the result
+    as a batch DataFrame. Checkpoint directory (S9) gives the run the
+    same offset/commit WAL a production query has."""
+    spark = stream_df.sparkSession
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="sparkgraft_ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_stream_to_parquet(stream_df: DataFrame, path: str | None = None) -> str:
+    """S6 file sink: append-mode parquet delivery with checkpoint;
+    returns the output path."""
+    path = path or tempfile.mkdtemp(prefix="sparkgraft_out_")
+    ckpt = tempfile.mkdtemp(prefix="sparkgraft_ckpt_")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return path
+
+
+def run_stream_foreach_batch(stream_df: DataFrame, fn) -> None:
+    """S7 external-delivery sink: per-micro-batch callback
+    ``fn(batch_df, epoch_id)`` — the idempotent-upsert extension point
+    (batch_df is a normal DataFrame; epoch_id keys retries)."""
+    ckpt = tempfile.mkdtemp(prefix="sparkgraft_ckpt_")
+    q = (
+        stream_df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# --- Kafka connector builders (S1/S8 proper; need kafka jars on the cluster) --
+
+KAFKA_ENVELOPE_COLS = ("key", "value", "topic", "partition", "offset", "timestamp")
+
+
+def kafka_reader(
+    spark: SparkSession,
+    brokers: str,
+    subscribe: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+):
+    """Build the real MQ source (SURVEY.md §2.1 S1): kafka envelope
+    records (key/value binary + topic/partition/offset/timestamp).
+    Offline container has no kafka connector jars, so callers must be
+    on a cluster that ships spark-sql-kafka; everything downstream of
+    the returned reader is identical to the file-replay path."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", subscribe)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader
+
+
+def kafka_writer(df: DataFrame, brokers: str, topic: str, checkpoint: str):
+    """S8 MQ sink: produce (key, value) back to a topic."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
