@@ -1,0 +1,74 @@
+"""Oracle-comparison helpers shared by scripts/check_oracle.py and the
+pytest layer — a local mirror of the driver harness's row-count +
+column-name + order-insensitive canonicalized-value comparison
+(/root/repo/__spark_entry__.py:3-7).
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from sparkstreaming_mq_spark.tables import TABLES, table_path
+
+
+def canon_val(v):
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, pd.Timestamp):
+        return None if pd.isna(v) else v.isoformat()
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return tuple(canon_val(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def canon_frame(df: pd.DataFrame):
+    """(sorted column names, row tuples sorted order-insensitively)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = [tuple(canon_val(v) for v in tup) for tup in df.itertuples(index=False)]
+    rows.sort(key=repr)
+    return list(df.columns), rows
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """DuckDB connection with one view per fixture table (the driver's
+    pre-registered views)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        p = table_path(sf_dir, t)
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str | None:
+    """None if equivalent, else a human-readable mismatch description."""
+    scols, srows = canon_frame(spark_pdf)
+    ocols, orows = canon_frame(oracle_pdf)
+    if len(srows) != len(orows):
+        return f"rowcount spark={len(srows)} oracle={len(orows)}"
+    if scols != ocols:
+        return f"columns spark={scols} oracle={ocols}"
+    if srows != orows:
+        diffs = [(a, b) for a, b in zip(srows, orows) if a != b]
+        return f"{len(diffs)}/{len(srows)} rows differ; first spark={diffs[0][0]} oracle={diffs[0][1]}"
+    return None

@@ -1,0 +1,36 @@
+"""Oracle-differential tests (SURVEY.md §5.1): every registered query
+with oracle SQL must match DuckDB exactly at sf0.001 — the same
+comparison the driver harness runs at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkstreaming_mq_spark import registry
+from sparkstreaming_mq_spark.oracle import compare
+
+registry.load_all()
+ORACLE_NAMES = sorted(registry.ORACLES)
+ROWS_ONLY_NAMES = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+
+
+def test_registry_loads_clean():
+    assert not registry.LOAD_ERRORS, f"registry import failures: {registry.LOAD_ERRORS}"
+    assert len(registry.QUERIES) >= 80
+    assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_match(name, spark, duck, sf_dir):
+    sdf = registry.QUERIES[name](spark, sf_dir).toPandas()
+    odf = duck.execute(registry.ORACLES[name]).fetchdf()
+    err = compare(sdf, odf)
+    assert err is None, f"{name}: {err}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(name, spark, sf_dir):
+    df = registry.QUERIES[name](spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    assert df.schema.fields, f"{name}: empty schema"
