@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], materializing each result through the noop
+sink (full execution, nothing pruned by a count-only action), 1 warmup
++ median of 3 timed runs per query, and prints ONE JSON line:
+
+  {"metric": "sum_of_median_query_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": "..."}
+
+Headline set: one scale-representative query per operator family
+(SURVEY.md §2) — scans/aggregates, star joins, as-of join, windows,
+sort/top-k, JSON/array ETL, dedup (exact + MinHash LSH), similarity
+search, text quality, pandas UDF, and two streaming replays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkstreaming_mq_spark import registry  # noqa: E402
+from sparkstreaming_mq_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "a3_distinct_agg",
+    "a5_percentiles",
+    "a7_rollup",
+    "j1_inner_equi",
+    "j3_broadcast_dim",
+    "j8_asof",
+    "w1_ranking",
+    "w4_topk_per_group",
+    "o1_global_sort",
+    "f4_json",
+    "f5b_explode",
+    "l1_exact_dedup",
+    "l2_minhash_lsh",
+    "l3_cosine_topk",
+    "l4b_quality_score",
+    "u2_pandas_udf",
+    "s1_stream_replay",
+    "t2_stream_tumbling",
+]
+
+N_RUNS = 3
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="sparkgraft-bench")
+    qs = registry.all_queries()
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        try:
+            materialize(fn(spark, sf_dir))  # warmup (JIT, code cache, replay dirs)
+            times = []
+            for _ in range(N_RUNS):
+                t0 = time.time()
+                materialize(fn(spark, sf_dir))
+                times.append(time.time() - t0)
+            results[name] = round(statistics.median(times), 3)
+        except Exception as exc:  # keep the bench line parseable no matter what
+            print(f"[bench] {name} failed: {exc}", file=sys.stderr)
+            results[name] = -1.0
+
+    total = round(sum(t for t in results.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_of_median_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": os.path.basename(os.path.normpath(sf_dir)),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,11 @@ ENGINE_CONF: dict[str, str] = {
     # ns-since-epoch long instead; tables.load_table converts it back to
     # a µs TimestampType column. ms-precision tables are unaffected.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Externally-built sessions (the driver harness) default to 200
+    # shuffle partitions — pure task overhead at test scale, and
+    # stateful streaming disables AQE so nothing coalesces them. On a
+    # real cluster the deployer overrides this to ~2-3× total cores.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 # Subset of ENGINE_CONF that is runtime-settable on an existing session —

@@ -321,7 +321,171 @@ def s7_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- T7: arbitrary stateful operator (custom per-key state machine) -----------
+# --- S2: rate test source -----------------------------------------------------
+
+@query(
+    "s2_rate_source",
+    oracle="""
+SELECT CAST(range AS BIGINT) AS value FROM range(0, 1000)
+""",
+)
+def s2_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic ticking test source: rate-micro-batch emits a
+    deterministic value sequence per batch; one triggered batch of
+    1000 rows. (The driver passes sf_dir; the rate source ignores it
+    by design — it generates its own data.)"""
+    import tempfile
+    import uuid as _uuid
+
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1000)
+        .option("startTimestamp", 0)
+        .load()
+        .select("value")
+    )
+    name = f"rate_{_uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix="sparkgraft_ckpt_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --- S4: JSON / CSV file scans -------------------------------------------------
+
+@query(
+    "s4_json_csv_scan",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def s4_json_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read file formats: the events table is exported once
+    to JSON-lines and CSV under /tmp, read back through
+    ``spark.read.json`` / ``spark.read.csv`` with explicit schemas,
+    joined for mutual validation, and aggregated — the archetype's
+    raw-payload ingestion path for non-parquet drops."""
+    import os as _os
+    import tempfile as _tf
+
+    from sparkstreaming_mq_spark.tables import load_table as _lt
+
+    key = _os.path.basename(_os.path.normpath(sf_dir))
+    base = _os.path.join(_tf.gettempdir(), "sparkgraft_formats", key)
+    ready = _os.path.join(base, "_READY")
+    events = _lt(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "props"
+    )
+    if not _os.path.exists(ready):
+        _os.makedirs(base, exist_ok=True)
+        events.write.mode("overwrite").json(_os.path.join(base, "json"))
+        # CSV can't carry the JSON payload safely; keep scalar columns.
+        events.drop("props").write.mode("overwrite").option("header", True).csv(
+            _os.path.join(base, "csv")
+        )
+        open(ready, "w").close()
+    jdf = spark.read.schema(
+        "event_id long, event_type string, value double, props string"
+    ).json(_os.path.join(base, "json"))
+    cdf = (
+        spark.read.schema("event_id long, event_type string, value double")
+        .option("header", True)
+        .csv(_os.path.join(base, "csv"))
+        .select("event_id", F.col("value").alias("csv_value"))
+    )
+    both = jdf.join(cdf, "event_id")
+    # belt-and-suspenders: the two formats must agree row-by-row
+    both = both.filter(F.col("value") == F.col("csv_value"))
+    return both.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.max(F.get_json_object("props", "$.k").cast("int")).alias("max_k"),
+    )
+
+
+# --- T8: update output mode -----------------------------------------------------
+
+@query("t8_stream_update_mode")
+def t8_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update output mode: per-batch changed-row emission for a running
+    per-type count over the 4-chunk replay — the sink sees one row per
+    (key, batch-it-changed-in); the LAST update per key equals the
+    complete-mode result. Rows-only (the update history is
+    mode-specific by design); the final-state property is asserted in
+    pytest."""
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    return run_stream_to_table(agg, "update")
+
+
+# --- S9: checkpoint recovery across restarts ------------------------------------
+
+@query(
+    "s9_checkpoint_recovery",
+    oracle="""
+SELECT event_id, event_type, round(value, 4) AS value
+FROM events
+""",
+)
+def s9_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once recovery: run 1 consumes the first half of the
+    replay files into a parquet sink and stops; more files arrive; run
+    2 restarts from the SAME checkpoint and must consume only the new
+    files (the offset WAL dedupes the old ones). The sink then holds
+    every event exactly once — which is precisely what the oracle
+    checks. This is the engine-managed replacement for the archetype's
+    hand-rolled offset commits."""
+    import shutil
+    import tempfile as _tf
+
+    from sparkstreaming_mq_spark.streaming.sources import (
+        EVENTS_STREAM_SCHEMA,
+        chunked_events_dir,
+    )
+
+    chunks = chunked_events_dir(spark, sf_dir, n_chunks=4, order="time")
+    live = _tf.mkdtemp(prefix="sparkgraft_live_")
+    out = _tf.mkdtemp(prefix="sparkgraft_recov_out_")
+    ckpt = _tf.mkdtemp(prefix="sparkgraft_recov_ckpt_")
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(f"{live}/chunk_*")
+            .select("event_id", "event_type", F.round("value", 4).alias("value"))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    names = sorted(
+        n for n in __import__("os").listdir(chunks) if n.startswith("chunk_")
+    )
+    for n in names[:2]:
+        shutil.copytree(f"{chunks}/{n}", f"{live}/{n}")
+    run_once()  # run 1: first two chunks
+    for n in names[2:]:
+        shutil.copytree(f"{chunks}/{n}", f"{live}/{n}")
+    run_once()  # run 2: same checkpoint — picks up only the new files
+    return spark.read.parquet(out)
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in µs
 

@@ -149,6 +149,22 @@ def test_session_windows_subset_of_batch(spark, sf_dir):
     assert n_events_streamed <= n_total
 
 
+def test_update_mode_final_state_equals_batch(spark, sf_dir):
+    updates = Q["t8_stream_update_mode"](spark, sf_dir).toPandas()
+    # last emitted update per key == the batch aggregate
+    final = updates.groupby("event_type")["n"].max().to_dict()
+    batch = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == batch
+    # update mode must emit per-batch history, not just the final rows
+    assert len(updates) > len(batch)
+
+
 def test_media_features_deterministic(spark, sf_dir):
     a = Q["l5b_media_features"](spark, sf_dir).toPandas().sort_values("doc_id").reset_index(drop=True)
     b = Q["l5b_media_features"](spark, sf_dir).toPandas().sort_values("doc_id").reset_index(drop=True)
