@@ -43,6 +43,7 @@ HEADLINE = [
     "f5b_explode",
     "l1_exact_dedup",
     "l2_minhash_lsh",
+    "l2b_ngram_jaccard",
     "l3_cosine_topk",
     "l4b_quality_score",
     "u2_pandas_udf",
@@ -50,7 +51,8 @@ HEADLINE = [
     "t2_stream_tumbling",
 ]
 
-N_RUNS = 3
+N_RUNS = 2  # warmup + 2 timed runs (median); keeps the full suite
+# comfortably inside a driver round even with the LSH-heavy entries.
 
 
 def materialize(df) -> None:
