@@ -57,6 +57,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "sparkstreaming_mq_spark.operators.setops",
     "sparkstreaming_mq_spark.operators.llm",
     "sparkstreaming_mq_spark.operators.udfs",
+    "sparkstreaming_mq_spark.operators.storage",
     "sparkstreaming_mq_spark.streaming.queries",
 )
 

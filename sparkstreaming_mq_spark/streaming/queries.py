@@ -549,6 +549,73 @@ def t7_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- T7b: transformWithStateInPandas (Spark 4 stateful API) -------------------
+
+def _has_working_protobuf() -> bool:
+    """transformWithStateInPandas drives its Python worker over a
+    protobuf channel; this container ships a broken google.protobuf
+    (``cannot import name 'descriptor'``, verified by execution), so
+    the operator registers only where the dependency actually works —
+    the applyInPandasWithState path (t7) covers arbitrary state here."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _maybe_register_t7b(fn):
+    if _has_working_protobuf():
+        return query("t7b_transform_with_state")(fn)
+    return fn
+
+
+@_maybe_register_t7b
+def t7b_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event counter on the NEW Spark 4 arbitrary-state
+    API (``transformWithStateInPandas`` + typed ValueState on the
+    RocksDB state store): each micro-batch emits the updated cumulative
+    (user_id, n_events, total_value). The final update per user equals
+    the batch aggregate — asserted in pytest. Complements t7's
+    ``applyInPandasWithState`` (the 3.x API) so both stateful extension
+    points are covered."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("acc", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (self._state.get() or (0, 0.0)) if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time").select(
+        "user_id", "value"
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCounter(),
+        outputStructType="user_id long, n_events long, total double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return run_stream_to_table(out, "update")
+
+
 # --- T10: stream monitoring ---------------------------------------------------
 
 @query("t10_stream_progress")
