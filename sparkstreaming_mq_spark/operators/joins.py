@@ -251,6 +251,47 @@ def j7_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- J11: salted join for skewed keys -------------------------------------------
+
+N_SALT = 8
+
+
+@query(
+    "j11_salted_skew_join",
+    oracle="""
+SELECT c.c_mktsegment,
+       e.event_type,
+       count(*) AS n,
+       round(sum(e.value), 2) AS total
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+""",
+)
+def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join: the events fact side is heavily skewed on
+    user_id (a small hot user population), so a plain shuffle join
+    funnels hot keys into single tasks. Salting fans each fact row to
+    one of N_SALT sub-keys (deterministic xxhash64 of the row id — no
+    RNG, repeatable across retries) and replicates the dimension row
+    once per salt, so every hot key spreads over N_SALT tasks. AQE's
+    skew-join splitting handles moderate skew automatically; explicit
+    salting is the portable answer when a single key exceeds what one
+    task can hold. Semantics are exactly the plain join — which the
+    oracle checks."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "__salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT)).cast("int")
+    )
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "__salt", F.explode(F.array(*[F.lit(s) for s in range(N_SALT)]))
+    )
+    return (
+        e.join(c, (e.user_id == c.c_custkey) & (e.__salt == c.__salt))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
 # --- J8: as-of join -------------------------------------------------------------
 
 ASOF_ORACLE = """

@@ -664,7 +664,69 @@ def l7_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("sim") >= NEARDUP_SIM)
 
 
-# --- L5: multimodal binary columns -------------------------------------------
+# --- L8: dedup clustering (connected components over near-dup pairs) ---------
+
+CC_MAX_ITERS = 20
+
+
+@query("l8_dedup_clusters")
+def l8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn pairwise near-dup evidence into KEEP/DROP decisions: the
+    connected components of the near-dup pair graph, computed by
+    iterative min-label propagation (each doc repeatedly adopts the
+    smallest doc_id reachable through a pair edge until fixpoint).
+    Output: (doc_id, cluster_id=min doc_id of its component, keep =
+    doc_id == cluster_id) — the actual deliverable of a dedup pipeline
+    (you keep one representative per cluster, not a pair list).
+
+    Iterative algorithms are the documented non-SQL-expressible class
+    (rows-only check); pytest asserts the fixpoint property (one more
+    propagation step changes nothing) and that every pair's endpoints
+    share a cluster. Each iteration is one join + one aggregate;
+    label propagation converges in O(diameter) rounds (clusters here
+    are dense → few rounds). At 100 TB this is the standard
+    alternating small-star/large-star shape; checkpointing every few
+    rounds truncates the growing lineage."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = l2_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # undirected edge list (both directions) for propagation
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    edges = edges.persist()
+    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(CC_MAX_ITERS):
+        # neighbor's current label, take the min of (own, neighbors')
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()  # no-op on the unpersisted initial frame
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )
 
 @query(
     "l5_multimodal_meta",

@@ -149,6 +149,18 @@ def test_session_windows_subset_of_batch(spark, sf_dir):
     assert n_events_streamed <= n_total
 
 
+def test_dedup_clusters_are_consistent(spark, sf_dir):
+    labels = {r.doc_id: r.cluster_id for r in Q["l8_dedup_clusters"](spark, sf_dir).collect()}
+    pairs = [(r.doc_a, r.doc_b) for r in Q["l2_minhash_lsh"](spark, sf_dir).collect()]
+    # every near-dup pair's endpoints share a cluster (fixpoint reached)
+    for a, b in pairs:
+        assert labels[a] == labels[b], f"pair ({a},{b}) split across clusters"
+    # cluster_id is the component minimum and keeps exactly one rep
+    reps = {cid for cid in labels.values()}
+    for cid in reps:
+        assert labels[cid] == cid, "cluster representative not its own cluster id"
+
+
 def test_update_mode_final_state_equals_batch(spark, sf_dir):
     updates = Q["t8_stream_update_mode"](spark, sf_dir).toPandas()
     # last emitted update per key == the batch aggregate
