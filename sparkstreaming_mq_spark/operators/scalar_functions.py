@@ -190,6 +190,32 @@ def f4_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "f4b_json_roundtrip",
+    oracle="""
+SELECT
+  event_id,
+  to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INTEGER),
+                      typ := event_type))                        AS enriched,
+  json_extract_string(props, '$.k')                              AS k_str
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) < 10
+""",
+)
+def f4b_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON write path: build a struct, serialize with to_json, and
+    re-extract with json_tuple — the payload-enrichment round-trip a
+    stream job performs before producing back to a queue (S8)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    enriched = F.to_json(F.struct(k.alias("k"), F.col("event_type").alias("typ")))
+    out = e.filter(k < 10).select("event_id", enriched.alias("enriched"), "props")
+    # json_tuple re-extracts from the original payload (UDTF-style generator)
+    return out.select(
+        "event_id", "enriched", F.json_tuple("props", "k").alias("k_str")
+    )
+
+
 # --- F5: array / higher-order functions -------------------------------------
 
 @query(
