@@ -225,6 +225,36 @@ def a7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a7c_grouping_sets",
+    oracle="""
+SELECT
+  c_mktsegment,
+  o_orderstatus,
+  count(*) AS n,
+  round(sum(o_totalprice), 2) AS total
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+""",
+)
+def a7c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither a rollup nor a cube): per-segment
+    totals, per-status totals, and the grand total in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    joined.createOrReplaceTempView("__a7c")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM __a7c
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+        """
+    )
+
+
 # --- A8: pivot -------------------------------------------------------------------
 
 @query(

@@ -826,6 +826,33 @@ def l5_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("l5c_frame_sample")
+def l5c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque media payload: every k-th
+    fixed-size chunk of the binary is emitted as its own 'frame' row
+    with an index — the row-expanding half of a video pipeline
+    (decode itself would need codec libs, absent in this container;
+    the chunking, batch shape, and per-frame digest are real). All
+    JVM-side: substring on binary + posexplode, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    media = F.encode("text", "utf-8")
+    frame_size = 32
+    stride = 3  # sample every 3rd frame
+    n_frames = F.floor(F.length(media) / (frame_size * stride)).cast("int") + 1
+    framed = d.select(
+        "doc_id",
+        media.alias("media"),
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("pos", "fidx"),
+    )
+    frame = F.expr(f"substring(media, pos * {frame_size * stride} + 1, {frame_size})")
+    return framed.select(
+        "doc_id",
+        F.col("pos").alias("frame_no"),
+        F.length(frame).alias("frame_bytes"),
+        F.sha2(frame, 256).alias("frame_sha"),
+    ).filter(F.col("frame_bytes") > 0)
+
+
 @query("l5b_media_features")
 def l5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode / feature-extraction over ``mapInPandas``: Arrow

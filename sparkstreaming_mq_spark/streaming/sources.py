@@ -121,6 +121,32 @@ def read_events_stream_chunked(
     )
 
 
+# State-store partition count for local finite replays: each stateful
+# partition pays per-micro-batch store open/commit/checkpoint overhead,
+# which dominates at test scale (measured: 32 partitions x 4 batches
+# spent more time in store maintenance than in data). A real cluster
+# sizes this to its parallelism BEFORE the first run (the count is
+# frozen into the checkpoint).
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+class _stream_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions for a streaming
+    run (the stateful operator freezes the value at query start)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def run_stream_to_table(
     stream_df: DataFrame,
     output_mode: str = "append",
@@ -132,15 +158,16 @@ def run_stream_to_table(
     spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="sparkgraft_ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
