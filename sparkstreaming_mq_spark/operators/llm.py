@@ -678,6 +678,124 @@ def l3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOPK_K)
 
 
+# --- L3c: ANN via IVF (coarse-quantizer buckets) ------------------------------
+
+IVF_N_CENTROIDS = 16
+IVF_NPROBE = 6  # fraction of lists probed bounds recall on
+# near-uniform corpora (fixture vectors are near-orthogonal; measured
+# global recall ~0.5 — same regime note as l3b applies)
+
+
+@query("l3c_ann_ivf")
+def l3c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors: a deterministic coarse
+    quantizer (centroids = the embeddings of 16 hash-chosen corpus
+    vectors, refined by one Lloyd step) partitions the corpus into
+    inverted lists; each query probes its nprobe=4 nearest lists and
+    only those candidates get exact cosine. The complementary
+    scale-path to l3b's hyperplane LSH — at 100 TB the assignment is a
+    broadcast argmin over the (tiny) centroid table and the probe is a
+    bucket equi-join, never a full scan. Deterministic end-to-end (no
+    RNG: seed vectors are chosen by vec_id hash order); rows-only
+    oracle + recall checked in pytest."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", emb_d.alias("emb"))
+
+    # seed centroids: the IVF_N_CENTROIDS vectors with smallest
+    # xxhash64(vec_id) — arbitrary but deterministic and data-dependent
+    seeds = (
+        base.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h")
+        .limit(IVF_N_CENTROIDS)
+        .withColumn("cid", F.row_number().over(Window.orderBy("h")) - 1)
+        .select("cid", F.col("emb").alias("centroid"))
+    )
+    cent_rows = seeds.collect()  # tiny: IVF_N_CENTROIDS rows
+
+    def centroid_array(rows):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(r["cid"]).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("c"),
+                )
+                for r in rows
+            ]
+        )
+
+    def assign(emb, cents):
+        # argmin squared distance over the literal centroid array —
+        # JVM-side reduce, no shuffle, no Python
+        dist = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(emb, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        scored = F.transform(
+            cents, lambda e_: F.struct(dist(e_.getField("c")).alias("d"), e_.getField("cid").alias("cid"))
+        )
+        return F.array_min(scored).getField("cid")
+
+    # one Lloyd refinement step: mean of assigned vectors per seed
+    assigned = base.withColumn("cid", assign(F.col("emb"), centroid_array(cent_rows)))
+    refined_rows = (
+        assigned.groupBy("cid")
+        .agg(
+            F.array(
+                *[
+                    F.avg(F.col("emb").getItem(i)).alias(f"d{i}")
+                    for i in range(EMBED_DIM)
+                ]
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    cents = centroid_array(refined_rows)
+
+    lists = base.withColumn("cid", assign(F.col("emb"), cents))
+    # queries probe their nprobe nearest centroids
+    q = base.filter(F.col("vec_id") < TOPK_QUERY_IDS)
+    dist_structs = F.transform(
+        cents,
+        lambda e_: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qe"), e_.getField("c"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ).alias("d"),
+            e_.getField("cid").alias("cid"),
+        ),
+    )
+    probes = (
+        q.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+        .withColumn(
+            "cid",
+            F.explode(
+                F.slice(
+                    F.transform(F.array_sort(dist_structs), lambda s: s.getField("cid")),
+                    1,
+                    IVF_NPROBE,
+                )
+            ),
+        )
+    )
+    cands = (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_sim(F.col("qe"), F.col("emb")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOPK_K)
+
+
 # --- L7: embedding-cosine near-dup --------------------------------------------
 
 NEARDUP_SIM = 0.98

@@ -87,6 +87,16 @@ def test_ann_recall_on_meaningful_neighbors(spark, sf_dir):
     assert len(allp & ann) / len(allp) >= 0.35
 
 
+def test_ivf_recall_and_determinism(spark, sf_dir):
+    exact = {(r.query_id, r.neighbor_id) for r in Q["l3_cosine_topk"](spark, sf_dir).collect()}
+    a = {(r.query_id, r.neighbor_id) for r in Q["l3c_ann_ivf"](spark, sf_dir).collect()}
+    b = {(r.query_id, r.neighbor_id) for r in Q["l3c_ann_ivf"](spark, sf_dir).collect()}
+    assert a == b, "IVF must be deterministic (no RNG anywhere)"
+    # loose floor: near-orthogonal fixture vectors cap any
+    # list-pruning method near the probed fraction
+    assert len(exact & a) / len(exact) >= 0.3
+
+
 def test_langid_deterministic(spark, sf_dir):
     a = Q["l4e_langid"](spark, sf_dir).toPandas().sort_values("doc_id").reset_index(drop=True)
     b = Q["l4e_langid"](spark, sf_dir).toPandas().sort_values("doc_id").reset_index(drop=True)
