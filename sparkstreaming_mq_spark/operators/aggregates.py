@@ -226,6 +226,35 @@ def a7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a7d_time_hierarchy_rollup",
+    oracle="""
+SELECT yr, mo, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mo,
+             o_totalprice
+      FROM orders)
+GROUP BY ROLLUP (yr, mo)
+""",
+)
+def a7d_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: one pass produces
+    the month, year, and grand-total levels of a time hierarchy
+    (ROLLUP over extracted time parts) — the batch equivalent of a
+    multi-granularity rollup table, and the same single-shuffle
+    partial-aggregate plan at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            "o_totalprice",
+        )
+        .rollup("yr", "mo")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
     "a7c_grouping_sets",
     oracle="""
 SELECT
