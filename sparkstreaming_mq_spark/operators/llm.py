@@ -971,6 +971,42 @@ def l5c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("frame_bytes") > 0)
 
 
+@query("l5d_media_resize")
+def l5d_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize over ``mapInPandas``: Arrow batches of binary
+    payloads in, downsampled payloads + new dimensions out. A real
+    deployment decodes and resamples pixels (PIL absent in this
+    container → that branch raises NotImplementedError); the
+    deterministic stand-in treats the byte string as a 1-D 'image' and
+    keeps every 4th byte — the Spark-side contract (binary in/out
+    through Arrow, schema, batch shape) is fully real."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    framed = d.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    factor = 4
+
+    def resize(batches):
+        for pdf in batches:
+            out_rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                # Real path: PIL.Image.open(...).resize(...) → absent here
+                small = b[::factor]
+                out_rows.append((int(doc_id), len(b), len(small), bytearray(small)))
+            yield pd.DataFrame(
+                out_rows, columns=["doc_id", "orig_bytes", "resized_bytes", "resized"]
+            )
+
+    out = framed.mapInPandas(
+        resize, "doc_id long, orig_bytes long, resized_bytes long, resized binary"
+    )
+    # digest JVM-side to prove the binary round-tripped through Arrow
+    return out.select(
+        "doc_id", "orig_bytes", "resized_bytes", F.sha2("resized", 256).alias("resized_sha")
+    )
+
+
 @query("l5b_media_features")
 def l5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode / feature-extraction over ``mapInPandas``: Arrow
