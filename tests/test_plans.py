@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (pushdown, pruning, broadcast, top-k fusion, shuffle-free
+bucketed joins) asserted against the actual executed plans — so a
+refactor that silently de-optimizes a query fails CI, not a 100 TB
+run."""
+
+from __future__ import annotations
+
+import re
+
+from sparkstreaming_mq_spark import registry
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_pushdown_and_pruning(spark, sf_dir):
+    plan = formatted_plan(Q["q01_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    cols = m.group(1)
+    # the scan must read ONLY the 7 referenced columns
+    assert cols.count(":") == 7 and "l_orderkey" not in cols
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = formatted_plan(Q["p2_filter_predicates"](spark, sf_dir))
+    assert "PushedFilters:" in plan and "o_totalprice" in plan.split("PushedFilters:")[1][:400]
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = formatted_plan(Q["j3_broadcast_dim"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_fuses(spark, sf_dir):
+    assert "TakeOrderedAndProject" in formatted_plan(Q["o4_topk"](spark, sf_dir))
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    plan = formatted_plan(Q["f1_string"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and m.group(1).count(":") == 3  # custkey, name, mktsegment only
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
+    plan = executed_plan(Q["o10_bucketed_join"](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    # the ONLY exchange allowed is the post-join aggregation shuffle
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1 and "o_orderpriority" in exchanges[0]
+
+
+def test_similarity_search_broadcasts_queries(spark, sf_dir):
+    plan = executed_plan(Q["l3_cosine_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_minhash_verify_joins_broadcast(spark, sf_dir):
+    plan = executed_plan(Q["l2_minhash_lsh"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, "verify joins must broadcast"
