@@ -20,7 +20,7 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sparkstreaming_mq_spark import registry  # noqa: E402
-from sparkstreaming_mq_spark.oracle import compare, duckdb_connect  # noqa: E402
+from sparkstreaming_mq_spark.oracle import array_typed_cols, compare, duckdb_connect  # noqa: E402
 from sparkstreaming_mq_spark.session import get_spark  # noqa: E402
 
 
@@ -33,8 +33,6 @@ def main() -> int:
 
     qs = registry.all_queries()
     oracles = registry.all_oracles()
-    if registry.LOAD_ERRORS:
-        print(f"LOAD ERRORS: {registry.LOAD_ERRORS}")
 
     n_pass = n_rows_only = n_fail = 0
     failures = []
@@ -53,7 +51,9 @@ def main() -> int:
         dt = time.time() - t0
         if name not in oracles:
             n_rows_only += 1
-            print(f"rows  {name}: {len(sdf)} rows ({dt:.1f}s)")
+            bad = array_typed_cols(sdf)
+            note = f" [WARN array cols {bad}]" if bad else ""
+            print(f"rows  {name}: {len(sdf)} rows ({dt:.1f}s){note}")
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
@@ -71,6 +71,13 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: {err}")
+
+    # A module that fails to import hides every query it registers — the
+    # round-1 "work invisible to the driver" failure mode. Count as fail.
+    for mod, err in registry.LOAD_ERRORS.items():
+        n_fail += 1
+        failures.append(mod)
+        print(f"FAIL  {mod}: module load error: {err}")
 
     print(f"\n== {n_pass} pass, {n_rows_only} rows-only, {n_fail} fail ==")
     if failures:

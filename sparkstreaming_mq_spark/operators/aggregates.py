@@ -144,7 +144,7 @@ def a5b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   n.n_name,
-  list_sort(list(DISTINCT c.c_mktsegment)) AS segments,
+  array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), ',') AS segments,
   count(*) AS n_cust
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -160,7 +160,8 @@ def a6_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            # Stringified: driver canonicalizer dies on array cells (r02).
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
             F.count("*").alias("n_cust"),
         )
     )

@@ -302,21 +302,32 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 """
 
 
+# Above this corpus size the broadcast nested-loop kernel is no longer
+# safe (the broadcast side must fit executor memory); the operator then
+# switches to LSH banding for blocks + the bitmap kernel as the
+# within-block verifier. The boundary is enforced in code, not comment.
+L2B_MAX_BROADCAST_DOCS = 1_000_000
+
+
 @query("l2b_ngram_jaccard", oracle=L2B_ORACLE)
 def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard near-dup pairs, computed as a blocked
-    broadcast nested-loop: the token-set table broadcasts, every pair
-    in a partition-block is scored with array_intersect/array_union —
+    """Exact token-set Jaccard near-dup pairs.
+
+    Bounded corpora (≤ L2B_MAX_BROADCAST_DOCS): blocked broadcast
+    nested-loop — the token-set table broadcasts, every pair in a
+    partition-block is scored with the bitmap/array Jaccard kernel —
     zero shuffles, pure whole-stage-codegen compute. Measured 8×
     faster than the token-postings self-join on this corpus (tiny
     vocabulary → pathological posting lists).
 
-    Scale boundary: the broadcast side must stay bounded (fine to
-    ~10^6 docs of this size); past that, this kernel becomes the
-    within-block verifier and l2_minhash_lsh's banding provides the
-    blocks. The DuckDB oracle keeps the postings formulation — same
-    semantics, each engine in its best physical shape."""
+    Past the boundary, ``_lsh_candidate_pairs`` provides banded-MinHash
+    blocks and the same kernel verifies within blocks (near-exact:
+    ~0.8% false-negative rate at j=0.8, the documented scale trade).
+    The DuckDB oracle keeps the postings formulation — same semantics,
+    each engine in its best physical shape."""
     d = load_table(spark, sf_dir, "documents")
+    if d.count() > L2B_MAX_BROADCAST_DOCS:
+        return _verify_pairs(d, _lsh_candidate_pairs(d), JACCARD_THRESHOLD)
     repr_df, jac_fn = _jaccard_repr(d)
     a = repr_df.select(F.col("doc_id").alias("doc_a"), F.col("jr").alias("ja"))
     b = repr_df.select(F.col("doc_id").alias("doc_b"), F.col("jr").alias("jb"))
@@ -406,7 +417,11 @@ def _jaccard_repr(d: DataFrame):
     computes the exact Jaccard similarity between two ``jr`` values.
     """
     tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
-    vocab = sorted(r.token for r in tok.select("token").distinct().collect())
+    # LIMIT before collect: pull at most MAX_BITMAP_VOCAB+1 tokens to the
+    # driver. On a 100 TB corpus the full distinct vocabulary is unbounded;
+    # seeing one-past-the-cap is enough to take the sparse-array fallback.
+    vocab_rows = tok.select("token").distinct().limit(MAX_BITMAP_VOCAB + 1).collect()
+    vocab = sorted(r.token for r in vocab_rows)
     if 0 < len(vocab) <= MAX_BITMAP_VOCAB:
         n_words = (len(vocab) + 63) // 64
         vocab_arr = F.array(*[F.lit(t) for t in vocab])
@@ -454,25 +469,17 @@ def _jaccard_repr(d: DataFrame):
     return repr_df, jac
 
 
-@query("l2_minhash_lsh")
-def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash LSH near-dup detection, pure DataFrame ops:
+def _lsh_candidate_pairs(d: DataFrame) -> DataFrame:
+    """Banded-MinHash candidate pairs (doc_a, doc_b), distinct.
 
-    1. one explode to token postings; 60 grouped MINs of
-       ``xxhash64(token, seed)`` build the signature (single shuffle,
-       no UDF, fixed integer seeds → deterministic across partitions);
-    2. 12 band hashes over 5-row slices; explode to (band, band_hash)
-       and self-join → candidate pairs only where a band collides —
-       never an all-pairs product (5-row bands chosen over 4-row:
-       ~5× fewer false candidates on a dense corpus for a ~0.8%
-       false-negative rate at j=0.8);
-    3. exact Jaccard verification on candidates via array_intersect
-       over broadcast token sets; keep pairs ≥ 0.8.
-
-    Rows-only oracle (LSH misses ~0.8% of j=0.8 pairs by design); the
-    pytest layer checks recall against l2b's exact pairs.
+    One explode to token postings; 60 grouped MINs of
+    ``xxhash64(token, seed)`` build the signature (single shuffle, no
+    UDF, fixed integer seeds → deterministic across partitions); 12
+    band hashes over 5-row slices; explode to (band, band_hash) and
+    self-join → pairs only where a band collides — never an all-pairs
+    product. Shared block generator for l2 (LSH near-dup) and l2b's
+    large-corpus path.
     """
-    d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
     sig = tok.groupBy("doc_id").agg(
         *[
@@ -503,7 +510,7 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first-collision-band filter was measured SLOWER than distinct —
     # carrying band-hash arrays through the join costs more than the
     # long-pair shuffle it saves.)
-    cands = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -513,9 +520,15 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verification representation is corpus-sized (small next to the
-    # pair count) → broadcast both verify joins; exact Jaccard never
-    # shuffles pairs, and on small vocabularies it's bitmap arithmetic.
+
+
+def _verify_pairs(d: DataFrame, cands: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verify of candidate pairs via two broadcast joins.
+
+    The verification representation is corpus-sized (small next to the
+    pair count) → broadcast both verify joins; exact Jaccard never
+    shuffles pairs, and on small vocabularies it's bitmap arithmetic.
+    """
     repr_df, jac_fn = _jaccard_repr(d)
     ra = repr_df.select(F.col("doc_id").alias("doc_a"), F.col("jr").alias("ja"))
     rb = repr_df.select(F.col("doc_id").alias("doc_b"), F.col("jr").alias("jb"))
@@ -523,9 +536,24 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cands.join(F.broadcast(ra), "doc_a")
         .join(F.broadcast(rb), "doc_b")
-        .filter(jac >= MINHASH_THRESHOLD)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jac"))
     )
+
+
+@query("l2_minhash_lsh")
+def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH near-dup detection, pure DataFrame ops:
+    candidate pairs from ``_lsh_candidate_pairs`` (band collisions only
+    — 5-row bands chosen over 4-row: ~5× fewer false candidates on a
+    dense corpus for a ~0.8% false-negative rate at j=0.8), then exact
+    Jaccard verification on candidates; keep pairs ≥ 0.8.
+
+    Rows-only oracle (LSH misses ~0.8% of j=0.8 pairs by design); the
+    pytest layer checks recall against l2b's exact pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return _verify_pairs(d, _lsh_candidate_pairs(d), MINHASH_THRESHOLD)
 
 
 # --- L2c: SimHash near-dup ----------------------------------------------------

@@ -105,14 +105,16 @@ def u4_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "o_orderkey": pdf["o_orderkey"],
                 "o_orderstatus": pdf["o_orderstatus"],
-                "z": ((pdf["o_totalprice"] - mean) / sd).round(4),
+                # raw doubles out of pandas (half-even vs SQL half-up
+                # rounding is a parity trap); the JVM projection rounds.
+                "z": (pdf["o_totalprice"] - mean) / sd,
             }
         )
 
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").applyInPandas(
         zscore, "o_orderkey long, o_orderstatus string, z double"
-    )
+    ).withColumn("z", F.round("z", 4))
 
 
 # --- U5: mapInPandas ----------------------------------------------------------
@@ -137,14 +139,17 @@ def u5_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "l_orderkey": keep["l_orderkey"],
                     "l_linenumber": keep["l_linenumber"],
-                    "qty_value": (keep["l_quantity"] * keep["l_extendedprice"]).round(2),
+                    # raw doubles; JVM projection rounds (parity rule)
+                    "qty_value": keep["l_quantity"] * keep["l_extendedprice"],
                 }
             )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
-    return li.mapInPandas(flow, "l_orderkey long, l_linenumber int, qty_value double")
+    return li.mapInPandas(
+        flow, "l_orderkey long, l_linenumber int, qty_value double"
+    ).withColumn("qty_value", F.round("qty_value", 2))
 
 
 # --- U6: Python UDTF ----------------------------------------------------------

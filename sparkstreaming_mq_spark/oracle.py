@@ -60,8 +60,24 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def array_typed_cols(pdf: pd.DataFrame) -> list[str]:
+    """Columns whose cells are arrays/lists/dicts — the driver's
+    canonicalizer (pandas sort over result cells) crashes on these
+    (r02: `unhashable type: numpy.ndarray` on a6_collect/f5_array).
+    Oracle-checked queries must scalarize such columns on both sides."""
+    bad = []
+    for c in pdf.columns:
+        col = pdf[c].dropna()
+        if len(col) and isinstance(col.iloc[0], (np.ndarray, list, tuple, dict, set)):
+            bad.append(c)
+    return bad
+
+
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str | None:
     """None if equivalent, else a human-readable mismatch description."""
+    bad = array_typed_cols(spark_pdf)
+    if bad:
+        return f"array-typed output column(s) {bad} would crash the driver canonicalizer"
     scols, srows = canon_frame(spark_pdf)
     ocols, orows = canon_frame(oracle_pdf)
     if len(srows) != len(orows):

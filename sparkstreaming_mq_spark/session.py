@@ -43,8 +43,12 @@ ENGINE_CONF: dict[str, str] = {
 
 # Subset of ENGINE_CONF that is runtime-settable on an existing session —
 # needed because the driver harness passes us ITS SparkSession, built
-# without our builder. All SQLConf entries are dynamic.
-RUNTIME_CONF: dict[str, str] = ENGINE_CONF
+# without our builder. Excludes spark.sql.shuffle.partitions: that knob is
+# sized per-caller (builder arg, conftest, check_oracle) and re-applying it
+# on every load_table would silently undo those choices.
+RUNTIME_CONF: dict[str, str] = {
+    k: v for k, v in ENGINE_CONF.items() if k != "spark.sql.shuffle.partitions"
+}
 
 
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:

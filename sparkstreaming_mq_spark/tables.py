@@ -50,7 +50,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer division: ns-epoch longs (~1.7e18) exceed double's 2^53
+        # exact range, so a float `/ 1000` round-trip can be off by ~1 µs
+        # and flip date_trunc boundaries vs DuckDB's exact ns values.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
