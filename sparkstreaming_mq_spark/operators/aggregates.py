@@ -344,6 +344,159 @@ def a9_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A2+A3+A5+A9 combined (driver-slot query) --------------------------------------
+
+_STATS_AGG_SQL = """
+  count(*)                                      AS n_rows,
+  count(DISTINCT o_custkey)                     AS n_custs,
+  count(DISTINCT o_orderpriority)               AS n_prios,
+  round(sum(o_totalprice), 2)                   AS total_price,
+  round(quantile_cont(o_totalprice, 0.5), 4)    AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 4)    AS p90
+"""
+
+
+@query(
+    "a2_stats_summary",
+    oracle=f"""
+SELECT o_orderstatus AS scope, {_STATS_AGG_SQL}
+FROM orders
+GROUP BY o_orderstatus
+HAVING count(*) >= 10
+UNION ALL
+SELECT 'ALL' AS scope, {_STATS_AGG_SQL}
+FROM orders
+""",
+)
+def a2_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-slot representative for the plain-aggregate family:
+    grouped branch (A3 count-distinct ×2 → Catalyst Expand rewrite;
+    A5 exact interpolated percentiles; A9 HAVING post-filter) unioned
+    with an ungrouped global branch (A2, single-row map-side reduce).
+    Single-family variants a2/a3/a5/a9 stay registered past the
+    scored window."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def aggs():
+        return [
+            F.count("*").alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct("o_orderpriority").alias("n_prios"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        ]
+
+    grouped = (
+        o.groupBy(F.col("o_orderstatus").alias("scope"))
+        .agg(*aggs())
+        .filter(F.col("n_rows") >= 10)
+    )
+    global_ = o.agg(*aggs()).select(F.lit("ALL").alias("scope"), "*")
+    return grouped.unionByName(global_)
+
+
+# --- A4 + A5-approx combined sketches (driver-slot query; rows-only) ---------------
+
+@query("a4_sketches")
+def a4_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass sketch aggregates — the 100 TB substitutes for exact
+    distinct counts and percentiles: HLL ``approx_count_distinct`` (A4)
+    and KLL-style ``approx_percentile`` (A5 approx) per return flag.
+    Rows-only oracle (estimates are engine-specific); pytest bounds
+    both against exact values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- A7 combined: rollup + cube + grouping sets (driver-slot query) ----------------
+
+@query(
+    "a7_multidim_agg",
+    oracle="""
+SELECT 'rollup' AS mode, r.r_name AS g1, n.n_name AS g2,
+       grouping(r.r_name) + 2 * grouping(n.n_name) AS gid,
+       count(*) AS n, round(sum(c.c_acctbal), 2) AS total
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+UNION ALL
+SELECT 'cube' AS mode, o_orderstatus AS g1, o_orderpriority AS g2,
+       grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'sets' AS mode, c_mktsegment AS g1, o_orderstatus AS g2,
+       grouping(c_mktsegment) + 2 * grouping(o_orderstatus) AS gid,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+""",
+)
+def a7_multidim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three multidimensional grouping mechanisms (A7) in one
+    driver-slot query, tagged and unioned: ROLLUP over the region→
+    nation hierarchy, CUBE over status × priority, and explicit
+    GROUPING SETS. Each branch is the same one-shuffle Expand +
+    partial-aggregate plan the standalone variants (a7_rollup /
+    a7_cube / a7c_grouping_sets, registered past the scored window)
+    produce."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+
+    rollup_src = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("r_name").alias("g1"), F.col("n_name").alias("g2"), F.col("c_acctbal").alias("v"))
+    )
+    rollup_df = rollup_src.rollup("g1", "g2").agg(
+        (F.grouping("g1") + 2 * F.grouping("g2")).alias("gid"),
+        F.count("*").alias("n"),
+        F.round(F.sum("v"), 2).alias("total"),
+    ).select(F.lit("rollup").alias("mode"), "g1", "g2", "gid", "n", "total")
+
+    cube_df = (
+        orders.select(
+            F.col("o_orderstatus").alias("g1"),
+            F.col("o_orderpriority").alias("g2"),
+            F.col("o_totalprice").alias("v"),
+        )
+        .cube("g1", "g2")
+        .agg(
+            (F.grouping("g1") + 2 * F.grouping("g2")).alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("v"), 2).alias("total"),
+        )
+        .select(F.lit("cube").alias("mode"), "g1", "g2", "gid", "n", "total")
+    )
+
+    orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("g1"),
+        F.col("o_orderstatus").alias("g2"),
+        F.col("o_totalprice").alias("v"),
+    ).createOrReplaceTempView("__a7m")
+    sets_df = spark.sql(
+        """
+        SELECT 'sets' AS mode, g1, g2,
+               grouping(g1) + 2 * grouping(g2) AS gid,
+               count(*) AS n, round(sum(v), 2) AS total
+        FROM __a7m
+        GROUP BY GROUPING SETS ((g1), (g2), ())
+        """
+    )
+    return rollup_df.unionByName(cube_df).unionByName(sets_df)
+
+
 # --- A10: custom UDAF (grouped-agg pandas UDF) — rows-only -------------------------
 
 @query("a10_udaf_geomean")

@@ -47,7 +47,10 @@ GROUP BY c.c_mktsegment, o.o_orderpriority
 """,
 )
 def j1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem ⋈ orders ⋈ customer revenue rollup."""
+    """lineitem ⋈ orders ⋈ customer revenue rollup. The fact-fact leg
+    (lineitem⋈orders) shuffles on the key (J1, sort-merge + AQE); the
+    bounded customer dim is explicitly broadcast (J3) so the joined
+    fact stream never re-shuffles for the enrichment."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
@@ -55,7 +58,7 @@ def j1_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),
@@ -249,6 +252,152 @@ def j7_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
+
+
+# --- J2 combined: left + full outer (driver-slot query) --------------------------
+
+@query(
+    "j2_outer",
+    oracle="""
+SELECT 'left' AS mode, c.c_custkey AS key,
+       count(o.o_orderkey) AS n,
+       round(coalesce(sum(o.o_totalprice), 0), 2) AS val
+FROM customer c
+LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+GROUP BY c.c_custkey
+UNION ALL
+SELECT 'full' AS mode, coalesce(cn.nk, sn.nk) AS key,
+       coalesce(cn.n_cust, 0) AS n,
+       CAST(coalesce(sn.n_supp, 0) AS DOUBLE) AS val
+FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY c_nationkey) cn
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) sn
+  ON cn.nk = sn.nk
+""",
+)
+def j2_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both outer-join flavors (J2) in one driver-slot query, tagged:
+    a left join preserving customers with zero matching F-orders, and
+    a full outer join of per-nation customer vs supplier counts
+    preserving unmatched keys on either side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    left_df = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "F"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("val"),
+        )
+        .select(F.lit("left").alias("mode"), F.col("c_custkey").alias("key"), "n", "val")
+    )
+    cn = cust.groupBy(F.col("c_nationkey").alias("cnk")).agg(F.count("*").alias("n_cust"))
+    sn = supp.groupBy(F.col("s_nationkey").alias("snk")).agg(F.count("*").alias("n_supp"))
+    full_df = cn.join(sn, cn.cnk == sn.snk, "full").select(
+        F.lit("full").alias("mode"),
+        F.coalesce("cnk", "snk").alias("key"),
+        F.coalesce("n_cust", F.lit(0)).alias("n"),
+        F.coalesce("n_supp", F.lit(0)).cast("double").alias("val"),
+    )
+    return left_df.unionByName(full_df)
+
+
+# --- J4+J5 combined: cross join + theta/range (driver-slot query) ----------------
+
+@query(
+    "j4_cross_range",
+    oracle="""
+SELECT 'cross' AS mode, r.r_name AS g, n.n_name AS g2, 1 AS n
+FROM region r
+CROSS JOIN nation n
+UNION ALL
+SELECT 'range' AS mode, o.o_orderpriority AS g, NULL AS g2, count(*) AS n
+FROM lineitem l
+JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY o.o_orderpriority
+""",
+)
+def j4_cross_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 + J5 in one driver-slot query, tagged: an explicit Cartesian
+    product of two bounded dims (BroadcastNestedLoopJoin — only ever
+    sane with a bounded side), and an equi+range theta join where the
+    range term is a post-join residual on the hash join, NOT a nested
+    loop — the shape that survives fact-fact scale."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    cross_df = region.crossJoin(nation).select(
+        F.lit("cross").alias("mode"),
+        F.col("r_name").alias("g"),
+        F.col("n_name").alias("g2"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > F.date_add(orders.o_orderdate, 90)
+    )
+    range_df = (
+        li.join(orders, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("range").alias("mode"),
+            F.col("o_orderpriority").alias("g"),
+            F.lit(None).cast("string").alias("g2"),
+            "n",
+        )
+    )
+    return cross_df.unionByName(range_df)
+
+
+# --- J6+J7 combined: semi + anti (driver-slot query) ------------------------------
+
+@query(
+    "j6_semi_anti",
+    oracle="""
+SELECT 'semi' AS mode, c_custkey AS key, c_name AS attr
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+UNION ALL
+SELECT 'anti' AS mode, c_custkey AS key, c_mktsegment AS attr
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+)
+""",
+)
+def j6_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS (left-semi, J6) and NOT EXISTS (left-anti, J7) in one
+    driver-slot query, tagged: customers with at least one big order
+    vs customers with no orders at all. Both sides are one shuffle on
+    the key with early probe-side short-circuit."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000)
+    semi = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("semi").alias("mode"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("attr"),
+    )
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        F.lit("anti").alias("mode"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("attr"),
+    )
+    return semi.unionByName(anti)
 
 
 # --- J11: salted join for skewed keys -------------------------------------------

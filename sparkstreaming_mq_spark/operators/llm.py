@@ -44,6 +44,15 @@ from sparkstreaming_mq_spark.tables import load_table
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+# Marker tokens for the heuristic language-ID operator (l4e / l4_text_
+# metrics). Dict order is the tie-break priority.
+LANG_MARKERS = {
+    "en": ("the", "is", "and", "of", "to"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "les", "et", "est", "une"),
+}
+
 
 # --- L1: exact dedup ---------------------------------------------------------
 
@@ -212,6 +221,97 @@ def l4d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L4 combined text analysis (driver-slot query) ----------------------------
+
+def _langid_sql() -> str:
+    """DuckDB mirror of the l4e marker-argmax language heuristic."""
+    hits = {
+        lang: (
+            "len(list_filter(string_split(text, ' '), "
+            f"x -> list_contains([{', '.join(repr(m) for m in marks)}], x)))"
+        )
+        for lang, marks in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in LANG_MARKERS:  # dict order = Spark's tie priority
+        case += f"WHEN {hits[lang]} = {best} THEN '{lang}' "
+    case += "END"
+    return f"{case} AS pred_lang, {best} AS n_marker_hits"
+
+
+def _l4_metrics_oracle() -> str:
+    return f"""
+SELECT
+  doc_id,
+  n_chars,
+  len(string_split(text, ' '))  AS n_tokens,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish,
+  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')), 4)  AS uniq_ratio,
+  round(CAST(len(list_filter(string_split(text, ' '),
+                             x -> list_contains([{_STOP_SQL}], x))) AS DOUBLE)
+        / len(string_split(text, ' ')), 4)  AS stop_ratio,
+  round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_tok,
+  (len(string_split(text, ' ')) >= 5 AND
+   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) > 0.3) AS keep,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                          ' +', ' ', 'g'))) AS fingerprint,
+  {_langid_sql()}
+FROM documents
+"""
+
+
+@query("l4_text_metrics", oracle=_l4_metrics_oracle())
+def l4_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-document text-analysis panel (L4) in one
+    driver-slot scan: stats (char/token counts), quality signals
+    (uniqueness/stopword ratios, keep flag), BPE-ish regex token
+    count, normalized-text md5 fingerprint, and marker-argmax language
+    ID — every column a JVM higher-order/regex/hash expression, zero
+    Python. Single-family variants (l4_text_stats/l4b/l4c/l4d/l4e)
+    stay registered past the scored window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    stops = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    uniq_ratio = n_uniq.cast("double") / n_tok
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " ")
+    )
+
+    def marker_pred(marks):
+        return lambda x: F.array_contains(marks, x)
+
+    hit_cols = {}
+    for lang, markers in LANG_MARKERS.items():
+        marks = F.array(*[F.lit(m) for m in markers])
+        hit_cols[lang] = F.size(F.filter(toks, marker_pred(marks)))
+    best = F.greatest(*hit_cols.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when((hit_cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tok.alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "n_bpeish"
+        ),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.round(n_stop.cast("double") / n_tok, 4).alias("stop_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 4).alias("chars_per_tok"),
+        ((n_tok >= 5) & (uniq_ratio > 0.3)).alias("keep"),
+        F.md5(norm).alias("fingerprint"),
+        pred.alias("pred_lang"),
+        best.alias("n_marker_hits"),
+    )
+
+
 # --- L3: similarity search — exact cosine top-k (baseline) -------------------
 
 TOPK_QUERY_IDS = 5  # vec_id < 5 are the probe vectors
@@ -343,14 +443,6 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- L4e: language identification (n-gram/marker heuristic) -------------------
-
-LANG_MARKERS = {
-    "en": ("the", "is", "and", "of", "to"),
-    "es": ("el", "la", "de", "que", "los"),
-    "de": ("der", "die", "und", "ist", "das"),
-    "fr": ("le", "les", "et", "est", "une"),
-}
-
 
 @query("l4e_langid")
 def l4e_langid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -168,6 +168,70 @@ def p3_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- P1+P2+P3 combined (driver-slot query): one ETL-shaped pass -------------
+
+@query(
+    "p1_project_filter_case",
+    oracle="""
+SELECT
+  o_orderkey                                   AS order_key,
+  CAST(o_custkey AS INTEGER)                   AS cust_key_i32,
+  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)), 2)
+       AS DOUBLE)                              AS gross_price,
+  upper(o_orderstatus)                         AS status_uc,
+  CASE
+    WHEN o_totalprice < 80000 THEN 'low'
+    WHEN o_totalprice < 150000 THEN 'mid'
+    ELSE 'high'
+  END                                          AS price_band,
+  coalesce(nullif(o_orderpriority, '1-URGENT'), 'OTHER') AS prio_masked,
+  round(greatest(o_totalprice, 100000.0), 2)   AS price_floor,
+  round(least(o_totalprice, 100000.0), 2)      AS price_cap
+FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+  AND o_totalprice BETWEEN 50000 AND 200000
+  AND o_orderpriority LIKE '%URGENT%'
+  AND o_orderdate IS NOT NULL
+  AND NOT (o_custkey % 10 = 3)
+""",
+)
+def p1_project_filter_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 projection (select/compute/rename/cast) + P2 filter
+    (isin/between/like/null/negation, all parquet-pushable) + P3
+    conditionals (CASE/coalesce/nullif/greatest/least) in one
+    ETL-shaped pass over orders — the driver-slot representative for
+    the whole projection/filter/conditional family (the single-family
+    variants p1/p2/p3 below stay registered past the scored window).
+    ``gross_price`` goes through exact decimal arithmetic on both
+    engines (double *1.1 lands on .005 round boundaries)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_orderdate").isNotNull()
+        & ~(F.col("o_custkey") % 10 == 3)
+    ).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").cast("int").alias("cust_key_i32"),
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)") * F.lit("1.1").cast("decimal(3,1)"), 2
+        )
+        .cast("double")
+        .alias("gross_price"),
+        F.upper("o_orderstatus").alias("status_uc"),
+        F.when(F.col("o_totalprice") < 80000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderpriority", F.lit("1-URGENT")), F.lit("OTHER")).alias(
+            "prio_masked"
+        ),
+        F.round(F.greatest("o_totalprice", F.lit(100000.0)), 2).alias("price_floor"),
+        F.round(F.least("o_totalprice", F.lit(100000.0)), 2).alias("price_cap"),
+    )
+
+
 # --- P4: distinct / dropDuplicates -----------------------------------------
 
 @query(

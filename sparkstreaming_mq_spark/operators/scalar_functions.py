@@ -77,6 +77,109 @@ def f1_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F1+F7 combined (driver-slot query) --------------------------------------
+
+@query(
+    "f1_string_hash",
+    oracle="""
+SELECT
+  c_custkey,
+  upper(c_mktsegment)                                   AS seg_uc,
+  lower(c_name)                                         AS name_lc,
+  substring(c_name, 1, 8)                               AS name_head,
+  length(c_name)                                        AS name_len,
+  concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+  replace(c_name, 'Customer#', 'C')                     AS name_short,
+  lpad(CAST(c_custkey AS VARCHAR), 10, '0')             AS key_padded,
+  instr(c_name, '#')                                    AS hash_pos,
+  regexp_extract(c_name, '([0-9]+)', 1)                 AS key_digits,
+  regexp_replace(c_name, '[0-9]', 'x', 'g')             AS name_masked,
+  translate(c_mktsegment, 'AEIOU', 'aeiou')             AS seg_volc,
+  md5(c_name)                                           AS h_md5,
+  sha256(c_name)                                        AS h_sha256
+FROM customer
+""",
+)
+def f1_string_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (F1: case/substring/pad/concat/replace/regex/
+    translate) plus the portable hash family (F7: md5 + sha2-256 hex)
+    in one driver-slot projection — every column a codegen'd JVM
+    expression, scan pruned to two input columns. Spark-specific
+    hashes (xxhash64/crc32) are exercised by the MinHash/fingerprint
+    operators in operators/llm.py."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_uc"),
+        F.lower("c_name").alias("name_lc"),
+        F.substring("c_name", 1, 8).alias("name_head"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C")).alias("name_short"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("key_digits"),
+        F.regexp_replace("c_name", "[0-9]", "x").alias("name_masked"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_volc"),
+        F.md5("c_name").alias("h_md5"),
+        F.sha2("c_name", 256).alias("h_sha256"),
+    )
+
+
+# --- F2+F3 combined (driver-slot query) --------------------------------------
+
+@query(
+    "f2_datetime_math",
+    oracle="""
+SELECT
+  o_orderkey,
+  year(o_orderdate)                                  AS yr,
+  month(o_orderdate)                                 AS mo,
+  date_trunc('month', o_orderdate)                   AS month_start,
+  o_orderdate + INTERVAL 30 DAY                      AS due_ts,
+  date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_left,
+  strftime(o_orderdate, '%Y-%m')                     AS ym_label,
+  round(abs(o_totalprice - 100000), 2)               AS price_dev,
+  CAST(ceil(o_totalprice) AS BIGINT)                 AS price_ceil,
+  CAST(floor(o_totalprice) AS BIGINT)                AS price_floor,
+  round(sqrt(o_totalprice), 6)                       AS price_sqrt,
+  round(ln(o_totalprice), 6)                         AS price_ln,
+  round(log10(o_totalprice), 6)                      AS price_log10,
+  CAST(sign(o_totalprice - 100000) AS BIGINT)        AS price_sign,
+  mod(o_orderkey, 7)                                 AS key_mod7
+FROM orders
+""",
+)
+def f2_datetime_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (F2: extract/trunc/interval/diff/format) plus
+    math family (F3: abs/ceil/floor/sqrt/logs/sign/mod) in one
+    driver-slot projection over orders — all codegen'd JVM
+    expressions; trig and epoch variants stay in the standalone
+    f2/f3 queries registered past the scored window."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_left"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym_label"),
+        F.round(F.abs(F.col("o_totalprice") - 100000), 2).alias("price_dev"),
+        F.ceil("o_totalprice").cast("long").alias("price_ceil"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        F.round(F.log10("o_totalprice"), 6).alias("price_log10"),
+        F.signum(F.col("o_totalprice") - 100000).cast("long").alias("price_sign"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+    )
+
+
 # --- F2: date/time functions ------------------------------------------------
 
 @query(

@@ -30,7 +30,13 @@ LIMIT 100
 """,
 )
 def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Total order over orders; unique tiebreak pins the LIMIT."""
+    """Total order + deterministic LIMIT — the driver-slot
+    representative for O1 (global sort) / O3 (limit) / O4 (top-k):
+    ORDER BY + LIMIT fuses into TakeOrderedAndProject (per-partition
+    heap, driver merges k·p rows — never a full global sort at scale);
+    the unlimited global-sort plan is asserted in tests/test_plans.py
+    and the standalone o3/o4 variants stay registered past the scored
+    window."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
@@ -212,6 +218,92 @@ def o8b_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_keys = o.select(F.col("o_custkey").alias("custkey"))
     f_keys = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     return all_keys.exceptAll(f_keys)
+
+
+# --- O5-O8 combined set operations (driver-slot query) --------------------------
+
+@query(
+    "o5_setops",
+    oracle="""
+SELECT 'union_all' AS op, custkey, count(*) AS n FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+) GROUP BY custkey
+UNION ALL
+SELECT 'union_distinct' AS op, custkey, 1 AS n FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+  UNION
+  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+)
+UNION ALL
+SELECT 'intersect' AS op, custkey, 1 AS n FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+)
+UNION ALL
+SELECT 'intersect_all' AS op, custkey, count(*) AS n FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT ALL
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+) GROUP BY custkey
+UNION ALL
+SELECT 'except' AS op, custkey, 1 AS n FROM (
+  SELECT c_custkey AS custkey FROM customer
+  EXCEPT
+  SELECT o_custkey AS custkey FROM orders
+)
+UNION ALL
+SELECT 'except_all' AS op, custkey, count(*) AS n FROM (
+  SELECT o_custkey AS custkey FROM orders
+  EXCEPT ALL
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+) GROUP BY custkey
+""",
+)
+def o5_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six set operations (O5 union-all, O6 union-distinct, O7
+    intersect/intersectAll, O8 except/exceptAll) in one driver-slot
+    query: each branch runs the genuine DataFrame set op, bag results
+    are grouped to (key, multiplicity) so every branch shares the
+    (op, custkey, n) shape. Under the hood: union-all is a zero-shuffle
+    concat; the rest are hash aggregates / left-semi-anti-style joins
+    shuffling once on the full row — same plans as the standalone
+    variants registered past the scored window."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ok = F.col("o_custkey").alias("custkey")
+    ck = F.col("c_custkey").alias("custkey")
+
+    def tag(df: DataFrame, op: str, counted: bool) -> DataFrame:
+        if counted:
+            df = df.groupBy("custkey").agg(F.count("*").alias("n"))
+        else:
+            df = df.select("custkey", F.lit(1).cast("long").alias("n"))
+        return df.select(F.lit(op).alias("op"), "custkey", "n")
+
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select(ok)
+    o_keys = o.filter(F.col("o_orderstatus") == "O").select(ok)
+    union_all = tag(
+        f_keys.unionByName(c.filter(F.col("c_acctbal") > 0).select(ck)), "union_all", True
+    )
+    union_distinct = tag(
+        o.filter(F.col("o_totalprice") > 250000)
+        .select(ok)
+        .union(c.filter(F.col("c_acctbal") > 9000).select(ck))
+        .distinct(),
+        "union_distinct",
+        False,
+    )
+    inter = tag(f_keys.intersect(o_keys), "intersect", False)
+    inter_all = tag(f_keys.intersectAll(o_keys), "intersect_all", True)
+    exc = tag(c.select(ck).subtract(o.select(ok)), "except", False)
+    exc_all = tag(o.select(ok).exceptAll(f_keys), "except_all", True)
+    out = union_all
+    for part in (union_distinct, inter, inter_all, exc, exc_all):
+        out = out.unionByName(part)
+    return out
 
 
 # --- O9: sampling (rows-only: engine RNGs differ) ------------------------------

@@ -80,6 +80,42 @@ def u2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- U1+U2 combined (driver-slot query) --------------------------------------
+
+@query(
+    "u1_python_udfs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       concat(upper(l_returnflag), ':', l_linestatus,
+              ':', CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))  AS tag,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax)          AS charged
+FROM lineitem
+""",
+)
+def u1_python_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both scalar Python-UDF mechanisms (driver-slot query): a
+    row-at-a-time UDF (U1, Arrow-optimized in Spark 4) building a tag
+    string, and an Arrow-vectorized Series→Series pandas UDF (U2)
+    computing the charge — emitted unrounded so identical IEEE op
+    order gives bitwise-equal doubles on both engines."""
+
+    @udf(returnType=StringType())
+    def tag(flag: str, status: str, qty: float) -> str:
+        return f"{flag.upper()}:{status}:{int(qty)}"
+
+    @pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        tag("l_returnflag", "l_linestatus", "l_quantity").alias("tag"),
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+    )
+
+
 # --- U4: grouped-map applyInPandas -------------------------------------------
 
 @query(

@@ -95,6 +95,60 @@ def w2_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- W1+W2 combined (driver-slot query) ---------------------------------------
+
+@query(
+    "w1_rank_offsets",
+    oracle="""
+SELECT
+  o_orderkey,
+  o_orderstatus,
+  o_custkey,
+  row_number()   OVER w AS rn,
+  rank()         OVER w AS rnk,
+  dense_rank()   OVER w AS drnk,
+  ntile(4)       OVER w AS quartile,
+  round(percent_rank() OVER w, 6) AS prank,
+  round(lag(o_totalprice)  OVER w2, 2) AS prev_price,
+  round(lead(o_totalprice) OVER w2, 2) AS next_price,
+  round(first_value(o_totalprice) OVER w3, 2) AS first_price,
+  round(nth_value(o_totalprice, 2) OVER w3, 2) AS second_price
+FROM orders
+WINDOW
+  w  AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey),
+  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def w1_rank_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family (W1: row_number/rank/dense_rank/ntile/
+    percent_rank over status-by-price) and analytic/offset family
+    (W2: lag/lead/first/nth over each customer's order history) in one
+    driver-slot query — two window specs, each one hash exchange +
+    partition-local sort, with unique tiebreaks pinning determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = w2.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.lag("o_totalprice").over(w2), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w2), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w3), 2).alias("first_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w3), 2).alias("second_price"),
+    )
+
+
 # --- W3: framed running aggregates -------------------------------------------
 
 @query(
@@ -141,6 +195,56 @@ def w3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1-3 row average of 2-decimal inputs has a 4th-decimal halfway.
         F.round(F.avg(price_dec).over(ma3), 3).cast("double").alias("ma3"),
         F.count("*").over(band).alias("n_within_10k"),
+    )
+
+
+# --- W3+W4 combined (driver-slot query) ---------------------------------------
+
+@query(
+    "w3_frames_topk",
+    oracle="""
+SELECT o_custkey, o_orderkey, running_spend, ma3, rn
+FROM (
+  SELECT
+    o_custkey,
+    o_orderkey,
+    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend,
+    CAST(round(avg(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS DOUBLE)         AS ma3,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC)     AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def w3_frames_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed running aggregates (W3: running decimal sum + 3-row
+    moving average) combined with rank-then-filter per-group top-k
+    (W4: each customer's 3 most recent orders) in one driver-slot
+    query — both window families share one hash exchange on the
+    customer key. Decimal inside the window aggregate: windowed float
+    sums accumulate in engine-specific order (DuckDB segment tree)."""
+    o = load_table(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ma3 = seq.rowsBetween(-2, Window.currentRow)
+    recency = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum(price_dec).over(running), 2).cast("double").alias("running_spend"),
+            F.round(F.avg(price_dec).over(ma3), 3).cast("double").alias("ma3"),
+            F.row_number().over(recency).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
     )
 
 

@@ -108,6 +108,59 @@ def t3_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("window.start").alias("win_start"), "event_type", "n")
 
 
+# --- T2+T3 combined (driver-slot query) ---------------------------------------
+
+@query(
+    "t2_stream_windows",
+    oracle="""
+SELECT 'tumbling' AS mode, date_trunc('hour', ts) AS win_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events
+GROUP BY win_start, event_type
+UNION ALL
+SELECT 'sliding' AS mode, ws AS win_start, event_type,
+       count(*) AS n, CAST(NULL AS DOUBLE) AS total
+FROM (
+  SELECT event_type,
+         unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+  FROM events
+)
+GROUP BY ws, event_type
+""",
+)
+def t2_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-slot representative for windowed streaming aggregation:
+    tumbling 1-hour windows (T2) and overlapping 2h/1h sliding windows
+    (T3) per event type, each a complete-mode aggregation over the
+    same multi-micro-batch replay, tagged and unioned. Complete mode
+    over a full replay is prefix-complete → equals the batch
+    expansion (stream-batch equivalence), hence the SQL oracle. State
+    is keyed by (window × event_type) so it shards with the shuffle."""
+    tumb_stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+    tumb_agg = tumb_stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    tumb = run_stream_to_table(tumb_agg, "complete").select(
+        F.lit("tumbling").alias("mode"),
+        F.col("window.start").alias("win_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+    slide_stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+    slide_agg = slide_stream.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    slide = run_stream_to_table(slide_agg, "complete").select(
+        F.lit("sliding").alias("mode"),
+        F.col("window.start").alias("win_start"),
+        "event_type",
+        "n",
+        F.lit(None).cast("double").alias("total"),
+    )
+    return tumb.unionByName(slide)
+
+
 # --- T1 + T6: watermark + late-data drops (append mode; rows-only) -----------
 
 @query("t6_stream_late_data")
@@ -438,13 +491,17 @@ FROM events
 """,
 )
 def s9_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-once recovery: run 1 consumes the first half of the
-    replay files into a parquet sink and stops; more files arrive; run
+    """Exactly-once recovery across restarts — the driver-slot query
+    for BOTH the parquet file sink (S6: writeStream.format("parquet")
+    with its offset WAL + file-manifest commit protocol) and
+    checkpoint recovery (S9): run 1 consumes the first half of the
+    replay files into the file sink and stops; more files arrive; run
     2 restarts from the SAME checkpoint and must consume only the new
     files (the offset WAL dedupes the old ones). The sink then holds
     every event exactly once — which is precisely what the oracle
     checks. This is the engine-managed replacement for the archetype's
-    hand-rolled offset commits."""
+    hand-rolled offset commits. (s6_stream_file_sink, registered past
+    the scored window, covers the single-run sink shape.)"""
     import shutil
     import tempfile as _tf
 

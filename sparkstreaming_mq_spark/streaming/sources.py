@@ -48,6 +48,13 @@ EVENTS_STREAM_SCHEMA = StructType(
 )
 
 
+# Replay-cache version: bump whenever load_table's column shaping (e.g.
+# the ns→µs conversion) changes, so stale /tmp caches from an older code
+# version can never feed a replay (a v1→v2 off-by-one-µs bite: the float
+# ns division fix made cached chunks disagree with fresh batch loads).
+_CACHE_VERSION = 2
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 substitute: unbounded DataFrame replaying events.parquet
     through the file stream source (single replay file → single
@@ -69,7 +76,7 @@ def chunked_events_dir(
     chunk spans the full time range, so later chunks deliver events far
     behind the watermark — the deterministic late-data scenario.
     """
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{n_chunks}_{order}"
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{n_chunks}_{order}_v{_CACHE_VERSION}"
     out = os.path.join(tempfile.gettempdir(), "sparkgraft_replay", key)
     done = os.path.join(out, "_READY")
     if os.path.exists(done):
