@@ -55,6 +55,30 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.99, f"MinHash recall {recall}"
 
 
+def test_l2b_guard_switches_to_banded_path(spark, sf_dir, monkeypatch):
+    """Past L2B_MAX_BROADCAST_DOCS the exact kernel must NOT broadcast
+    the full corpus; it switches to LSH-banded blocks + bitmap verify.
+    Forcing the threshold to 0 exercises that path and checks it still
+    recovers ~all high-similarity pairs (LSH misses ~0.8% at j=0.8 by
+    design; at the fixture's 0.5 cutoff recall stays lower-bounded)."""
+    from sparkstreaming_mq_spark.operators import llm
+
+    exact = {
+        (r.doc_a, r.doc_b) for r in Q["l2b_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(llm, "L2B_MAX_BROADCAST_DOCS", 0)
+    banded = {
+        (r.doc_a, r.doc_b) for r in Q["l2b_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    assert banded <= exact, "banded path emitted a pair the exact kernel rejects"
+    strong = {
+        (r.doc_a, r.doc_b)
+        for r in Q["l2_minhash_lsh"](spark, sf_dir).collect()
+    }
+    # every LSH-confirmed >=0.8 pair must survive the banded exact verify
+    assert strong <= banded
+
+
 def test_simhash_catches_token_identical_docs(spark, sf_dir):
     # SimHash signatures are built from the distinct token set, so any
     # pair with exact Jaccard 1.0 must collide at Hamming distance 0
