@@ -72,3 +72,49 @@ def test_similarity_search_broadcasts_queries(spark, sf_dir):
 def test_minhash_verify_joins_broadcast(spark, sf_dir):
     plan = executed_plan(Q["l2_minhash_lsh"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, "verify joins must broadcast"
+
+
+# --- driver-slot (merged) queries: same scale guarantees as the originals ----
+
+
+def test_merged_project_filter_pushes_down(spark, sf_dir):
+    plan = formatted_plan(Q["p1_project_filter_case"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1][:400]
+    assert "o_totalprice" in pushed and "In(o_orderstatus" in pushed
+
+
+def test_j1_mixes_smj_fact_join_and_broadcast_dim(spark, sf_dir):
+    # At fixture scale the optimizer auto-broadcasts everything; pin
+    # the 100 TB shape by disabling auto-broadcast so ONLY the explicit
+    # broadcast(customer) hint broadcasts and the fact-fact leg plans
+    # its shuffle join.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(Q["j1_inner_equi"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" in plan, "customer dim must broadcast (explicit hint)"
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_global_sort_topk_fuses(spark, sf_dir):
+    assert "TakeOrderedAndProject" in formatted_plan(Q["o1_global_sort"](spark, sf_dir))
+
+
+def test_merged_windows_share_one_exchange_per_spec(spark, sf_dir):
+    plan = executed_plan(Q["w3_frames_topk"](spark, sf_dir))
+    # both window families partition on o_custkey: exactly one exchange
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 1 and "o_custkey" in exchanges[0]
+
+
+def test_l4_text_metrics_single_scan_no_python(spark, sf_dir):
+    plan = executed_plan(Q["l4_text_metrics"](spark, sf_dir))
+    assert "Scan parquet" in plan and plan.count("Scan parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_a7_multidim_uses_expand(spark, sf_dir):
+    plan = executed_plan(Q["a7_multidim_agg"](spark, sf_dir))
+    assert "Expand" in plan  # rollup/cube/sets all lower to Expand
