@@ -967,6 +967,7 @@ def l7_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- L8: dedup clustering (connected components over near-dup pairs) ---------
 
 CC_MAX_ITERS = 20
+CC_CHECKPOINT_EVERY = 3  # lineage-truncation cadence for the label frame
 
 
 @query("l8_dedup_clusters")
@@ -985,8 +986,11 @@ def l8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     share a cluster. Each iteration is one join + one aggregate;
     label propagation converges in O(diameter) rounds (clusters here
     are dense → few rounds). At 100 TB this is the standard
-    alternating small-star/large-star shape; checkpointing every few
-    rounds truncates the growing lineage."""
+    alternating small-star/large-star shape; every CC_CHECKPOINT_EVERY
+    rounds the label frame is localCheckpoint'ed so the logical plan
+    stays O(1) deep instead of O(rounds) (a 100-TB run without lineage
+    truncation re-plans an ever-growing DAG and eventually stack-
+    overflows the optimizer)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = l2_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     # undirected edge list (both directions) for propagation
@@ -995,7 +999,7 @@ def l8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = edges.persist()
     labels = d.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(CC_MAX_ITERS):
+    for it in range(CC_MAX_ITERS):
         # neighbor's current label, take the min of (own, neighbors')
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -1009,7 +1013,11 @@ def l8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
             )
         )
-        new_labels = new_labels.persist()
+        if (it + 1) % CC_CHECKPOINT_EVERY == 0:
+            # truncate lineage: keeps the plan depth constant across rounds
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
