@@ -133,13 +133,39 @@ PRIORITY: tuple[str, ...] = (
 )
 
 
+# Preferred order PAST the 50-slot window, in case a future driver
+# scores more: distinct-evidence queries (bonus operators, scale-path
+# alternates) before single-family twins of already-scored slots.
+TAIL_PRIORITY: tuple[str, ...] = (
+    "o10_bucketed_join",        # bonus: zero-exchange bucketed join
+    "j11_salted_skew_join",     # bonus: explicit skew salting
+    "l7_embed_neardup",         # embedding-cosine near-dup
+    "l8_dedup_clusters",        # connected-components keep/drop
+    "l2c_simhash",              # SimHash near-dup
+    "l3b_ann_lsh",              # hyperplane-LSH ANN (scale path)
+    "l3c_ann_ivf",              # IVF ANN
+    "a7d_time_hierarchy_rollup",  # continuous-aggregate shape
+    "l5b_media_features",
+    "l5c_frame_sample",
+    "l5d_media_resize",
+    "l4e_langid",
+    "s6_stream_file_sink",
+    "t2_stream_tumbling",
+    "t3_stream_sliding",
+    "f4b_json_roundtrip",
+    "f5b_explode",
+)
+
+
 def _ordered(names: dict) -> dict:
-    """PRIORITY names first (driver scores the first 50), rest after."""
+    """PRIORITY first (driver scores the first 50), then TAIL_PRIORITY,
+    then everything else in registration order."""
     missing = [n for n in PRIORITY if n not in QUERIES]
     if missing:
         raise RuntimeError(f"PRIORITY names not registered: {missing}")
-    tail = [n for n in QUERIES if n not in set(PRIORITY)]
-    return {n: names[n] for n in (*PRIORITY, *tail) if n in names}
+    head = (*PRIORITY, *TAIL_PRIORITY)
+    rest = [n for n in QUERIES if n not in set(head)]
+    return {n: names[n] for n in (*head, *rest) if n in names}
 
 
 def load_all() -> None:
