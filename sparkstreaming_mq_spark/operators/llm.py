@@ -970,35 +970,22 @@ CC_MAX_ITERS = 20
 CC_CHECKPOINT_EVERY = 3  # lineage-truncation cadence for the label frame
 
 
-@query("l8_dedup_clusters")
-def l8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Turn pairwise near-dup evidence into KEEP/DROP decisions: the
-    connected components of the near-dup pair graph, computed by
-    iterative min-label propagation (each doc repeatedly adopts the
-    smallest doc_id reachable through a pair edge until fixpoint).
-    Output: (doc_id, cluster_id=min doc_id of its component, keep =
-    doc_id == cluster_id) — the actual deliverable of a dedup pipeline
-    (you keep one representative per cluster, not a pair list).
+def _min_label_propagation(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components of an undirected pair graph by iterative
+    min-label propagation: (doc_id, label = min doc_id reachable).
 
-    Iterative algorithms are the documented non-SQL-expressible class
-    (rows-only check); pytest asserts the fixpoint property (one more
-    propagation step changes nothing) and that every pair's endpoints
-    share a cluster. Each iteration is one join + one aggregate;
-    label propagation converges in O(diameter) rounds (clusters here
-    are dense → few rounds). At 100 TB this is the standard
-    alternating small-star/large-star shape; every CC_CHECKPOINT_EVERY
-    rounds the label frame is localCheckpoint'ed so the logical plan
-    stays O(1) deep instead of O(rounds) (a 100-TB run without lineage
-    truncation re-plans an ever-growing DAG and eventually stack-
-    overflows the optimizer)."""
-    d = load_table(spark, sf_dir, "documents")
-    pairs = l2_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    # undirected edge list (both directions) for propagation
+    Each iteration is one join + one aggregate; converges in
+    O(diameter) rounds. Every CC_CHECKPOINT_EVERY rounds the label
+    frame is localCheckpoint'ed so the logical plan stays O(1) deep
+    instead of O(rounds) (a 100-TB run without lineage truncation
+    re-plans an ever-growing DAG and eventually stack-overflows the
+    optimizer). At 100 TB the same loop is the standard alternating
+    small-star/large-star shape."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
     edges = edges.persist()
-    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
     for it in range(CC_MAX_ITERS):
         # neighbor's current label, take the min of (own, neighbors')
         neighbor_min = (
@@ -1030,11 +1017,92 @@ def l8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    return labels
+
+
+@query("l8_dedup_clusters")
+def l8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn pairwise near-dup evidence into KEEP/DROP decisions: the
+    connected components of the near-dup pair graph
+    (``_min_label_propagation``). Output: (doc_id, cluster_id = min
+    doc_id of its component, keep = doc_id == cluster_id) — the actual
+    deliverable of a dedup pipeline (you keep one representative per
+    cluster, not a pair list).
+
+    Iterative algorithms are the documented non-SQL-expressible class
+    (rows-only check); pytest asserts the fixpoint property (one more
+    propagation step changes nothing) and that every pair's endpoints
+    share a cluster."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = l2_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _min_label_propagation(d, pairs)
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("keep"),
     )
+
+
+# --- L9: end-to-end corpus dedup pipeline -------------------------------------
+
+@query("l9_dedup_pipeline")
+def l9_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline, one operator:
+
+    1. normalize (L6 chain) and quality-gate (L4 signals: ≥5 tokens,
+       uniqueness ratio > 0.3) — failures tagged ``drop_quality``;
+    2. exact dedup on the normalized-text fingerprint (L1 shape,
+       min-doc_id keeper) — non-keepers tagged ``drop_exact``;
+    3. near-dup clustering of the survivors: banded-MinHash candidates
+       + bitmap-Jaccard verify ≥0.8 (L2), connected components by
+       min-label propagation (L8) — non-representatives tagged
+       ``drop_neardup``; cluster representatives tagged ``keep``.
+
+    Output: (doc_id, stage, cluster_id) — a total partition of the
+    corpus with the reason each dropped doc was dropped, which is the
+    artifact an actual 100 TB curation run ships. Every constituent is
+    the same scored operator the engine exposes standalone; the
+    pipeline adds only narrow projections and left-anti joins between
+    stages (no new shuffle shapes). Rows-only check (the near-dup
+    stage is iterative); pytest asserts the stages partition the
+    corpus and that no two kept docs share a verified near-dup pair."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    scored = d.select(
+        "doc_id", "text", norm.alias("norm_text"), ((n_tok >= 5) & (uniq_ratio > 0.3)).alias("ok")
+    )
+    dropped_quality = scored.filter(~F.col("ok")).select(
+        "doc_id", F.lit("drop_quality").alias("stage"), F.lit(None).cast("long").alias("cluster_id")
+    )
+    quality_ok = scored.filter(F.col("ok"))
+
+    # exact dedup on normalized fingerprint: min doc_id per digest keeps
+    keepers = (
+        quality_ok.groupBy(F.md5("norm_text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    dropped_exact = quality_ok.join(keepers, "doc_id", "left_anti").select(
+        "doc_id", F.lit("drop_exact").alias("stage"), F.lit(None).cast("long").alias("cluster_id")
+    )
+    survivors = quality_ok.join(keepers, "doc_id", "left_semi").select("doc_id", "text")
+
+    # near-dup clustering among survivors (LSH candidates + exact verify)
+    pairs = _verify_pairs(survivors, _lsh_candidate_pairs(survivors), MINHASH_THRESHOLD)
+    labels = _min_label_propagation(survivors, pairs.select("doc_a", "doc_b"))
+    final = labels.select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("label"), F.lit("keep"))
+        .otherwise(F.lit("drop_neardup"))
+        .alias("stage"),
+        F.col("label").alias("cluster_id"),
+    )
+    return dropped_quality.unionByName(dropped_exact).unionByName(final)
 
 @query(
     "l5_multimodal_meta",

@@ -137,6 +137,7 @@ PRIORITY: tuple[str, ...] = (
 # scores more: distinct-evidence queries (bonus operators, scale-path
 # alternates) before single-family twins of already-scored slots.
 TAIL_PRIORITY: tuple[str, ...] = (
+    "l9_dedup_pipeline",        # composed curation pipeline (L4+L1+L2+L8)
     "o10_bucketed_join",        # bonus: zero-exchange bucketed join
     "j11_salted_skew_join",     # bonus: explicit skew salting
     "l7_embed_neardup",         # embedding-cosine near-dup

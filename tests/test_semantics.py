@@ -79,6 +79,28 @@ def test_l2b_guard_switches_to_banded_path(spark, sf_dir, monkeypatch):
     assert strong <= banded
 
 
+def test_dedup_pipeline_partitions_corpus(spark, sf_dir):
+    """l9 stages must partition the corpus, and no two kept docs may
+    share a verified near-dup pair."""
+    out = Q["l9_dedup_pipeline"](spark, sf_dir).toPandas()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs and out["doc_id"].nunique() == n_docs
+    stages = set(out["stage"])
+    assert stages <= {"keep", "drop_quality", "drop_exact", "drop_neardup"}
+    assert "keep" in stages
+    kept = set(out.loc[out["stage"] == "keep", "doc_id"])
+    # kept docs are their clusters' representatives (min id), pairwise
+    # non-near-dup under the same ≥0.8 verify the pipeline used
+    pairs = {
+        (r.doc_a, r.doc_b) for r in Q["l2_minhash_lsh"](spark, sf_dir).collect()
+    }
+    conflicts = [(a, b) for (a, b) in pairs if a in kept and b in kept]
+    assert not conflicts, f"kept docs still near-dup: {conflicts[:5]}"
+    # every cluster has exactly one keeper
+    grp = out[out["stage"].isin(["keep", "drop_neardup"])].groupby("cluster_id")["stage"]
+    assert (grp.apply(lambda s: (s == "keep").sum()) == 1).all()
+
+
 def test_simhash_catches_token_identical_docs(spark, sf_dir):
     # SimHash signatures are built from the distinct token set, so any
     # pair with exact Jaccard 1.0 must collide at Hamming distance 0
