@@ -92,6 +92,13 @@ def test_priority_is_exactly_fifty():
     assert len(set(registry.PRIORITY)) == 50
 
 
+def test_tail_priority_names_registered():
+    qs = registry.all_queries()
+    missing = [n for n in registry.TAIL_PRIORITY if n not in qs]
+    assert not missing, f"TAIL_PRIORITY names not registered: {missing}"
+    assert not set(registry.TAIL_PRIORITY) & set(registry.PRIORITY)
+
+
 def test_priority_names_all_registered_and_first():
     qs = registry.all_queries()
     assert tuple(list(qs)[:50]) == registry.PRIORITY
