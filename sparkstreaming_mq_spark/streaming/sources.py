@@ -130,11 +130,13 @@ def read_events_stream_chunked(
 
 # State-store partition count for local finite replays: each stateful
 # partition pays per-micro-batch store open/commit/checkpoint overhead,
-# which dominates at test scale (measured: 32 partitions x 4 batches
-# spent more time in store maintenance than in data). A real cluster
-# sizes this to its parallelism BEFORE the first run (the count is
-# frozen into the checkpoint).
-STREAM_SHUFFLE_PARTITIONS = 8
+# which dominates at test scale (measured at sf0.1: 32 partitions x 4
+# batches spent more time in store maintenance than in data; 8 → 1.87s,
+# 4 → 1.39s, 2 → 1.23s warm for the tumbling agg — 4 keeps real
+# parallelism while shedding most of the per-store overhead). A real
+# cluster sizes this to its parallelism BEFORE the first run (the count
+# is frozen into the checkpoint).
+STREAM_SHUFFLE_PARTITIONS = 4
 
 
 class _stream_partitions:
