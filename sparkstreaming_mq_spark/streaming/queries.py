@@ -433,7 +433,9 @@ def s4_json_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkstreaming_mq_spark.tables import load_table as _lt
 
-    key = _os.path.basename(_os.path.normpath(sf_dir))
+    from sparkstreaming_mq_spark.streaming.sources import _CACHE_VERSION
+
+    key = f"{_os.path.basename(_os.path.normpath(sf_dir))}_v{_CACHE_VERSION}"
     base = _os.path.join(_tf.gettempdir(), "sparkgraft_formats", key)
     ready = _os.path.join(base, "_READY")
     events = _lt(spark, sf_dir, "events").select(
