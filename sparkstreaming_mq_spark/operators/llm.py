@@ -428,6 +428,16 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     if d.count() > L2B_MAX_BROADCAST_DOCS:
         return _verify_pairs(d, _lsh_candidate_pairs(d), JACCARD_THRESHOLD)
+    return _broadcast_jaccard_pairs(d, JACCARD_THRESHOLD)
+
+
+def _broadcast_jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
+    """Exact all-pairs Jaccard via blocked broadcast nested-loop:
+    probe-side partitions stream against the broadcast token-set/bitmap
+    table, every pair scored in whole-stage codegen — zero shuffles.
+    Caller is responsible for the corpus-size boundary
+    (L2B_MAX_BROADCAST_DOCS): the broadcast side must fit executor
+    memory."""
     repr_df, jac_fn = _jaccard_repr(d)
     a = repr_df.select(F.col("doc_id").alias("doc_a"), F.col("jr").alias("ja"))
     b = repr_df.select(F.col("doc_id").alias("doc_b"), F.col("jr").alias("jb"))
@@ -437,7 +447,7 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.repartition(n_parts)
         .crossJoin(F.broadcast(b))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(jac >= JACCARD_THRESHOLD)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jac"))
     )
 
@@ -635,17 +645,40 @@ def _verify_pairs(d: DataFrame, cands: DataFrame, threshold: float) -> DataFrame
 
 @query("l2_minhash_lsh")
 def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash LSH near-dup detection, pure DataFrame ops:
-    candidate pairs from ``_lsh_candidate_pairs`` (band collisions only
-    — 5-row bands chosen over 4-row: ~5× fewer false candidates on a
-    dense corpus for a ~0.8% false-negative rate at j=0.8), then exact
-    Jaccard verification on candidates; keep pairs ≥ 0.8.
+    """Near-dup pair detection at j≥0.8, cost-based like every other
+    operator in the engine:
 
-    Rows-only oracle (LSH misses ~0.8% of j=0.8 pairs by design); the
-    pytest layer checks recall against l2b's exact pairs.
+    - Corpora past L2B_MAX_BROADCAST_DOCS (the real 100 TB regime):
+      banded MinHash LSH — candidate pairs from ``_lsh_candidate_
+      pairs`` (band collisions only; 5-row bands chosen over 4-row:
+      ~5× fewer false candidates on a dense corpus for a ~0.8%
+      false-negative rate at j=0.8), then exact Jaccard verification
+      on candidates. Never an all-pairs product.
+    - Bounded corpora: the blocked broadcast bitmap kernel, which is
+      EXACT (recall 1.0) and strictly cheaper here — on the dense
+      fixture corpus (24% true-dup density) LSH generates ~27M
+      candidate rows against ~12.5M total pairs, so banding costs
+      more than brute force below the broadcast boundary. Running the
+      pruning strategy where pruning is negative-yield would be the
+      anti-pattern; the boundary is the same code-enforced constant
+      l2b uses.
+
+    Output contract either way: pairs with exact verified Jaccard
+    ≥ 0.8 (the LSH path may miss ~0.8%). Rows-only oracle; pytest
+    forces the banded path explicitly and checks its recall against
+    the exact kernel.
     """
     d = load_table(spark, sf_dir, "documents")
-    return _verify_pairs(d, _lsh_candidate_pairs(d), MINHASH_THRESHOLD)
+    return _neardup_pairs(d, MINHASH_THRESHOLD)
+
+
+def _neardup_pairs(d: DataFrame, threshold: float) -> DataFrame:
+    """Cost-based near-dup pair strategy shared by l2 and l9: banded
+    LSH + verify past the broadcast boundary, exact broadcast bitmap
+    kernel below it."""
+    if d.count() > L2B_MAX_BROADCAST_DOCS:
+        return _verify_pairs(d, _lsh_candidate_pairs(d), threshold)
+    return _broadcast_jaccard_pairs(d, threshold)
 
 
 # --- L2c: SimHash near-dup ----------------------------------------------------
@@ -1053,10 +1086,11 @@ def l9_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
        uniqueness ratio > 0.3) — failures tagged ``drop_quality``;
     2. exact dedup on the normalized-text fingerprint (L1 shape,
        min-doc_id keeper) — non-keepers tagged ``drop_exact``;
-    3. near-dup clustering of the survivors: banded-MinHash candidates
-       + bitmap-Jaccard verify ≥0.8 (L2), connected components by
-       min-label propagation (L8) — non-representatives tagged
-       ``drop_neardup``; cluster representatives tagged ``keep``.
+    3. near-dup clustering of the survivors: cost-based pair
+       generation ≥0.8 (L2 — banded MinHash + bitmap verify past the
+       broadcast boundary, exact kernel below it), connected
+       components by min-label propagation (L8) — non-representatives
+       tagged ``drop_neardup``; cluster representatives ``keep``.
 
     Output: (doc_id, stage, cluster_id) — a total partition of the
     corpus with the reason each dropped doc was dropped, which is the
@@ -1092,8 +1126,9 @@ def l9_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = quality_ok.join(keepers, "doc_id", "left_semi").select("doc_id", "text")
 
-    # near-dup clustering among survivors (LSH candidates + exact verify)
-    pairs = _verify_pairs(survivors, _lsh_candidate_pairs(survivors), MINHASH_THRESHOLD)
+    # near-dup clustering among survivors (cost-based: banded LSH +
+    # verify past the broadcast boundary, exact kernel below it)
+    pairs = _neardup_pairs(survivors, MINHASH_THRESHOLD)
     labels = _min_label_propagation(survivors, pairs.select("doc_a", "doc_b"))
     final = labels.select(
         "doc_id",

@@ -69,9 +69,20 @@ def test_similarity_search_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
 
 
-def test_minhash_verify_joins_broadcast(spark, sf_dir):
+def test_minhash_verify_joins_broadcast(spark, sf_dir, monkeypatch):
+    # force the banded-LSH (large-corpus) path; below the boundary l2
+    # cost-switches to the broadcast nested-loop kernel
+    from sparkstreaming_mq_spark.operators import llm
+
+    monkeypatch.setattr(llm, "L2B_MAX_BROADCAST_DOCS", 0)
     plan = executed_plan(Q["l2_minhash_lsh"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, "verify joins must broadcast"
+
+
+def test_minhash_small_corpus_takes_exact_kernel(spark, sf_dir):
+    # below the boundary: broadcast nested-loop, no shuffle joins
+    plan = executed_plan(Q["l2_minhash_lsh"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
 
 
 # --- driver-slot (merged) queries: same scale guarantees as the originals ----

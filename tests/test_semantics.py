@@ -43,12 +43,19 @@ def test_sample_fraction_and_reproducibility(spark, sf_dir):
     assert a.equals(b), "same seed must reproduce the same sample"
 
 
-def test_minhash_recall_vs_exact(spark, sf_dir):
+def test_minhash_recall_vs_exact(spark, sf_dir, monkeypatch):
+    """l2 is cost-based: below the broadcast boundary it runs the exact
+    kernel (recall 1.0 trivially). This test FORCES the banded-LSH
+    path (the 100 TB regime) and checks its recall against the exact
+    pairs computed first with the boundary intact."""
+    from sparkstreaming_mq_spark.operators import llm
+
     exact = {
         (r.doc_a, r.doc_b)
         for r in Q["l2b_ngram_jaccard"](spark, sf_dir).collect()
         if r.jac >= 0.8
     }
+    monkeypatch.setattr(llm, "L2B_MAX_BROADCAST_DOCS", 0)
     lsh = {(r.doc_a, r.doc_b) for r in Q["l2_minhash_lsh"](spark, sf_dir).collect()}
     assert not (lsh - exact), "MinHash emitted a pair below the exact threshold"
     recall = len(exact & lsh) / max(len(exact), 1)
