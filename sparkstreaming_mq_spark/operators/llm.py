@@ -1284,6 +1284,16 @@ def l5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield out
 
-    return framed.mapInPandas(
+    out = framed.mapInPandas(
         extract, "doc_id long, width int, height int, feat array<double>"
+    )
+    # Engine users get the typed array<double> from the mapInPandas
+    # stage above; the registered (driver-facing) projection scalarizes
+    # it — the driver canonicalizer cannot handle array cells (r02).
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.size("feat").alias("feat_dim"),
+        F.array_join(F.transform("feat", lambda x: x.cast("string")), ",").alias("feat_csv"),
     )

@@ -34,3 +34,9 @@ def test_rows_only_runs(name, spark, sf_dir):
     n = df.count()
     assert n >= 0
     assert df.schema.fields, f"{name}: empty schema"
+    # the driver canonicalizer dies on array cells (r02); every
+    # registered query must emit scalar columns only (typed arrays
+    # live inside the operators; driver-facing projections scalarize)
+    bad = [f.name for f in df.schema.fields
+           if f.dataType.simpleString().startswith(("array", "map", "struct"))]
+    assert not bad, f"{name}: non-scalar output columns {bad}"

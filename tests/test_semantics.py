@@ -243,5 +243,6 @@ def test_update_mode_final_state_equals_batch(spark, sf_dir):
 def test_media_features_deterministic(spark, sf_dir):
     a = Q["l5b_media_features"](spark, sf_dir).toPandas().sort_values("doc_id").reset_index(drop=True)
     b = Q["l5b_media_features"](spark, sf_dir).toPandas().sort_values("doc_id").reset_index(drop=True)
-    assert a.drop(columns=["feat"]).equals(b.drop(columns=["feat"]))
-    assert all(len(f) == 4 for f in a["feat"])
+    assert a.equals(b)
+    assert (a["feat_dim"] == 4).all()
+    assert all(len(s.split(",")) == 4 for s in a["feat_csv"])
