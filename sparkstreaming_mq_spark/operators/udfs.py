@@ -188,6 +188,48 @@ def u5_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("qty_value", F.round("qty_value", 2))
 
 
+# --- U5b: mapInArrow ----------------------------------------------------------
+
+@query(
+    "u5b_map_in_arrow",
+    oracle="""
+SELECT l_orderkey, l_linenumber, round(l_quantity * l_extendedprice, 2) AS qty_value
+FROM lineitem
+WHERE l_quantity > 45
+""",
+)
+def u5b_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5's zero-copy form: raw ``pyarrow.RecordBatch`` iterator in and
+    out (``mapInArrow``) — skips even the Arrow→pandas conversion that
+    mapInPandas pays; the right extension point when the Python logic
+    is itself Arrow-native (tokenizers, media codecs). Same semantics
+    as u5 so the same SQL oracle applies."""
+    import pyarrow as pa
+
+    def flow(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            import pyarrow.compute as pc
+
+            mask = pc.greater(tbl["l_quantity"], pa.scalar(45.0))
+            keep = tbl.filter(mask)
+            out = pa.table(
+                {
+                    "l_orderkey": keep["l_orderkey"],
+                    "l_linenumber": keep["l_linenumber"],
+                    "qty_value": pc.multiply(keep["l_quantity"], keep["l_extendedprice"]),
+                }
+            )
+            yield from out.to_batches()
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return li.mapInArrow(
+        flow, "l_orderkey long, l_linenumber int, qty_value double"
+    ).withColumn("qty_value", F.round("qty_value", 2))
+
+
 # --- U6: Python UDTF ----------------------------------------------------------
 
 @query(

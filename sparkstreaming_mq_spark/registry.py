@@ -151,6 +151,10 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l5d_media_resize",
     "l4e_langid",
     "s6_stream_file_sink",
+    "t5b_stream_dedup_watermarked",  # bounded-state dedup (T5 scale form)
+    "s4b_orc_scan",             # third schema-on-read format
+    "u5b_map_in_arrow",         # zero-copy Arrow extension point
+    "t4b_session_dynamic_gap",  # per-row session gap
     "t2_stream_tumbling",
     "t3_stream_sliding",
     "f4b_json_roundtrip",

@@ -468,6 +468,91 @@ def s4_json_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S4b: ORC scan (third schema-on-read format) -------------------------------
+
+@query(
+    "s4b_orc_scan",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM events
+GROUP BY event_type
+""",
+)
+def s4b_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar round-trip (S4's third format, Spark-native, no
+    extra jars): events exported once to ORC under /tmp, read back and
+    aggregated — proves the engine's scan layer is format-agnostic
+    (parquet/JSON/CSV/ORC all land in the same columnar scan node with
+    pushdown + pruning)."""
+    import os as _os
+    import tempfile as _tf
+
+    from sparkstreaming_mq_spark.streaming.sources import _CACHE_VERSION
+
+    key = f"{_os.path.basename(_os.path.normpath(sf_dir))}_v{_CACHE_VERSION}"
+    base = _os.path.join(_tf.gettempdir(), "sparkgraft_orc", key)
+    ready = _os.path.join(base, "_READY")
+    if not _os.path.exists(ready):
+        _os.makedirs(base, exist_ok=True)
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        ).write.mode("overwrite").orc(_os.path.join(base, "orc"))
+        open(ready, "w").close()
+    odf = spark.read.orc(_os.path.join(base, "orc"))
+    return odf.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+# --- T5b: bounded-state streaming dedup (dropDuplicatesWithinWatermark) --------
+
+@query(
+    "t5b_stream_dedup_watermarked",
+    oracle="""
+SELECT event_id, event_type, round(value, 4) AS value
+FROM events
+""",
+)
+def t5b_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5's 100 TB variant: ``dropDuplicatesWithinWatermark`` keeps
+    dedup state only for the watermark horizon instead of forever —
+    the bounded-state form a production stream MUST use (plain
+    dropDuplicates state grows without bound). The doubled replay
+    delivers every message twice within the same micro-batch, well
+    inside the 1-hour horizon, so the result is still each event
+    exactly once — which the oracle checks."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    doubled = a.unionByName(b).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "event_type", F.round("value", 4).alias("value")
+    )
+    return run_stream_to_table(deduped, "append")
+
+
+# --- T4b: dynamic-gap session windows ------------------------------------------
+
+@query("t4b_session_dynamic_gap")
+def t4b_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-ROW gap (T4's dynamic form):
+    purchase events extend sessions for 1 hour, everything else for 30
+    minutes — `session_window(ts, when(...))`. Watermarked append
+    mode; rows-only like t4 (open sessions stay unflushed)."""
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("1 hour")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_stream_to_table(agg, "append")
+    return out.select(
+        "user_id", F.col("session_window.start").alias("sess_start"), "n_events"
+    )
+
+
 # --- T8: update output mode -----------------------------------------------------
 
 @query("t8_stream_update_mode")
