@@ -267,6 +267,14 @@ LEFT JOIN orders o
   ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
 GROUP BY c.c_custkey
 UNION ALL
+SELECT 'right' AS mode, c.c_custkey AS key,
+       count(o.o_orderkey) AS n,
+       round(coalesce(sum(o.o_totalprice), 0), 2) AS val
+FROM orders o
+RIGHT JOIN customer c
+  ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'O'
+GROUP BY c.c_custkey
+UNION ALL
 SELECT 'full' AS mode, coalesce(cn.nk, sn.nk) AS key,
        coalesce(cn.n_cust, 0) AS n,
        CAST(coalesce(sn.n_supp, 0) AS DOUBLE) AS val
@@ -277,10 +285,11 @@ FULL OUTER JOIN
 """,
 )
 def j2_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both outer-join flavors (J2) in one driver-slot query, tagged:
-    a left join preserving customers with zero matching F-orders, and
-    a full outer join of per-nation customer vs supplier counts
-    preserving unmatched keys on either side."""
+    """All three outer-join flavors (J2) in one driver-slot query,
+    tagged: a left join preserving customers with zero matching
+    F-orders, a right join preserving customers on the build side
+    (O-orders), and a full outer join of per-nation customer vs
+    supplier counts preserving unmatched keys on either side."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
@@ -298,6 +307,19 @@ def j2_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("left").alias("mode"), F.col("c_custkey").alias("key"), "n", "val")
     )
+    right_df = (
+        orders.join(
+            cust,
+            (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "O"),
+            "right",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("val"),
+        )
+        .select(F.lit("right").alias("mode"), F.col("c_custkey").alias("key"), "n", "val")
+    )
     cn = cust.groupBy(F.col("c_nationkey").alias("cnk")).agg(F.count("*").alias("n_cust"))
     sn = supp.groupBy(F.col("s_nationkey").alias("snk")).agg(F.count("*").alias("n_supp"))
     full_df = cn.join(sn, cn.cnk == sn.snk, "full").select(
@@ -306,7 +328,7 @@ def j2_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_cust", F.lit(0)).alias("n"),
         F.coalesce("n_supp", F.lit(0)).cast("double").alias("val"),
     )
-    return left_df.unionByName(full_df)
+    return left_df.unionByName(right_df).unionByName(full_df)
 
 
 # --- J4+J5 combined: cross join + theta/range (driver-slot query) ----------------
