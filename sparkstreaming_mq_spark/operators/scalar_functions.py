@@ -408,6 +408,78 @@ def f6_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F8: long-tail functions named in SURVEY §2.7 but not exercised above ----
+
+@query(
+    "f8_function_longtail",
+    oracle="""
+SELECT
+  o_orderkey,
+  array_to_string(list_transform(string_split(lower(o_orderpriority), ' '),
+                                 w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')
+                                                         AS prio_initcap,
+  regexp_matches(o_orderpriority, '^[0-9]-')             AS prio_numbered,
+  round(exp(o_totalprice / 500000.0), 6)                 AS price_exp,
+  o_orderkey % 7                                         AS key_pmod7,
+  CAST(to_timestamp(epoch(o_orderdate)) AS TIMESTAMP)    AS epoch_roundtrip,
+  CAST(make_date(CAST(year(o_orderdate) AS INTEGER),
+                 CAST(month(o_orderdate) AS INTEGER), 1) AS TIMESTAMP) AS month_floor,
+  array_to_string(flatten([string_split(o_orderpriority, '-'), [o_orderstatus]]), ',')
+                                                         AS flat_tokens
+FROM orders
+""",
+)
+def f8_function_longtail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining SURVEY §2.7-named scalar functions: initcap
+    (DuckDB mirror emulates it — single-token input), rlike/
+    regexp_like, exp, pmod (non-negative domain, where it matches
+    the %% twin), epoch-seconds round-trip (unix_timestamp →
+    timestamp_seconds), make_date, flatten. crc32 /
+    monotonically_increasing_id have no portable twin
+    (partition-dependent / engine-specific) and stay engine-internal;
+    xxhash64 is exercised throughout operators/llm.py."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.initcap(F.lower("o_orderpriority")).alias("prio_initcap"),
+        F.col("o_orderpriority").rlike("^[0-9]-").alias("prio_numbered"),
+        F.round(F.exp(F.col("o_totalprice") / 500000.0), 6).alias("price_exp"),
+        F.pmod("o_orderkey", F.lit(7)).cast("long").alias("key_pmod7"),
+        F.timestamp_seconds(F.unix_timestamp("o_orderdate")).alias("epoch_roundtrip"),
+        F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1))
+        .cast("timestamp")
+        .alias("month_floor"),
+        F.array_join(
+            F.flatten(F.array(F.split("o_orderpriority", "-"), F.array("o_orderstatus"))),
+            ",",
+        ).alias("flat_tokens"),
+    )
+
+
+@query(
+    "f8b_explode_outer",
+    oracle="""
+SELECT doc_id, long_tok
+FROM (
+  SELECT doc_id,
+         unnest(CASE WHEN len(list_filter(string_split(text, ' '), x -> length(x) > 7)) = 0
+                     THEN [NULL]
+                     ELSE list_filter(string_split(text, ' '), x -> length(x) > 7)
+                END) AS long_tok
+  FROM documents
+)
+""",
+)
+def f8b_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` row generation: docs with no >7-char token
+    still produce one NULL row (plain explode would drop them) — the
+    outer-unnest semantics the F5 row names. DuckDB mirrors it by
+    substituting [NULL] for empty lists before unnest."""
+    d = load_table(spark, sf_dir, "documents")
+    long_toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 7)
+    return d.select("doc_id", F.explode_outer(long_toks).alias("long_tok"))
+
+
 # --- F7: hash functions ------------------------------------------------------
 
 @query(
