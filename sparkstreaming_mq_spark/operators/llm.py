@@ -953,15 +953,45 @@ def l3c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEARDUP_SIM = 0.98
 
+# Exact all-pairs cosine is O(n²·d); the broadcast side (vec_id +
+# 64-d double vector ≈ 0.5 KB/row) must also fit executor memory.
+# Below this bound brute force beats bucketing AND is exact; above it
+# the hyperplane-LSH bucketed path engages (same cost-based pattern
+# as l2's near-dup text kernel).
+L7_MAX_BROADCAST_VECS = 200_000
 
-@query("l7_embed_neardup")
+L7_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= {NEARDUP_SIM}
+"""
+
+
+@query("l7_embed_neardup", oracle=L7_ORACLE)
 def l7_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: LSH-bucketed candidates (two
-    8-bit tables) + exact cosine ≥ 0.98. Same pruning shape as l3b —
-    pair generation is per-bucket, never all-pairs."""
+    """Embedding near-duplicate pairs at cosine ≥ 0.98, cost-based:
+    bounded corpora run exact broadcast all-pairs (recall 1.0, and the
+    DuckDB oracle checks every pair's similarity); past
+    L7_MAX_BROADCAST_VECS the hyperplane-LSH bucketed path engages
+    (two 8-bit tables, candidates per bucket collision — never an
+    all-pairs product; pytest forces and recall-checks it)."""
     e = load_table(spark, sf_dir, "embeddings")
     emb_d = F.col("embedding").cast("array<double>")
     base = e.select("vec_id", emb_d.alias("emb"))
+    if e.count() <= L7_MAX_BROADCAST_VECS:
+        a = base.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+        b = base.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+        sim = F.round(cosine_sim(F.col("ea"), F.col("eb")), 4)
+        return (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", sim.alias("sim"))
+            .filter(F.col("sim") >= NEARDUP_SIM)
+        )
     buckets = base.select(
         "vec_id",
         "emb",

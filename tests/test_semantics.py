@@ -86,6 +86,19 @@ def test_l2b_guard_switches_to_banded_path(spark, sf_dir, monkeypatch):
     assert strong <= banded
 
 
+def test_embed_neardup_bucketed_path_subset_of_exact(spark, sf_dir, monkeypatch):
+    """l7 is cost-based: force the LSH-bucketed (large-corpus) path and
+    check it emits only pairs the exact path confirms."""
+    from sparkstreaming_mq_spark.operators import llm
+
+    exact = {(r.vec_a, r.vec_b) for r in Q["l7_embed_neardup"](spark, sf_dir).collect()}
+    monkeypatch.setattr(llm, "L7_MAX_BROADCAST_VECS", 0)
+    bucketed = {(r.vec_a, r.vec_b) for r in Q["l7_embed_neardup"](spark, sf_dir).collect()}
+    assert bucketed <= exact
+    if exact:
+        assert len(bucketed) / len(exact) >= 0.5, "bucketed recall collapsed"
+
+
 def test_dedup_pipeline_partitions_corpus(spark, sf_dir):
     """l9 stages must partition the corpus, and no two kept docs may
     share a verified near-dup pair."""
