@@ -383,7 +383,12 @@ def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_THRESHOLD = 0.5
 
-L2B_ORACLE = f"""
+
+def _jaccard_oracle(threshold: float) -> str:
+    """Exact token-set-Jaccard pair SQL (DuckDB postings formulation)
+    at the given threshold — shared by l2b (0.5) and l2 (0.8; valid
+    because at the gate's scale both take the exact kernel path)."""
+    return f"""
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token FROM documents
 ),
@@ -398,8 +403,11 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
-WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
 """
+
+
+L2B_ORACLE = _jaccard_oracle(JACCARD_THRESHOLD)
 
 
 # Above this corpus size the broadcast nested-loop kernel is no longer
@@ -643,7 +651,7 @@ def _verify_pairs(d: DataFrame, cands: DataFrame, threshold: float) -> DataFrame
     )
 
 
-@query("l2_minhash_lsh")
+@query("l2_minhash_lsh", oracle=_jaccard_oracle(MINHASH_THRESHOLD))
 def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair detection at j≥0.8, cost-based like every other
     operator in the engine:
