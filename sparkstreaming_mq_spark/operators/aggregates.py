@@ -497,14 +497,29 @@ def a7_multidim_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_df.unionByName(cube_df).unionByName(sets_df)
 
 
-# --- A10: custom UDAF (grouped-agg pandas UDF) — rows-only -------------------------
+# --- A10: custom UDAF (grouped-agg pandas UDF) -------------------------------
 
-@query("a10_udaf_geomean")
+@query(
+    "a10_udaf_geomean",
+    oracle="""
+SELECT
+  o_orderstatus,
+  round(exp(avg(ln(o_totalprice)) FILTER (WHERE o_totalprice > 0)), 2)
+    AS geomean_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
 def a10_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregate (geometric mean of order price per status) as an
     Arrow-vectorized GROUPED_AGG pandas UDF — the engine's UDAF
     extension point (SURVEY.md §2.9 U3). Python touches only the
-    grouped column batches, not whole rows."""
+    grouped column batches, not whole rows.
+
+    Oracle-safe despite the UDF: the UDF emits the raw double
+    (exp∘mean∘log), rounding happens JVM-side, and the float
+    accumulation noise (~1e-13 relative) is ~5 orders of magnitude
+    below the 2-decimal rounding boundary."""
 
     @pandas_udf("double")
     def geomean(v: pd.Series) -> float:

@@ -1041,6 +1041,49 @@ CC_MAX_ITERS = 20
 CC_CHECKPOINT_EVERY = 3  # lineage-truncation cadence for the label frame
 
 
+def _cc_pairs_and_closure_sql(src: str, threshold: float) -> str:
+    """DuckDB CTE block: exact token-Jaccard pairs at ``threshold``
+    among docs in CTE ``src`` (doc_id, text), then the transitive
+    closure as a recursive CTE. Yields ``cc(doc_id, cluster_id)`` with
+    cluster_id = min reachable doc_id — exactly the fixpoint of the
+    Spark side's min-label propagation. Valid as an oracle because at
+    the gate's scale the Spark pair generation takes the exact kernel
+    path (recall 1.0), so both sides cluster the identical pair graph.
+    (The enclosing query must start WITH RECURSIVE.)"""
+    return f"""
+tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token FROM {src}
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+),
+edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM {src}
+  UNION
+  SELECT reach.doc_id, edges.t FROM reach JOIN edges ON reach.r = edges.s
+),
+cc AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+"""
+
+
+L8_ORACLE = f"""
+WITH RECURSIVE src AS (SELECT doc_id, text FROM documents),
+{_cc_pairs_and_closure_sql("src", MINHASH_THRESHOLD)}
+SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM cc
+"""
+
+
 def _min_label_propagation(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Connected components of an undirected pair graph by iterative
     min-label propagation: (doc_id, label = min doc_id reachable).
@@ -1091,7 +1134,7 @@ def _min_label_propagation(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     return labels
 
 
-@query("l8_dedup_clusters")
+@query("l8_dedup_clusters", oracle=L8_ORACLE)
 def l8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turn pairwise near-dup evidence into KEEP/DROP decisions: the
     connected components of the near-dup pair graph
@@ -1100,10 +1143,12 @@ def l8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliverable of a dedup pipeline (you keep one representative per
     cluster, not a pair list).
 
-    Iterative algorithms are the documented non-SQL-expressible class
-    (rows-only check); pytest asserts the fixpoint property (one more
-    propagation step changes nothing) and that every pair's endpoints
-    share a cluster."""
+    The iterative Spark side converges to label = min reachable
+    doc_id; the oracle reproduces those labels non-iteratively as a
+    recursive-CTE transitive closure over the same exact pair graph
+    (see ``_cc_pairs_and_closure_sql``). pytest asserts the fixpoint
+    property (one more propagation step changes nothing) and that
+    every pair's endpoints share a cluster."""
     d = load_table(spark, sf_dir, "documents")
     pairs = l2_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     labels = _min_label_propagation(d, pairs)
@@ -1116,7 +1161,38 @@ def l8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- L9: end-to-end corpus dedup pipeline -------------------------------------
 
-@query("l9_dedup_pipeline")
+L9_ORACLE = f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm_text,
+         (len(string_split(text, ' ')) >= 5 AND
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) > 0.3) AS ok
+  FROM documents
+),
+keepers AS (
+  SELECT min(doc_id) AS doc_id FROM scored WHERE ok GROUP BY md5(norm_text)
+),
+src AS (
+  SELECT s.doc_id, s.text FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
+),
+{_cc_pairs_and_closure_sql("src", MINHASH_THRESHOLD)}
+SELECT doc_id, 'drop_quality' AS stage, CAST(NULL AS BIGINT) AS cluster_id
+FROM scored WHERE NOT ok
+UNION ALL
+SELECT s.doc_id, 'drop_exact' AS stage, CAST(NULL AS BIGINT) AS cluster_id
+FROM scored s
+WHERE s.ok AND s.doc_id NOT IN (SELECT doc_id FROM keepers)
+UNION ALL
+SELECT doc_id,
+       CASE WHEN doc_id = cluster_id THEN 'keep' ELSE 'drop_neardup' END AS stage,
+       cluster_id
+FROM cc
+"""
+
+
+@query("l9_dedup_pipeline", oracle=L9_ORACLE)
 def l9_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation pipeline, one operator:
 
@@ -1135,9 +1211,11 @@ def l9_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact an actual 100 TB curation run ships. Every constituent is
     the same scored operator the engine exposes standalone; the
     pipeline adds only narrow projections and left-anti joins between
-    stages (no new shuffle shapes). Rows-only check (the near-dup
-    stage is iterative); pytest asserts the stages partition the
-    corpus and that no two kept docs share a verified near-dup pair."""
+    stages (no new shuffle shapes). The oracle replays all three
+    stages in SQL, reproducing the iterative near-dup stage as a
+    recursive-CTE closure (see ``_cc_pairs_and_closure_sql``); pytest
+    asserts the stages partition the corpus and that no two kept docs
+    share a verified near-dup pair."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_tok = F.size(toks)

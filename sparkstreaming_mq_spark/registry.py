@@ -81,7 +81,7 @@ PRIORITY: tuple[str, ...] = (
     "a6_collect",               # A6 collection aggs
     "a7_multidim_agg",          # A7 rollup + cube + grouping sets
     "a8_pivot",                 # A8
-    "a10_udaf_geomean",         # A10 UDAF / U3 grouped-agg UDF (rows-only)
+    "a10_udaf_geomean",         # A10 UDAF / U3 grouped-agg UDF
     # joins
     "j1_inner_equi",            # J1 fact-fact SMJ, J3 broadcast dim
     "j2_outer",                 # J2 left + full outer
@@ -109,7 +109,7 @@ PRIORITY: tuple[str, ...] = (
     "u6_udtf_tokenize",         # U6
     # LLM-pipeline
     "l1_exact_dedup",           # L1
-    "l2_minhash_lsh",           # L2 scale path (rows-only)
+    "l2_minhash_lsh",           # L2 scale path (exact oracle at gate scale)
     "l2b_ngram_jaccard",        # L2 exact kernel
     "l3_cosine_topk",           # L3
     "l4_text_metrics",          # L4 stats/quality/tokens/fingerprint/langid
