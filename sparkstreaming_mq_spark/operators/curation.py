@@ -1,0 +1,318 @@
+"""Corpus-curation operators beyond the SURVEY §2 inventory (L10-L14).
+
+The operations a large-scale training-data pipeline runs between raw
+ingest and the dedup/quality stages the engine already ships
+(operators/llm.py): benchmark decontamination, repetition filtering,
+PII/blocklist scrubbing, context-window chunking, and reproducible
+hash-based sampling. The reference snapshot has no implementation to
+cite (/root/reference/.gitignore:1-2 is the whole repo); semantics
+follow the public data-curation literature (n-gram-overlap
+decontamination and repetition gates as described in the GPT-3 /
+Gopher appendices, salt-free hash sampling as in every map-reduce-era
+pipeline).
+
+Scale design (100 TB bar):
+- Decontamination: the eval set is bounded by construction, so its
+  shingle set is a broadcast semi-join side — the corpus is touched
+  once, shuffled once (per-doc hit count agg on doc_id).
+- Repetition / scrub / chunking: per-row higher-order JVM expressions
+  (narrow, scan-bound, whole-stage codegen); chunking's only growth is
+  the deliberate explode to ~n_tokens/CHUNK_TOKENS rows.
+- Hash sample: stateless per-row digest predicate — reproducible
+  across runs/clusters with zero coordination, prunable at the scan.
+
+Every operator carries an exact DuckDB oracle; every float ratio is
+rounded JVM-side; no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark.registry import query
+from sparkstreaming_mq_spark.tables import load_table
+
+# --- L10: benchmark decontamination ------------------------------------------
+
+DECON_NGRAM = 4     # word-shingle width for overlap matching
+BENCH_MOD = 97      # doc_id % BENCH_MOD == 0 -> held-out "benchmark" doc
+
+
+def _shingles(toks, n: int):
+    """All n-token shingles of ``toks`` as strings (empty when the doc
+    is shorter than n)."""
+    n_tok = F.size(toks)
+    return F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+L10_ORACLE = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - {DECON_NGRAM} + 2, 1)),
+           i -> array_to_string(toks[i:i + {DECON_NGRAM} - 1], ' ')))) AS ng
+  FROM tokd
+),
+bench AS (SELECT DISTINCT ng FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM sh s
+  WHERE s.doc_id % {BENCH_MOD} != 0 AND s.ng IN (SELECT ng FROM bench)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n, 0)     AS n_hit_ngrams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {BENCH_MOD} != 0
+"""
+
+
+@query("l10_decontaminate", oracle=L10_ORACLE)
+def l10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training doc sharing at
+    least one DECON_NGRAM-token shingle with the held-out benchmark
+    set (docs with doc_id % BENCH_MOD == 0 stand in for an eval
+    suite). The eval side is bounded, so its distinct shingle set
+    broadcasts; the corpus explodes its shingles once and semi-joins —
+    the standard n-gram-overlap recipe at map-reduce scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(toks, DECON_NGRAM))).alias("ng"),
+    )
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench_sh = sh.filter(is_bench).select("ng").distinct()
+    hits = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench_sh), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        d.filter(~is_bench)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).alias("n_hit_ngrams"),
+            (F.coalesce("n", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# --- L11: repetition metrics (Gopher-style gate) ------------------------------
+
+TOP_TOKEN_MAX_FRAC = 0.2
+DUP_BIGRAM_MAX_FRAC = 0.4
+
+
+L11_ORACLE = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CAST(list_max(list_transform(list_distinct(toks),
+              t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+           / len(toks) AS ttf,
+         1.0 - CAST(len(list_distinct(list_transform(
+                 range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE)
+             / (len(toks) - 1) AS dbf
+  FROM tokd
+)
+SELECT doc_id, n_tokens,
+       round(ttf, 4) AS top_token_frac,
+       round(dbf, 4) AS dup_bigram_frac,
+       (ttf <= {TOP_TOKEN_MAX_FRAC} AND dbf <= {DUP_BIGRAM_MAX_FRAC}) AS keep
+FROM m
+"""
+
+
+@query("l11_repetition", oracle=L11_ORACLE)
+def l11_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition gate: most-frequent-token fraction and duplicate-
+    bigram fraction per doc, with a Gopher-style keep flag. All
+    higher-order JVM expressions — the per-doc O(distinct x tokens)
+    frequency scan stays inside codegen, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    # guard: Spark's sequence(1, 0) counts DOWN (DuckDB's range(1, 1)
+    # is empty) — a 1-token doc must yield no bigrams, not bogus ones
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ttf = top_cnt.cast("double") / n_tok
+    dbf = F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / (n_tok - 1)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(ttf, 4).alias("top_token_frac"),
+        F.round(dbf, 4).alias("dup_bigram_frac"),
+        ((ttf <= TOP_TOKEN_MAX_FRAC) & (dbf <= DUP_BIGRAM_MAX_FRAC)).alias("keep"),
+    )
+
+
+# --- L12: PII / blocklist scrub ----------------------------------------------
+
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_URL = r"https?://[^ ]+"
+PII_LONGNUM = r"[0-9]{3,}"
+BLOCKLIST = ("spark", "merge")
+_BLOCK_RE = r"\b(" + "|".join(BLOCKLIST) + r")\b"
+
+
+L12_ORACLE = f"""
+SELECT
+  doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+    '{PII_EMAIL}', '<EMAIL>', 'g'),
+    '{PII_URL}', '<URL>', 'g'),
+    '{PII_LONGNUM}', '<NUM>', 'g'),
+    '{_BLOCK_RE}', '<TERM>', 'g') AS scrubbed,
+  len(regexp_extract_all(text, '{PII_EMAIL}', 0)) AS n_emails,
+  len(regexp_extract_all(text, '{PII_URL}', 0))   AS n_urls,
+  len(regexp_extract_all(text, '{PII_LONGNUM}', 0)) AS n_longnums,
+  len(regexp_extract_all(text, '{_BLOCK_RE}', 0)) AS n_blocked
+FROM documents
+"""
+
+
+@query("l12_pii_scrub", oracle=L12_ORACLE)
+def l12_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII + blocklist scrub: mask emails, URLs, long digit runs, and
+    blocklisted terms, and count each entity class per doc (the audit
+    trail a compliance pass needs). Pure regexp codegen — on the
+    synthetic corpus only the blocklist fires, but the patterns are
+    the operator's contract, exercised end-to-end by the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+                PII_URL,
+                "<URL>",
+            ),
+            PII_LONGNUM,
+            "<NUM>",
+        ),
+        _BLOCK_RE,
+        "<TERM>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count("text", F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_URL)).alias("n_urls"),
+        F.regexp_count("text", F.lit(PII_LONGNUM)).alias("n_longnums"),
+        F.regexp_count("text", F.lit(_BLOCK_RE)).alias("n_blocked"),
+    )
+
+
+# --- L13: context-window chunking --------------------------------------------
+
+CHUNK_TOKENS = 25
+
+
+L13_ORACLE = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT)))
+           AS chunk_idx,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT)),
+           i -> array_to_string(
+             toks[i * {CHUNK_TOKENS} + 1:(i + 1) * {CHUNK_TOKENS}], ' ')))
+           AS chunk_text
+  FROM tokd
+)
+SELECT doc_id, chunk_idx, chunk_text,
+       len(string_split(chunk_text, ' ')) AS n_chunk_tokens
+FROM ch
+"""
+
+
+@query("l13_chunk_tokens", oracle=L13_ORACLE)
+def l13_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each doc into fixed CHUNK_TOKENS-token training chunks
+    (final chunk ragged). A narrow per-row explode — rows grow by
+    ~n_tokens/CHUNK_TOKENS x with no shuffle, which is exactly how a
+    100 TB pre-tokenization pass should behave."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_chunks = F.ceil(n_tok / F.lit(float(CHUNK_TOKENS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)),
+    )
+    return d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.size(F.split("chunk_text", " ")).alias("n_chunk_tokens"),
+    )
+
+
+# --- L14: reproducible hash sampling -----------------------------------------
+
+SAMPLE_HEX_DIGITS = ("0", "1", "2")  # 3/16 deterministic sample
+
+
+L14_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket
+FROM b
+WHERE bucket IN ({", ".join(repr(h) for h in SAMPLE_HEX_DIGITS)})
+"""
+
+
+@query("l14_hash_sample", oracle=L14_ORACLE)
+def l14_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep docs whose
+    md5(lang:doc_id) first hex digit falls in a fixed set (3/16 rate),
+    salted by stratum so per-language subsets are independent. Unlike
+    seed-based ``sample`` (o9), the selection is a pure per-row
+    predicate — reproducible across runs, engines, and cluster sizes,
+    with no RNG state to coordinate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", "lang", F.col("doc_id").cast("string"))), 1, 1
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket").isin(*SAMPLE_HEX_DIGITS))
+    )

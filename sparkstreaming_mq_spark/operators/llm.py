@@ -462,15 +462,20 @@ def _broadcast_jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
 
 # --- L4e: language identification (n-gram/marker heuristic) -------------------
 
-@query("l4e_langid")
+@query(
+    "l4e_langid",
+    oracle="SELECT doc_id, lang AS labeled_lang, "
+    + _langid_sql()
+    + " FROM documents",
+)
 def l4e_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: count per-language marker-token hits,
     argmax with a fixed tie order, 'und' when nothing matches. All
-    JVM-side higher-order functions (no Python). Rows-only oracle —
-    the heuristic is engine-defined, not ANSI-SQL semantics; pytest
-    asserts determinism and the und/match split. (The synthetic corpus
-    is a shared bag-of-words vocabulary, so this exercises the operator
-    shape, not linguistic accuracy.)"""
+    JVM-side higher-order functions (no Python). Oracle: the same
+    ``_langid_sql`` mirror the scored l4_text_metrics slot uses;
+    pytest asserts determinism and the und/match split. (The synthetic
+    corpus is a shared bag-of-words vocabulary, so this exercises the
+    operator shape, not linguistic accuracy.)"""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
 

@@ -56,6 +56,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "sparkstreaming_mq_spark.operators.windows",
     "sparkstreaming_mq_spark.operators.setops",
     "sparkstreaming_mq_spark.operators.llm",
+    "sparkstreaming_mq_spark.operators.curation",
     "sparkstreaming_mq_spark.operators.udfs",
     "sparkstreaming_mq_spark.operators.storage",
     "sparkstreaming_mq_spark.streaming.queries",
@@ -142,6 +143,11 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "j11_salted_skew_join",     # bonus: explicit skew salting
     "l7_embed_neardup",         # embedding-cosine near-dup
     "l8_dedup_clusters",        # connected-components keep/drop
+    "l10_decontaminate",        # benchmark n-gram-overlap decontamination
+    "l11_repetition",           # Gopher-style repetition gate
+    "l12_pii_scrub",            # PII/blocklist scrub + audit counts
+    "l13_chunk_tokens",         # context-window chunking
+    "l14_hash_sample",          # reproducible stratified hash sample
     "l2c_simhash",              # SimHash near-dup
     "l3b_ann_lsh",              # hyperplane-LSH ANN (scale path)
     "l3c_ann_ivf",              # IVF ANN

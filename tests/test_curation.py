@@ -1,0 +1,80 @@
+"""Semantic properties of the corpus-curation operators (L10-L14):
+decontamination soundness, repetition-metric bounds, scrub audit
+consistency, chunk reassembly, and hash-sample determinism. Value
+parity with DuckDB is covered by the oracle sweep; these tests pin
+the properties a user of the pipeline relies on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark import registry
+from sparkstreaming_mq_spark.operators.curation import (
+    BENCH_MOD,
+    CHUNK_TOKENS,
+    SAMPLE_HEX_DIGITS,
+)
+from sparkstreaming_mq_spark.tables import load_table
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def test_decontaminate_excludes_benchmark_and_is_sound(spark, sf_dir):
+    out = Q["l10_decontaminate"](spark, sf_dir).toPandas()
+    assert (out["doc_id"] % BENCH_MOD != 0).all(), "benchmark docs must not be scored"
+    flagged = out[out["contaminated"]]
+    assert (flagged["n_hit_ngrams"] > 0).all()
+    assert (out[~out["contaminated"]]["n_hit_ngrams"] == 0).all()
+    # every doc appears exactly once
+    assert out["doc_id"].is_unique
+
+
+def test_repetition_metrics_bounded(spark, sf_dir):
+    out = Q["l11_repetition"](spark, sf_dir).toPandas()
+    assert out["top_token_frac"].between(0, 1).all()
+    assert out["dup_bigram_frac"].between(0, 1).all()
+    # at least 1/n_tokens by construction (1e-4 covers the 4-decimal
+    # rounding of the emitted ratio)
+    assert (out["top_token_frac"] >= 1.0 / out["n_tokens"] - 1e-4).all()
+
+
+def test_scrub_counts_match_replacements(spark, sf_dir):
+    out = Q["l12_pii_scrub"](spark, sf_dir)
+    # each masked entity leaves exactly one marker token behind
+    mismatch = out.filter(
+        F.regexp_count("scrubbed", F.lit("<TERM>")) != F.col("n_blocked")
+    ).count()
+    assert mismatch == 0
+    # scrubbed text never still contains a blocklisted standalone term
+    assert out.filter(F.col("scrubbed").rlike(r"\b(spark|merge)\b")).count() == 0
+
+
+def test_chunks_reassemble_to_document(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = Q["l13_chunk_tokens"](spark, sf_dir)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text")))
+                .getField("chunk_text")
+            ).alias("rebuilt"),
+            F.sum("n_chunk_tokens").alias("n_tok"),
+            F.max("n_chunk_tokens").alias("max_chunk"),
+        )
+    )
+    joined = docs.join(rebuilt, "doc_id")
+    assert joined.filter(F.col("rebuilt") != F.col("text")).count() == 0
+    assert chunks.filter(F.col("n_chunk_tokens") > CHUNK_TOKENS).count() == 0
+
+
+def test_hash_sample_deterministic_and_stratified(spark, sf_dir):
+    a = Q["l14_hash_sample"](spark, sf_dir).toPandas().sort_values("doc_id")
+    b = Q["l14_hash_sample"](spark, sf_dir).toPandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert set(a["bucket"]) <= set(SAMPLE_HEX_DIGITS)
+    # rate is near 3/16 overall (binomial tolerance on a small corpus)
+    n_total = load_table(spark, sf_dir, "documents").count()
+    rate = len(a) / n_total
+    assert abs(rate - 3 / 16) < 0.08
