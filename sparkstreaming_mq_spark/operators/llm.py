@@ -786,15 +786,66 @@ def _bucket_col(emb, table: int):
     return acc
 
 
-@query("l3b_ann_lsh")
+def _l3b_oracle() -> str:
+    """DuckDB mirror of the hyperplane-LSH ANN: the hyperplanes are
+    deterministic md5-derived constants, so the oracle embeds the very
+    same values ``_hyperplane`` produces as literals and replays
+    bucketing, multi-probe expansion, and exact-cosine re-ranking in
+    SQL. (Sign-of-dot-product is stable across engines at these
+    magnitudes; ties in the final ranking are broken on the rounded
+    sim + neighbor_id, identically on both sides.)"""
+    rows = []
+    for t in range(ANN_TABLES):
+        for bit in range(ANN_BITS):
+            arr = ", ".join(repr(x) for x in _hyperplane(t, bit))
+            rows.append(f"({t}, {bit}, CAST([{arr}] AS DOUBLE[]))")
+    values = ",\n".join(rows)
+    return f"""
+WITH hp(tbl, bit, w) AS (VALUES {values}),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+bk AS (
+  SELECT b.vec_id, h.tbl,
+         CAST(sum(CASE WHEN list_dot_product(b.emb, h.w) > 0
+                       THEN 1 << h.bit ELSE 0 END) AS BIGINT) AS bkt
+  FROM base b CROSS JOIN hp h
+  GROUP BY b.vec_id, h.tbl
+),
+probes AS (
+  SELECT vec_id AS query_id, tbl,
+         unnest([bkt] || list_transform(range(0, {ANN_BITS}),
+                                        j -> xor(bkt, 1 << j))) AS bkt
+  FROM bk WHERE vec_id < {TOPK_QUERY_IDS}
+),
+cands AS (
+  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+  FROM bk b JOIN probes p ON b.tbl = p.tbl AND b.bkt = p.bkt
+  WHERE b.vec_id != p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(q.emb, n.emb), 4) AS sim
+  FROM cands c
+  JOIN base q ON q.vec_id = c.query_id
+  JOIN base n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM scored)
+WHERE rnk <= {TOPK_K}
+"""
+
+
+@query("l3b_ann_lsh", oracle=_l3b_oracle())
 def l3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors: 8 independent 8-bit
     random-hyperplane tables with multi-probe — each query also probes
     every bucket within Hamming distance 1 of its own (9 buckets/table),
     so a single flipped sign bit can't lose a neighbor. Candidates get
     exact cosine; per-query top-10. At 100 TB the bucket join prunes to
-    ~9/256 of the corpus per table instead of a full scan. Rows-only
-    oracle; pytest measures recall vs the exact l3 result — note the
+    ~9/256 of the corpus per table instead of a full scan. Exact oracle
+    (``_l3b_oracle`` replays the deterministic bucketing in SQL);
+    pytest additionally measures recall vs the exact l3 result — note the
     fixture vectors are near-orthogonal (max pair cosine ≈ 0.51), the
     adversarial regime for any sublinear ANN; recall is high exactly in
     the near-dup regime where LSH is the right tool (see l7)."""
