@@ -283,6 +283,110 @@ def l13_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L15: sequence packing (sharded, with document splitting) ----------------
+
+PACK_CAPACITY = 64   # tokens per packed training sequence
+PACK_SHARDS = 16     # docs pack independently within doc_id % PACK_SHARDS
+
+
+L15_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id % {PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM d
+)
+SELECT doc_id, shard, n_tokens,
+       start_tok // {PACK_CAPACITY}                        AS seq_id,
+       start_tok % {PACK_CAPACITY}                         AS offset_in_seq,
+       (start_tok + n_tokens - 1) // {PACK_CAPACITY}
+         - start_tok // {PACK_CAPACITY} + 1                AS n_seqs_spanned
+FROM pos
+"""
+
+
+@query("l15_pack_sequences", oracle=L15_ORACLE)
+def l15_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: concatenate each shard's token
+    stream (doc_id order) and cut PACK_CAPACITY-token sequences,
+    emitting where every doc lands (sequence id, offset, how many
+    sequences it spans — docs split across boundaries, the standard
+    pre-training packing). Sharding by doc_id % PACK_SHARDS is the
+    scale contract: each shard packs independently off one bounded
+    window cumsum, so there is no global order and the only exchange
+    is the shard partitioning. Pure integer arithmetic — exact oracle."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    pos = base.withColumn("start_tok", start)
+    cap = F.lit(PACK_CAPACITY)
+    first_seq = F.floor(F.col("start_tok") / cap)
+    last_seq = F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / cap)
+    return pos.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        first_seq.alias("seq_id"),
+        (F.col("start_tok") % cap).alias("offset_in_seq"),
+        (last_seq - first_seq + 1).alias("n_seqs_spanned"),
+    )
+
+
+# --- L16: vocabulary statistics ----------------------------------------------
+
+VOCAB_TOP_K = 100
+
+
+L16_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token,
+       count(*)                 AS cf,
+       count(DISTINCT doc_id)   AS df
+FROM tok
+GROUP BY token
+ORDER BY cf DESC, token
+LIMIT {VOCAB_TOP_K}
+"""
+
+
+@query("l16_vocab_stats", oracle=L16_ORACLE)
+def l16_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: collection frequency and document frequency
+    per token, top VOCAB_TOP_K by cf (ties broken on the token's total
+    order, so the emitted SET is deterministic). The tokenizer-training
+    precursor: explode → one grouped agg → TakeOrderedAndProject top-k,
+    never a global sort of the vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("cf"), "token")
+        .limit(VOCAB_TOP_K)
+    )
+
+
 # --- L14: reproducible hash sampling -----------------------------------------
 
 SAMPLE_HEX_DIGITS = ("0", "1", "2")  # 3/16 deterministic sample

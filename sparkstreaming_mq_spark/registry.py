@@ -148,6 +148,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l12_pii_scrub",            # PII/blocklist scrub + audit counts
     "l13_chunk_tokens",         # context-window chunking
     "l14_hash_sample",          # reproducible stratified hash sample
+    "l15_pack_sequences",       # sharded sequence packing (with splitting)
+    "l16_vocab_stats",          # vocabulary cf/df top-k
     "l2c_simhash",              # SimHash near-dup
     "l3b_ann_lsh",              # hyperplane-LSH ANN (scale path)
     "l3c_ann_ivf",              # IVF ANN

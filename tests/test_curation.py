@@ -78,3 +78,24 @@ def test_hash_sample_deterministic_and_stratified(spark, sf_dir):
     n_total = load_table(spark, sf_dir, "documents").count()
     rate = len(a) / n_total
     assert abs(rate - 3 / 16) < 0.08
+
+
+def test_packing_is_contiguous_within_shard(spark, sf_dir):
+    from sparkstreaming_mq_spark.operators.curation import PACK_CAPACITY, PACK_SHARDS
+
+    out = Q["l15_pack_sequences"](spark, sf_dir).toPandas()
+    assert out["offset_in_seq"].between(0, PACK_CAPACITY - 1).all()
+    assert (out["doc_id"] % PACK_SHARDS == out["shard"]).all()
+    for _, g in out.sort_values("doc_id").groupby("shard"):
+        start = g["seq_id"] * PACK_CAPACITY + g["offset_in_seq"]
+        # each doc starts exactly where the previous one ended
+        assert (start == g["n_tokens"].cumsum().shift(fill_value=0)).all()
+        spans = (start + g["n_tokens"] - 1) // PACK_CAPACITY - g["seq_id"] + 1
+        assert (spans == g["n_seqs_spanned"]).all()
+
+
+def test_vocab_stats_invariants(spark, sf_dir):
+    out = Q["l16_vocab_stats"](spark, sf_dir).toPandas()
+    assert (out["cf"] >= out["df"]).all()
+    assert (out["df"] >= 1).all()
+    assert out["token"].is_unique

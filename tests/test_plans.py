@@ -129,3 +129,41 @@ def test_l4_text_metrics_single_scan_no_python(spark, sf_dir):
 def test_a7_multidim_uses_expand(spark, sf_dir):
     plan = executed_plan(Q["a7_multidim_agg"](spark, sf_dir))
     assert "Expand" in plan  # rollup/cube/sets all lower to Expand
+
+
+# --- curation operators (L10-L14): scale-shape guarantees ---------------------
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
+    plan = executed_plan(Q["l10_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "eval shingle set must broadcast"
+
+
+def test_repetition_and_scrub_are_shuffle_free_single_scan(spark, sf_dir):
+    for name in ("l11_repetition", "l12_pii_scrub"):
+        plan = executed_plan(Q[name](spark, sf_dir))
+        assert plan.count("Scan parquet") == 1, name
+        assert "Exchange" not in plan, f"{name} must not shuffle"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_chunking_is_narrow_explode(spark, sf_dir):
+    plan = executed_plan(Q["l13_chunk_tokens"](spark, sf_dir))
+    assert "Generate" in plan  # the explode
+    assert "Exchange" not in plan, "chunking must stay narrow (no shuffle)"
+
+
+def test_hash_sample_is_pure_predicate(spark, sf_dir):
+    plan = executed_plan(Q["l14_hash_sample"](spark, sf_dir))
+    assert "Exchange" not in plan and "Sample" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_packing_shuffles_only_on_shard(spark, sf_dir):
+    plan = executed_plan(Q["l15_pack_sequences"](spark, sf_dir))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 1 and "shard" in exchanges[0]
+
+
+def test_vocab_topk_fuses(spark, sf_dir):
+    assert "TakeOrderedAndProject" in executed_plan(Q["l16_vocab_stats"](spark, sf_dir))
