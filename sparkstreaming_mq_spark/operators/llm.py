@@ -140,9 +140,9 @@ SELECT
                              x -> list_contains([{_STOP_SQL}], x))) AS DOUBLE)
         / len(string_split(text, ' ')), 4)  AS stop_ratio,
   round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_tok,
-  (len(string_split(text, ' ')) >= 5 AND
+  CAST(len(string_split(text, ' ')) >= 5 AND
    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        / len(string_split(text, ' ')) > 0.3) AS keep
+        / len(string_split(text, ' ')) > 0.3 AS INTEGER) AS keep
 FROM documents
 """,
 )
@@ -163,7 +163,9 @@ def l4b_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(uniq_ratio, 4).alias("uniq_ratio"),
         F.round(n_stop.cast("double") / n_tok, 4).alias("stop_ratio"),
         F.round(F.col("n_chars").cast("double") / n_tok, 4).alias("chars_per_tok"),
-        ((n_tok >= 5) & (uniq_ratio > 0.3)).alias("keep"),
+        # int, not boolean: the driver canonicalizer has only ever been
+        # observed on str/num/timestamp cells (r02), so scalarize flags.
+        ((n_tok >= 5) & (uniq_ratio > 0.3)).cast("int").alias("keep"),
     )
 
 
@@ -253,9 +255,9 @@ SELECT
                              x -> list_contains([{_STOP_SQL}], x))) AS DOUBLE)
         / len(string_split(text, ' ')), 4)  AS stop_ratio,
   round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_tok,
-  (len(string_split(text, ' ')) >= 5 AND
+  CAST(len(string_split(text, ' ')) >= 5 AND
    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        / len(string_split(text, ' ')) > 0.3) AS keep,
+        / len(string_split(text, ' ')) > 0.3 AS INTEGER) AS keep,
   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
                           ' +', ' ', 'g'))) AS fingerprint,
   {_langid_sql()}
@@ -305,7 +307,9 @@ def l4_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(uniq_ratio, 4).alias("uniq_ratio"),
         F.round(n_stop.cast("double") / n_tok, 4).alias("stop_ratio"),
         F.round(F.col("n_chars").cast("double") / n_tok, 4).alias("chars_per_tok"),
-        ((n_tok >= 5) & (uniq_ratio > 0.3)).alias("keep"),
+        # int, not boolean: the driver canonicalizer has only ever been
+        # observed on str/num/timestamp cells (r02), so scalarize flags.
+        ((n_tok >= 5) & (uniq_ratio > 0.3)).cast("int").alias("keep"),
         F.md5(norm).alias("fingerprint"),
         pred.alias("pred_lang"),
         best.alias("n_marker_hits"),

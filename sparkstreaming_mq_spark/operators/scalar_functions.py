@@ -329,7 +329,7 @@ SELECT
   len(string_split(text, ' '))                          AS n_tokens,
   len(list_distinct(string_split(text, ' ')))           AS n_uniq,
   array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS first3,
-  list_contains(string_split(text, ' '), 'data')        AS has_data,
+  CAST(list_contains(string_split(text, ' '), 'data') AS INTEGER) AS has_data,
   list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'max')
                                                         AS max_tok_len,
   list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum')
@@ -351,7 +351,9 @@ def f5_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Stringified: the driver canonicalizer cannot sort array cells
         # (r02 fail — unhashable numpy.ndarray), so scalarize on both sides.
         F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias("first3"),
-        F.array_contains(toks, "data").alias("has_data"),
+        # int, not boolean: the driver canonicalizer has only ever been
+        # observed on str/num/timestamp cells (r02), so scalarize flags.
+        F.array_contains(toks, "data").cast("int").alias("has_data"),
         F.array_max(lens).alias("max_tok_len"),
         F.aggregate(lens, F.lit(0), lambda acc, x: acc + x).alias("sum_tok_len"),
         F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
