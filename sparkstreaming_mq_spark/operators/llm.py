@@ -702,18 +702,59 @@ def _neardup_pairs(d: DataFrame, threshold: float) -> DataFrame:
 
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 6
+SIMHASH_BANDS = 4
+
+# 32-bit token hash BOTH engines compute identically: the first 8 md5
+# nibbles as an integer. (xxhash64 would be faster Spark-side but has
+# no DuckDB twin — this buys the oracle exactness.)
+_HEXD = "0123456789abcdef"
+_L2C_TOKHASH_SQL = " + ".join(
+    f"(strpos('{_HEXD}', substring(md5(token), {i}, 1)) - 1) * {16 ** (8 - i)}::BIGINT"
+    for i in range(1, 9)
+)
+_L2C_SIMHASH_SQL = "\n       + ".join(
+    f"(CASE WHEN sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+    f" THEN {1 << j}::BIGINT ELSE 0 END)"
+    for j in range(SIMHASH_BITS)
+)
+_L2C_BAND_SQL = " OR ".join(
+    f"((a.simhash >> {8 * t}) & 255) = ((b.simhash >> {8 * t}) & 255)"
+    for t in range(SIMHASH_BANDS)
+)
+
+L2C_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+h AS (
+  SELECT doc_id, {_L2C_TOKHASH_SQL} AS th FROM tok
+),
+sig AS (
+  SELECT doc_id, {_L2C_SIMHASH_SQL} AS simhash
+  FROM h GROUP BY doc_id
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE ({_L2C_BAND_SQL})
+  AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
 
 
-@query("l2c_simhash")
+@query("l2c_simhash", oracle=L2C_ORACLE)
 def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: per-token 32-bit hash, per-bit ±1 grouped
     sums → sign bits → one integer fingerprint per doc; candidate
     pairs share one of four 8-bit bands; keep pairs with Hamming
     distance ≤ 6. All bitwise JVM expressions, one shuffle for the
-    signature, band self-join for candidates."""
+    signature, band self-join for candidates. The oracle replays the
+    identical hash + banding in DuckDB (all-pairs at gate scale), so
+    the check is exact — banding recall loss is part of the semantics
+    on both sides."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
-    h = F.xxhash64("token")
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
     per_bit = tok.groupBy("doc_id").agg(
         *[
             F.sum(F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)).alias(f"s{j}")
@@ -735,7 +776,7 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(t).alias("band"),
                         F.shiftright("simhash", 8 * t).bitwiseAND(F.lit(255)).alias("bv"),
                     )
-                    for t in range(4)
+                    for t in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bb"),
@@ -1351,7 +1392,28 @@ def l5_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("l5c_frame_sample")
+FRAME_SIZE = 32
+FRAME_STRIDE = 3  # sample every 3rd frame
+_FRAME_STEP = FRAME_SIZE * FRAME_STRIDE
+
+# The corpus is pure ASCII (verified at every sf), so byte-slicing the
+# utf-8 payload ≡ char-slicing the text — which makes the binary frame
+# digests exactly reproducible in DuckDB (sha256 is VARCHAR-only there).
+L5C_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, length(text) // {_FRAME_STEP} + 1)) AS frame_no
+  FROM documents
+)
+SELECT doc_id, frame_no,
+       length(substring(text, frame_no * {_FRAME_STEP} + 1, {FRAME_SIZE})) AS frame_bytes,
+       sha256(substring(text, frame_no * {_FRAME_STEP} + 1, {FRAME_SIZE})) AS frame_sha
+FROM f
+WHERE length(substring(text, frame_no * {_FRAME_STEP} + 1, {FRAME_SIZE})) > 0
+"""
+
+
+@query("l5c_frame_sample", oracle=L5C_ORACLE)
 def l5c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over an opaque media payload: every k-th
     fixed-size chunk of the binary is emitted as its own 'frame' row
@@ -1361,8 +1423,8 @@ def l5c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side: substring on binary + posexplode, no Python."""
     d = load_table(spark, sf_dir, "documents")
     media = F.encode("text", "utf-8")
-    frame_size = 32
-    stride = 3  # sample every 3rd frame
+    frame_size = FRAME_SIZE
+    stride = FRAME_STRIDE
     n_frames = F.floor(F.length(media) / (frame_size * stride)).cast("int") + 1
     framed = d.select(
         "doc_id",
@@ -1378,7 +1440,25 @@ def l5c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("frame_bytes") > 0)
 
 
-@query("l5d_media_resize")
+RESIZE_FACTOR = 4
+
+# Mirrors the UDF's b[::4] on the ASCII payload char-by-char; proves
+# the binary survived the Arrow round-trip bit-exactly.
+L5D_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, length(text) AS orig_bytes,
+         array_to_string(list_transform(
+           range(0, (length(text) + {RESIZE_FACTOR - 1}) // {RESIZE_FACTOR}),
+           i -> substring(text, i * {RESIZE_FACTOR} + 1, 1)), '') AS resized
+  FROM documents
+)
+SELECT doc_id, orig_bytes, length(resized) AS resized_bytes,
+       sha256(resized) AS resized_sha
+FROM r
+"""
+
+
+@query("l5d_media_resize", oracle=L5D_ORACLE)
 def l5d_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media resize over ``mapInPandas``: Arrow batches of binary
     payloads in, downsampled payloads + new dimensions out. A real
@@ -1391,7 +1471,7 @@ def l5d_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     framed = d.select("doc_id", F.encode("text", "utf-8").alias("media"))
-    factor = 4
+    factor = RESIZE_FACTOR
 
     def resize(batches):
         for pdf in batches:
@@ -1414,7 +1494,23 @@ def l5d_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("l5b_media_features")
+# Raw IEEE doubles from identical integer/constant division on both
+# sides hash identically — no rounding anywhere (oracle-parity rule:
+# never round in pandas UDFs).
+L5B_ORACLE = """
+SELECT doc_id,
+       1 + ascii(substring(text, 1, 1))                         AS width,
+       1 + ascii(substring(text, length(text), 1))              AS height,
+       4                                                        AS feat_dim,
+       length(text) / 1000.0                                    AS f_len,
+       ascii(substring(text, 1, 1)) / 255.0                     AS f_first,
+       ascii(substring(text, length(text) // 2 + 1, 1)) / 255.0 AS f_mid,
+       ascii(substring(text, length(text), 1)) / 255.0          AS f_last
+FROM documents
+"""
+
+
+@query("l5b_media_features", oracle=L5B_ORACLE)
 def l5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode / feature-extraction over ``mapInPandas``: Arrow
     batches of (doc_id, media-binary) flow to Python; a real deployment
@@ -1443,10 +1539,10 @@ def l5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         1 + b[0],
                         1 + b[-1],
                         [
-                            round(len(b) / 1000.0, 6),
-                            round(b[0] / 255.0, 6),
-                            round(b[len(b) // 2] / 255.0, 6),
-                            round(b[-1] / 255.0, 6),
+                            len(b) / 1000.0,
+                            b[0] / 255.0,
+                            b[len(b) // 2] / 255.0,
+                            b[-1] / 255.0,
                         ],
                     )
                 )
@@ -1465,11 +1561,15 @@ def l5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Engine users get the typed array<double> from the mapInPandas
     # stage above; the registered (driver-facing) projection scalarizes
-    # it — the driver canonicalizer cannot handle array cells (r02).
+    # it — the driver canonicalizer cannot handle array cells (r02) —
+    # into one raw-double column per feature.
     return out.select(
         "doc_id",
         "width",
         "height",
         F.size("feat").alias("feat_dim"),
-        F.array_join(F.transform("feat", lambda x: x.cast("string")), ",").alias("feat_csv"),
+        F.element_at("feat", 1).alias("f_len"),
+        F.element_at("feat", 2).alias("f_first"),
+        F.element_at("feat", 3).alias("f_mid"),
+        F.element_at("feat", 4).alias("f_last"),
     )

@@ -258,4 +258,5 @@ def test_media_features_deterministic(spark, sf_dir):
     b = Q["l5b_media_features"](spark, sf_dir).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
     assert (a["feat_dim"] == 4).all()
-    assert all(len(s.split(",")) == 4 for s in a["feat_csv"])
+    assert a[["f_len", "f_first", "f_mid", "f_last"]].notna().all().all()
+    assert a["f_first"].between(0.0, 1.0).all() and a["f_last"].between(0.0, 1.0).all()
