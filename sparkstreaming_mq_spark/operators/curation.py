@@ -72,7 +72,7 @@ hits AS (
 )
 SELECT d.doc_id,
        coalesce(h.n, 0)     AS n_hit_ngrams,
-       coalesce(h.n, 0) > 0 AS contaminated
+       CAST(coalesce(h.n, 0) > 0 AS INTEGER) AS contaminated
 FROM documents d
 LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % {BENCH_MOD} != 0
@@ -107,7 +107,8 @@ def l10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce("n", F.lit(0)).alias("n_hit_ngrams"),
-            (F.coalesce("n", F.lit(0)) > 0).alias("contaminated"),
+            # int, not boolean — same driver-canon caution as l4/f5
+            (F.coalesce("n", F.lit(0)) > 0).cast("int").alias("contaminated"),
         )
     )
 
@@ -137,7 +138,7 @@ m AS (
 SELECT doc_id, n_tokens,
        round(ttf, 4) AS top_token_frac,
        round(dbf, 4) AS dup_bigram_frac,
-       (ttf <= {TOP_TOKEN_MAX_FRAC} AND dbf <= {DUP_BIGRAM_MAX_FRAC}) AS keep
+       CAST(ttf <= {TOP_TOKEN_MAX_FRAC} AND dbf <= {DUP_BIGRAM_MAX_FRAC} AS INTEGER) AS keep
 FROM m
 """
 
@@ -175,7 +176,8 @@ def l11_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.alias("n_tokens"),
         F.round(ttf, 4).alias("top_token_frac"),
         F.round(dbf, 4).alias("dup_bigram_frac"),
-        ((ttf <= TOP_TOKEN_MAX_FRAC) & (dbf <= DUP_BIGRAM_MAX_FRAC)).alias("keep"),
+        # int, not boolean — same driver-canon caution as l4/f5
+        ((ttf <= TOP_TOKEN_MAX_FRAC) & (dbf <= DUP_BIGRAM_MAX_FRAC)).cast("int").alias("keep"),
     )
 
 

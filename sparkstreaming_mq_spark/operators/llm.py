@@ -1181,7 +1181,7 @@ cc AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
 L8_ORACLE = f"""
 WITH RECURSIVE src AS (SELECT doc_id, text FROM documents),
 {_cc_pairs_and_closure_sql("src", MINHASH_THRESHOLD)}
-SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM cc
+SELECT doc_id, cluster_id, CAST(doc_id = cluster_id AS INTEGER) AS keep FROM cc
 """
 
 
@@ -1256,7 +1256,8 @@ def l8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("keep"),
+        # int, not boolean — same driver-canon caution as l4/f5
+        (F.col("doc_id") == F.col("label")).cast("int").alias("keep"),
     )
 
 

@@ -420,7 +420,7 @@ SELECT
   array_to_string(list_transform(string_split(lower(o_orderpriority), ' '),
                                  w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ')
                                                          AS prio_initcap,
-  regexp_matches(o_orderpriority, '^[0-9]-')             AS prio_numbered,
+  CAST(regexp_matches(o_orderpriority, '^[0-9]-') AS INTEGER) AS prio_numbered,
   round(exp(o_totalprice / 500000.0), 6)                 AS price_exp,
   o_orderkey % 7                                         AS key_pmod7,
   CAST(to_timestamp(epoch(o_orderdate)) AS TIMESTAMP)    AS epoch_roundtrip,
@@ -444,7 +444,7 @@ def f8_function_longtail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.initcap(F.lower("o_orderpriority")).alias("prio_initcap"),
-        F.col("o_orderpriority").rlike("^[0-9]-").alias("prio_numbered"),
+        F.col("o_orderpriority").rlike("^[0-9]-").cast("int").alias("prio_numbered"),
         F.round(F.exp(F.col("o_totalprice") / 500000.0), 6).alias("price_exp"),
         F.pmod("o_orderkey", F.lit(7)).cast("long").alias("key_pmod7"),
         F.timestamp_seconds(F.unix_timestamp("o_orderdate")).alias("epoch_roundtrip"),

@@ -23,9 +23,9 @@ Q = registry.QUERIES
 def test_decontaminate_excludes_benchmark_and_is_sound(spark, sf_dir):
     out = Q["l10_decontaminate"](spark, sf_dir).toPandas()
     assert (out["doc_id"] % BENCH_MOD != 0).all(), "benchmark docs must not be scored"
-    flagged = out[out["contaminated"]]
+    flagged = out[out["contaminated"] == 1]
     assert (flagged["n_hit_ngrams"] > 0).all()
-    assert (out[~out["contaminated"]]["n_hit_ngrams"] == 0).all()
+    assert (out[out["contaminated"] == 0]["n_hit_ngrams"] == 0).all()
     # every doc appears exactly once
     assert out["doc_id"].is_unique
 
