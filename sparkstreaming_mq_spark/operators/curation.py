@@ -1,4 +1,4 @@
-"""Corpus-curation operators beyond the SURVEY §2 inventory (L10-L14).
+"""Corpus-curation operators beyond the SURVEY §2 inventory (L10-L19).
 
 The operations a large-scale training-data pipeline runs between raw
 ingest and the dedup/quality stages the engine already ships
@@ -421,4 +421,219 @@ def l14_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", "lang", bucket.alias("bucket"))
         .filter(F.col("bucket").isin(*SAMPLE_HEX_DIGITS))
+    )
+
+
+# --- L17: domain-mixture resampling ------------------------------------------
+
+# Target sampling weight per source domain: w < 1 downsamples by a
+# deterministic hash predicate, w > 1 upsamples by emitting full
+# epochs plus a hash-selected fractional epoch — the standard
+# pre-training "data mixing" step (e.g. books seen ~2x, low-quality
+# web ~0.4x). Unlisted sources default to 1.0.
+MIXTURE_WEIGHTS = {
+    "src0": 2.5,
+    "src1": 2.0,
+    "src2": 1.5,
+    "src3": 0.75,
+    "src4": 0.4,
+    "src5": 0.0,
+}
+
+# 32-bit hash of source:doc_id both engines compute identically
+# (first 8 md5 nibbles), scaled against frac(w) * 2^32.
+_HEXD = "0123456789abcdef"
+
+
+def _md5_int32_sql(expr: str) -> str:
+    return " + ".join(
+        f"(strpos('{_HEXD}', substring(md5({expr}), {i}, 1)) - 1) * {16 ** (8 - i)}::BIGINT"
+        for i in range(1, 9)
+    )
+
+
+def _mixture_cases() -> tuple[str, str]:
+    wfloor = " ".join(
+        f"WHEN '{s}' THEN {int(w)}" for s, w in MIXTURE_WEIGHTS.items()
+    )
+    thresh = " ".join(
+        f"WHEN '{s}' THEN {int((w - int(w)) * (1 << 32))}"
+        for s, w in MIXTURE_WEIGHTS.items()
+    )
+    return (
+        f"CASE source {wfloor} ELSE 1 END",
+        f"CASE source {thresh} ELSE 0 END",
+    )
+
+
+_MIX_WFLOOR_SQL, _MIX_THRESH_SQL = _mixture_cases()
+
+L17_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         {_MIX_WFLOOR_SQL} AS wfloor,
+         {_MIX_THRESH_SQL} AS thresh,
+         {_md5_int32_sql("source || ':' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+         wfloor + (CASE WHEN h < thresh THEN 1 ELSE 0 END) AS n_copies
+  FROM w
+)
+SELECT doc_id, source, unnest(range(0, n_copies)) AS epoch
+FROM n
+WHERE n_copies > 0
+"""
+
+
+@query("l17_domain_mixture", oracle=L17_ORACLE)
+def l17_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: emit each document once per training
+    epoch according to its source's target weight — floor(w) full
+    copies plus one more iff md5-hash(source:doc_id) falls under the
+    fractional remainder. Weight 0 drops the source; weight 2.5 yields
+    2 or 3 copies. Purely per-row JVM arithmetic + one narrow explode:
+    no shuffle, no RNG state, identical output on any cluster layout —
+    which is what makes the mixture reproducible at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    wfloor = F.lit(1)
+    thresh = F.lit(0)
+    for s, w in MIXTURE_WEIGHTS.items():
+        wfloor = F.when(F.col("source") == s, F.lit(int(w))).otherwise(wfloor)
+        thresh = F.when(
+            F.col("source") == s, F.lit(int((w - int(w)) * (1 << 32)))
+        ).otherwise(thresh)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", "source", F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    n_copies = wfloor + F.when(h < thresh, 1).otherwise(0)
+    return (
+        d.select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("epoch"),
+        )
+    )
+
+
+# --- L18: BPE-style adjacent-pair statistics ---------------------------------
+
+BPE_TOP_PAIRS = 50
+
+
+L18_ORACLE = f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                               i -> substring(word, CAST(i AS INT), 2))) AS pair
+  FROM words
+  WHERE length(word) >= 2
+)
+SELECT pair, count(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+@query("l18_bpe_pairs", oracle=L18_ORACLE)
+def l18_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE-training iteration: corpus-wide frequency of
+    adjacent character pairs within words (occurrence-weighted, as BPE
+    counts), top BPE_TOP_PAIRS with deterministic tie-break. Two
+    narrow explodes then ONE grouped agg fused into
+    TakeOrderedAndProject — the merge table never sees a global sort.
+    Repeated per merge round (with the chosen pair fused) this is the
+    full tokenizer-training loop; one round is registered because each
+    round is the same plan."""
+    d = load_table(spark, sf_dir, "documents")
+    word = F.explode(F.split("text", " ")).alias("word")
+    words = d.select(word).filter(F.length("word") >= 2)
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.col("word").substr(i, F.lit(2)),
+        )
+    ).alias("pair")
+    return (
+        words.select(pair)
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+# --- L19: TF-IDF term ranking (log-free idf for exact replay) ----------------
+
+TFIDF_TOP_TERMS = 3
+
+
+L19_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * (SELECT count(*) FROM documents) / df.df AS score
+  FROM tf JOIN df USING (token)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score, rnk
+FROM ranked WHERE rnk <= {TFIDF_TOP_TERMS}
+"""
+
+
+@query("l19_tfidf_terms", oracle=L19_ORACLE)
+def l19_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top characteristic terms per document by tf-idf, with a
+    LOG-FREE idf (tf * N / df): libm log() is not bit-identical
+    across engines, an exact integer ratio is — same ranking, exact
+    oracle. Plan: tf agg and df agg share the exploded scan, the
+    vocabulary join runs token-partitioned, N arrives as a broadcast
+    single-row cross join (never a driver-side collect), and the
+    per-doc top-k is one bounded window."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")) / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "token", "tf", "df", "score", "rnk")
     )

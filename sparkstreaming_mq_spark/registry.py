@@ -150,6 +150,9 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l14_hash_sample",          # reproducible stratified hash sample
     "l15_pack_sequences",       # sharded sequence packing (with splitting)
     "l16_vocab_stats",          # vocabulary cf/df top-k
+    "l17_domain_mixture",       # per-source up/down-sampling with epochs
+    "l18_bpe_pairs",            # BPE round-1 adjacent char-pair counts
+    "l19_tfidf_terms",          # per-doc top tf-idf terms (log-free idf)
     "l2c_simhash",              # SimHash near-dup
     "l3b_ann_lsh",              # hyperplane-LSH ANN (scale path)
     "l3c_ann_ivf",              # IVF ANN

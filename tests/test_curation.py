@@ -99,3 +99,44 @@ def test_vocab_stats_invariants(spark, sf_dir):
     assert (out["cf"] >= out["df"]).all()
     assert (out["df"] >= 1).all()
     assert out["token"].is_unique
+
+
+def test_mixture_respects_weights(spark, sf_dir):
+    from sparkstreaming_mq_spark.operators.curation import MIXTURE_WEIGHTS
+
+    out = Q["l17_domain_mixture"](spark, sf_dir).toPandas()
+    base = load_table(spark, sf_dir, "documents").groupBy("source").count().toPandas()
+    base = dict(zip(base["source"], base["count"]))
+    got = out.groupby("source").size()
+    assert "src5" not in got.index, "weight-0 source must vanish"
+    for s, w in MIXTURE_WEIGHTS.items():
+        if w == 0.0:
+            continue
+        # emitted copies land within [floor(w), ceil(w)] x source size
+        assert int(w) * base[s] <= got[s] <= (int(w) + (w != int(w))) * base[s]
+    # unlisted sources pass through exactly once
+    unlisted = [s for s in base if s not in MIXTURE_WEIGHTS]
+    assert all(got[s] == base[s] for s in unlisted)
+    # epochs are dense 0..n-1 per doc
+    per_doc = out.groupby("doc_id")["epoch"].agg(["min", "max", "count"])
+    assert (per_doc["min"] == 0).all()
+    assert (per_doc["max"] + 1 == per_doc["count"]).all()
+
+
+def test_bpe_pairs_are_two_chars(spark, sf_dir):
+    out = Q["l18_bpe_pairs"](spark, sf_dir).toPandas()
+    assert (out["pair"].str.len() == 2).all()
+    assert out["n"].is_monotonic_decreasing or len(out) <= 1
+    assert out["pair"].is_unique
+
+
+def test_tfidf_ranks_rare_terms_over_common(spark, sf_dir):
+    from sparkstreaming_mq_spark.operators.curation import TFIDF_TOP_TERMS
+
+    out = Q["l19_tfidf_terms"](spark, sf_dir).toPandas()
+    assert out.groupby("doc_id")["rnk"].max().le(TFIDF_TOP_TERMS).all()
+    assert (out["tf"] >= 1).all() and (out["df"] >= 1).all()
+    # score is monotone in rank within a doc
+    for _, g in out.groupby("doc_id"):
+        g = g.sort_values("rnk")
+        assert (g["score"].diff().dropna() <= 1e-9).all()

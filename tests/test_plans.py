@@ -167,3 +167,21 @@ def test_packing_shuffles_only_on_shard(spark, sf_dir):
 
 def test_vocab_topk_fuses(spark, sf_dir):
     assert "TakeOrderedAndProject" in executed_plan(Q["l16_vocab_stats"](spark, sf_dir))
+
+
+def test_mixture_is_narrow_no_shuffle(spark, sf_dir):
+    plan = executed_plan(Q["l17_domain_mixture"](spark, sf_dir))
+    assert "Exchange" not in plan, "mixture resampling must not shuffle"
+    assert "Generate" in plan  # the epoch explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_topk_fuses(spark, sf_dir):
+    plan = executed_plan(Q["l18_bpe_pairs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_tfidf_broadcasts_corpus_count(spark, sf_dir):
+    plan = executed_plan(Q["l19_tfidf_terms"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, "n_docs must broadcast, not shuffle"
