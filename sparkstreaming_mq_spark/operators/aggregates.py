@@ -117,11 +117,19 @@ def a5_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB ``quantile_cont``). The approximate KLL-sketch variant is
     a5b below — that one is the 100 TB path."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
-        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+    # one percentile buffer for all three points (measured 2x faster
+    # than three single-point aggregates at sf0.1: 2.27s -> 1.13s)
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("pcts"), F.round(F.median("l_quantity"), 4).alias("med_qty"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("pcts")[0], 4).alias("p50"),
+            F.round(F.col("pcts")[1], 4).alias("p90"),
+            F.round(F.col("pcts")[2], 4).alias("p99"),
+            "med_qty",
+        )
     )
 
 
@@ -378,14 +386,25 @@ def a2_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
 
     def aggs():
+        # one percentile buffer for both points (see a5_percentiles)
         return [
             F.count("*").alias("n_rows"),
             F.countDistinct("o_custkey").alias("n_custs"),
             F.countDistinct("o_orderpriority").alias("n_prios"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9))).alias("pcts"),
         ]
+
+    def finish(df: DataFrame) -> DataFrame:
+        return df.select(
+            "scope",
+            "n_rows",
+            "n_custs",
+            "n_prios",
+            "total_price",
+            F.round(F.col("pcts")[0], 4).alias("p50"),
+            F.round(F.col("pcts")[1], 4).alias("p90"),
+        )
 
     grouped = (
         o.groupBy(F.col("o_orderstatus").alias("scope"))
@@ -393,7 +412,7 @@ def a2_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_rows") >= 10)
     )
     global_ = o.agg(*aggs()).select(F.lit("ALL").alias("scope"), "*")
-    return grouped.unionByName(global_)
+    return finish(grouped.unionByName(global_))
 
 
 # --- A4 + A5-approx combined sketches (driver-slot query; rows-only) ---------------

@@ -80,3 +80,59 @@ def o10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+# --- O11: partitioned layout + partition-pruned scan --------------------------
+
+PART_STATUS = "O"
+PART_MIN_PRICE = 100000.0
+
+
+def _partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize orders hive-partitioned by o_orderstatus (once per
+    sf per process); returns the parquet path."""
+    key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), "sparkgraft_parts", key, "orders")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+    return path
+
+
+@query(
+    "o11_partitioned_prune",
+    oracle=f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderstatus = '{PART_STATUS}' AND o_totalprice > {PART_MIN_PRICE}
+GROUP BY o_orderpriority
+""",
+)
+def o11_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan over a hive-partitioned layout: orders is
+    written partitioned by o_orderstatus, and the status predicate
+    resolves to PartitionFilters — whole directories never open, which
+    at 100 TB is the difference between scanning one status's share
+    and the full table. The price predicate rides to the footer level
+    as a PushedFilter. Same relational semantics as filtering the flat
+    table — exactly what the oracle checks."""
+    path = _partitioned_orders(spark, sf_dir)
+    o = spark.read.parquet(path)
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == PART_STATUS)
+            & (F.col("o_totalprice") > PART_MIN_PRICE)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

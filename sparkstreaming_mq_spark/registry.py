@@ -140,6 +140,7 @@ PRIORITY: tuple[str, ...] = (
 TAIL_PRIORITY: tuple[str, ...] = (
     "l9_dedup_pipeline",        # composed curation pipeline (L4+L1+L2+L8)
     "o10_bucketed_join",        # bonus: zero-exchange bucketed join
+    "o11_partitioned_prune",    # bonus: hive-partitioned layout + pruned scan
     "j11_salted_skew_join",     # bonus: explicit skew salting
     "l7_embed_neardup",         # embedding-cosine near-dup
     "l8_dedup_clusters",        # connected-components keep/drop

@@ -185,3 +185,13 @@ def test_bpe_topk_fuses(spark, sf_dir):
 def test_tfidf_broadcasts_corpus_count(spark, sf_dir):
     plan = executed_plan(Q["l19_tfidf_terms"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, "n_docs must broadcast, not shuffle"
+
+
+def test_partitioned_scan_actually_prunes(spark, sf_dir):
+    plan = executed_plan(Q["o11_partitioned_prune"](spark, sf_dir))
+    assert "PartitionFilters" in plan
+    # the status predicate must be a partition filter, not a data filter
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "o_orderstatus" in pf.group(1)
+    assert "PushedFilters" in plan and "o_totalprice" in plan
