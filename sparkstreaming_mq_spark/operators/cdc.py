@@ -1,0 +1,136 @@
+"""CDC apply / warehouse-maintenance operators (bonus surface).
+
+The archetype delivers micro-batches into mutable stores (HBase/Redis/
+MySQL — SURVEY.md §2.1 S7); these operators are the BATCH kernels of
+that delivery path, expressed relationally so they run anywhere Spark
+does and stay fully oracle-checkable:
+
+- ``m1_merge_upsert`` — MERGE a change-set (inserts/updates/deletes)
+  into a snapshot: the exact computation a ``foreachBatch`` upsert
+  performs per epoch, as one declarative plan.
+- ``m2_scd2_history`` — slowly-changing-dimension type-2 interval
+  build from an event log (valid_from / valid_to / is_current).
+
+Scale notes: the merge anti-joins on the primary key — one shuffle,
+AQE-broadcastable when the epoch's change-set is small (the common
+case); at 100 TB you combine it with partition pruning so only
+partitions containing touched keys rewrite (write-audit-publish).
+SCD2 is one shuffle on the entity key, then partition-local window
+evaluation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark.registry import query
+from sparkstreaming_mq_spark.tables import load_table
+
+# Deterministic synthetic change-set over orders: every key lands in at
+# most one bucket (deletes exclude update keys; insert keys are offset
+# far past the base key range).
+_INS_OFFSET = 100_000_000
+
+
+def _changes(o: DataFrame) -> DataFrame:
+    """Derive a deterministic CDC change-set from the orders snapshot."""
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    dels = o.filter((F.col("o_orderkey") % 11 == 3) & (F.col("o_orderkey") % 7 != 0)).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 13 == 1).select(
+        (F.col("o_orderkey") + _INS_OFFSET).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    return upd.unionByName(dels).unionByName(ins)
+
+
+@query(
+    "m1_merge_upsert",
+    oracle=f"""
+WITH upd AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 1000 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+dels AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 3 AND o_orderkey % 7 <> 0
+),
+ins AS (
+  SELECT o_orderkey + {_INS_OFFSET} AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 1
+),
+touched AS (
+  SELECT o_orderkey FROM upd UNION ALL SELECT o_orderkey FROM dels
+)
+SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+FROM orders b
+WHERE NOT EXISTS (SELECT 1 FROM touched t WHERE t.o_orderkey = b.o_orderkey)
+UNION ALL
+SELECT * FROM upd
+UNION ALL
+SELECT * FROM ins
+""",
+)
+def m1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as one declarative plan: base rows whose key
+    is untouched survive, updates replace, deletes vanish, inserts
+    append. This is the per-epoch kernel of a foreachBatch upsert sink
+    (SURVEY.md §2.1 S7) run as a batch operator with a full oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    ch = _changes(o)
+    touched = ch.filter(F.col("op") != "I").select("o_orderkey")
+    applied = ch.filter(F.col("op") != "D").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return base.join(touched, "o_orderkey", "left_anti").unionByName(applied)
+
+
+@query(
+    "m2_scd2_history",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, date_trunc('second', ts) AS ts_s, event_id
+  FROM events
+)
+SELECT user_id,
+       event_type AS state,
+       ts_s AS valid_from,
+       lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS valid_to,
+       CASE WHEN lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+                 IS NULL THEN 1 ELSE 0 END AS is_current
+FROM e
+""",
+)
+def m2_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval build: each per-user state change opens an
+    interval closed by the next change (NULL valid_to = current row).
+    Ordering is (second-truncated ts, event_id) on BOTH sides so window
+    evaluation is deterministic under timestamp ties. One shuffle on
+    user_id; interval assembly is partition-local lead()."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_trunc("second", "ts").alias("ts_s"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    nxt = F.lead("ts_s").over(w)
+    return ev.select(
+        "user_id",
+        "state",
+        F.col("ts_s").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

@@ -59,6 +59,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "sparkstreaming_mq_spark.operators.curation",
     "sparkstreaming_mq_spark.operators.udfs",
     "sparkstreaming_mq_spark.operators.storage",
+    "sparkstreaming_mq_spark.operators.cdc",
     "sparkstreaming_mq_spark.streaming.queries",
 )
 
@@ -141,6 +142,9 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l9_dedup_pipeline",        # composed curation pipeline (L4+L1+L2+L8)
     "o10_bucketed_join",        # bonus: zero-exchange bucketed join
     "o11_partitioned_prune",    # bonus: hive-partitioned layout + pruned scan
+    "m1_merge_upsert",          # bonus: CDC MERGE kernel (S7 batch twin)
+    "m2_scd2_history",          # bonus: SCD2 interval build
+    "t4c_session_batch",        # T4 batch twin with full SQL oracle
     "j11_salted_skew_join",     # bonus: explicit skew salting
     "l7_embed_neardup",         # embedding-cosine near-dup
     "l8_dedup_clusters",        # connected-components keep/drop

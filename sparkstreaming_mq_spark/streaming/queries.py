@@ -790,3 +790,62 @@ def t10_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         if p is not None
     ]
     return spark.createDataFrame(rows, "batch_id long, num_input_rows long")
+
+
+# --- T4 (batch twin): session windows with a full SQL oracle ------------------
+
+@query(
+    "t4c_session_batch",
+    oracle="""
+WITH e AS (
+  SELECT user_id, date_trunc('second', ts) AS ts_s, value FROM events
+),
+marked AS (
+  SELECT user_id, ts_s, value,
+         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts_s, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts_s) AS sess_start,
+       max(ts_s) + INTERVAL 30 MINUTE AS sess_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total
+FROM sess
+GROUP BY user_id, sid
+""",
+)
+def t4c_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (SURVEY.md §2.8 T4) in BATCH mode —
+    ``session_window`` is the same Catalyst expression batch or
+    streaming, so this twin gives T4 a full value-hash oracle (the
+    streaming t4 is rows-only because watermark flushing is the point
+    there). The oracle replays session merging as the classic
+    lag/cumsum rewrite. Timestamps are second-truncated on BOTH sides
+    so gap comparisons never sit within a ulp of the 30-minute
+    boundary. Scale: one shuffle on user_id; session merging is
+    partition-local after that, exactly how it shards on a cluster."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("second", "ts").alias("ts_s"), "value"
+    )
+    return (
+        ev.groupBy(F.session_window("ts_s", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "n_events",
+            "total",
+        )
+    )

@@ -260,3 +260,45 @@ def test_media_features_deterministic(spark, sf_dir):
     assert (a["feat_dim"] == 4).all()
     assert a[["f_len", "f_first", "f_mid", "f_last"]].notna().all().all()
     assert a["f_first"].between(0.0, 1.0).all() and a["f_last"].between(0.0, 1.0).all()
+
+
+def test_merge_upsert_row_accounting(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    n_base = o.count()
+    n_del = o.filter((F.col("o_orderkey") % 11 == 3) & (F.col("o_orderkey") % 7 != 0)).count()
+    n_ins = o.filter(F.col("o_orderkey") % 13 == 1).count()
+    merged = Q["m1_merge_upsert"](spark, sf_dir)
+    assert merged.count() == n_base - n_del + n_ins
+    # every surviving update row carries the new status and +1000 price
+    upd = merged.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") < 100_000_000))
+    assert upd.filter(F.col("o_orderstatus") != "X").count() == 0
+    # keys stay unique after the merge
+    assert merged.select("o_orderkey").distinct().count() == merged.count()
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    hist = Q["m2_scd2_history"](spark, sf_dir)
+    # exactly one open (current) interval per user
+    open_per_user = hist.groupBy("user_id").agg(F.sum("is_current").alias("n_open"))
+    assert open_per_user.filter(F.col("n_open") != 1).count() == 0
+    # each closed interval's valid_to equals the next interval's valid_from
+    w = Window.partitionBy("user_id").orderBy("valid_from", "valid_to")
+    chained = hist.withColumn("nxt_from", F.lead("valid_from").over(w)).filter(
+        F.col("valid_to").isNotNull()
+    )
+    assert chained.filter(F.col("valid_to") != F.col("nxt_from")).count() == 0
+
+
+def test_batch_sessions_cover_all_events(spark, sf_dir):
+    sess = Q["t4c_session_batch"](spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    agg = sess.agg(
+        F.sum("n_events").alias("n"), F.min(F.col("n_events")).alias("mn")
+    ).collect()[0]
+    assert agg.n == n_events and agg.mn >= 1
+    # session windows per user never overlap: end_i <= start_{i+1}
+    w = Window.partitionBy("user_id").orderBy("sess_start")
+    overl = sess.withColumn("nxt", F.lead("sess_start").over(w)).filter(
+        F.col("nxt").isNotNull() & (F.col("sess_end") > F.col("nxt"))
+    )
+    assert overl.count() == 0
