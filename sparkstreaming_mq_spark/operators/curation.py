@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkstreaming_mq_spark.operators.llm import _STOP_SQL, STOPWORDS
 from sparkstreaming_mq_spark.registry import query
 from sparkstreaming_mq_spark.tables import load_table
 
@@ -636,4 +637,139 @@ def l19_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TFIDF_TOP_TERMS)
         .select("doc_id", "token", "tf", "df", "score", "rnk")
+    )
+
+
+# --- L20: model-based quality classifier (exact linear margin) ---------------
+
+# Integer weights over ratio features with n_tokens as the common
+# denominator, so the margin numerator is an exact integer:
+#   margin = 40*uniq_ratio - 25*stop_ratio - 12
+#          = (40*n_uniq - 25*n_stop - 12*n_tokens) / n_tokens
+QC_W_UNIQ = 40
+QC_W_STOP = -25
+QC_BIAS = -12
+
+
+L20_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         len(list_filter(string_split(text, ' '),
+                         x -> list_contains([{_STOP_SQL}], x))) AS n_stop
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_tokens, n_uniq, n_stop,
+         {QC_W_UNIQ} * n_uniq + ({QC_W_STOP}) * n_stop
+           + ({QC_BIAS}) * n_tokens AS margin_num
+  FROM feat
+)
+SELECT doc_id, n_tokens, n_uniq, n_stop,
+       CAST(margin_num AS DOUBLE) / n_tokens AS margin,
+       round(1.0 / (1.0 + exp(-(CAST(margin_num AS DOUBLE) / n_tokens))), 4)
+         AS prob_keep,
+       CAST(margin_num > 0 AS INTEGER) AS keep
+FROM m
+"""
+
+
+@query("l20_quality_classifier", oracle=L20_ORACLE)
+def l20_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText-classifier stage of
+    public pipelines like CCNet/RefinedWeb, distilled to its engine
+    shape): a linear model over per-document features scoring every doc
+    in one narrow, codegen'd pass. The margin keeps an exact-integer
+    numerator over the n_tokens denominator (same trick as l19's
+    log-free idf) so the decision boundary and the margin itself are
+    bit-identical across engines; only the display probability touches
+    libm exp(), after the decision is already made. Scale: stateless
+    per-row scan — no shuffle, no model join (weights are literals; a
+    real model's weight vector arrives as a broadcast map)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    stops = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    margin_num = (
+        F.lit(QC_W_UNIQ) * n_uniq + F.lit(QC_W_STOP) * n_stop + F.lit(QC_BIAS) * n_tok
+    )
+    margin = margin_num.cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_uniq"),
+        n_stop.alias("n_stop"),
+        margin.alias("margin"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 4).alias("prob_keep"),
+        (margin_num > 0).cast("int").alias("keep"),
+    )
+
+
+# --- L21: corpus-fit unigram LM familiarity (perplexity-filter analog) -------
+
+L21_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cf AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY token
+),
+corpus AS (
+  SELECT CAST(sum(cf) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS v_size
+  FROM cf
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(c.cf) AS BIGINT) AS sum_cf
+  FROM tok t JOIN cf c USING (token)
+  GROUP BY t.doc_id
+)
+SELECT s.doc_id, s.n_tokens, s.sum_cf,
+       CAST(s.sum_cf AS DOUBLE) / s.n_tokens AS familiarity,
+       CAST(s.sum_cf * k.v_size < k.n_total * s.n_tokens AS INTEGER)
+         AS is_unfamiliar
+FROM scored s CROSS JOIN corpus k
+"""
+
+
+@query("l21_unigram_lm", oracle=L21_ORACLE)
+def l21_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-based filtering (the KenLM-perplexity stage of
+    CCNet, in engine shape): FIT a unigram model on the corpus itself
+    (token -> corpus frequency, one agg), then SCORE every document by
+    its mean token frequency — all integer arithmetic until one final
+    division, so scores replay exactly (libm log() never runs; mean
+    frequency ranks documents identically to mean unigram probability).
+    A doc is flagged unfamiliar when its mean cf falls below the
+    corpus-uniform mean N/V, compared in cross-multiplied integers so
+    the boundary is exact. Plan: the exploded scan is shared by the fit
+    agg and the score join; the vocabulary join is token-partitioned
+    (broadcastable when V is small, shuffle otherwise — Spark/AQE
+    picks); corpus totals arrive as a broadcast single row. Scale note:
+    the cross-multiplied flag needs sum_cf * V < 2^63 — at
+    web-corpus V (~1e7) that holds through ~1e11-token corpora; past
+    that, compare the two exact doubles instead."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    cf = tok.groupBy("token").agg(F.count("*").alias("cf"))
+    corpus = cf.agg(
+        F.sum("cf").alias("n_total"), F.count("*").alias("v_size")
+    )
+    scored = (
+        tok.join(cf, "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("cf").alias("sum_cf"))
+    )
+    return scored.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_cf",
+        (F.col("sum_cf").cast("double") / F.col("n_tokens")).alias("familiarity"),
+        (F.col("sum_cf") * F.col("v_size") < F.col("n_total") * F.col("n_tokens"))
+        .cast("int")
+        .alias("is_unfamiliar"),
     )

@@ -136,3 +136,163 @@ def o11_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+# --- S3b: schema-evolution scan (mergeSchema over heterogeneous files) --------
+
+
+def _evolved_docs(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a two-generation parquet layout for `documents`
+    (once per sf per process): generation v1 (even doc_id) wrote
+    (doc_id, lang, n_chars); generation v2 (odd doc_id) added `source`
+    and n_tokens but dropped n_chars — the classic
+    columns-added-over-time shape. Returns the base path."""
+    key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), "sparkgraft_schemaevo", key)
+    markers = [os.path.join(base, g, "_SUCCESS") for g in ("gen=v1", "gen=v2")]
+    if not all(os.path.exists(m) for m in markers):
+        d = load_table(spark, sf_dir, "documents")
+        (
+            d.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "lang", "n_chars")
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "gen=v1"))
+        )
+        (
+            d.filter(F.col("doc_id") % 2 == 1)
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                F.size(F.split("text", " ")).alias("n_tokens"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "gen=v2"))
+        )
+    return base
+
+
+@query(
+    "s3b_schema_merge",
+    oracle="""
+WITH merged AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_tokens
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars,
+         source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT lang,
+       count(*) AS n_rows,
+       count(n_chars) AS n_gen1,
+       count(source) AS n_gen2,
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars,
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS sum_tokens
+FROM merged
+GROUP BY lang
+""",
+)
+def s3b_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution (SURVEY.md §2.1 S3 variant): one scan
+    over parquet files written at two schema generations,
+    `mergeSchema=true` reconciling them by name — missing columns
+    surface as NULLs, exactly how a years-old 100 TB lake reads after
+    columns were added. The oracle replays the union-by-name semantics
+    over the flat table. Scale: schema merge is a footer-only planning
+    step (per-file schemas union on the driver); the data path stays
+    one pruned columnar scan + one partial-agg shuffle."""
+    base = _evolved_docs(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=v1"), os.path.join(base, "gen=v2")
+    )
+    return merged.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.count("n_chars").alias("n_gen1"),
+        F.count("source").alias("n_gen2"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("sum_chars"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("sum_tokens"),
+    )
+
+
+# --- O12: Z-order clustering for multi-dimensional data skipping --------------
+
+Z_BITS = 8  # per-dimension bucket bits (256 buckets/dim, 16-bit z-value)
+Z_OK_LO, Z_OK_HI = 1000, 3000        # o_orderkey-range predicate
+Z_PK_LO, Z_PK_HI = 500, 1500         # l_partkey-range predicate
+
+
+def _zorder_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize lineitem clustered by the Z-order curve over
+    (l_orderkey, l_partkey) — once per sf per process. Each dimension
+    is min-max bucketed to Z_BITS bits, the bits interleaved into one
+    z-value, and the table range-partitioned + sorted by it, so rows
+    close in BOTH dimensions land in the same files and row groups."""
+    key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), "sparkgraft_zorder", key, "lineitem")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem")
+        bounds = li.agg(
+            F.min("l_orderkey").alias("ok_mn"), F.max("l_orderkey").alias("ok_mx"),
+            F.min("l_partkey").alias("pk_mn"), F.max("l_partkey").alias("pk_mx"),
+        ).collect()[0]
+        n = (1 << Z_BITS) - 1
+        ok_b = (
+            (F.col("l_orderkey") - bounds.ok_mn) * n / max(bounds.ok_mx - bounds.ok_mn, 1)
+        ).cast("long")
+        pk_b = (
+            (F.col("l_partkey") - bounds.pk_mn) * n / max(bounds.pk_mx - bounds.pk_mn, 1)
+        ).cast("long")
+        z = F.lit(0).cast("long")
+        for i in range(Z_BITS):
+            bit = F.lit(1 << i).cast("long")
+            z = (
+                z
+                + F.shiftleft(F.col("_okb").bitwiseAND(bit), i + 1)
+                + F.shiftleft(F.col("_pkb").bitwiseAND(bit), i)
+            )
+        (
+            li.withColumn("_okb", ok_b)
+            .withColumn("_pkb", pk_b)
+            .withColumn("_z", z)
+            .repartitionByRange(16, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_okb", "_pkb", "_z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+@query(
+    "o12_zorder_scan",
+    oracle=f"""
+SELECT count(*) AS n_rows,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_orderkey BETWEEN {Z_OK_LO} AND {Z_OK_HI}
+  AND l_partkey BETWEEN {Z_PK_LO} AND {Z_PK_HI}
+""",
+)
+def o12_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data skipping via Z-order clustering (the
+    OPTIMIZE-ZORDER lever of public lakehouse engines): after the
+    one-time re-cluster, a conjunctive range predicate over BOTH
+    interleaved dimensions prunes most files/row-groups from their
+    min-max footer stats alone — on a 100 TB fact table that is the
+    difference between scanning everything (single-column sort helps
+    only its own column) and touching the few files whose z-range
+    intersects the query box. Semantics are unchanged from the flat
+    table — exactly what the oracle checks."""
+    path = _zorder_lineitem(spark, sf_dir)
+    li = spark.read.parquet(path)
+    return li.filter(
+        F.col("l_orderkey").between(Z_OK_LO, Z_OK_HI)
+        & F.col("l_partkey").between(Z_PK_LO, Z_PK_HI)
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )

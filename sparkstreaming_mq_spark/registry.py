@@ -158,6 +158,10 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l17_domain_mixture",       # per-source up/down-sampling with epochs
     "l18_bpe_pairs",            # BPE round-1 adjacent char-pair counts
     "l19_tfidf_terms",          # per-doc top tf-idf terms (log-free idf)
+    "l20_quality_classifier",   # model-based quality filter (exact margin)
+    "l21_unigram_lm",           # corpus-fit unigram LM familiarity filter
+    "s3b_schema_merge",         # schema-evolution mergeSchema scan
+    "o12_zorder_scan",          # Z-order clustering + 2-D data skipping
     "l2c_simhash",              # SimHash near-dup
     "l3b_ann_lsh",              # hyperplane-LSH ANN (scale path)
     "l3c_ann_ivf",              # IVF ANN

@@ -302,3 +302,75 @@ def test_batch_sessions_cover_all_events(spark, sf_dir):
         F.col("nxt").isNotNull() & (F.col("sess_end") > F.col("nxt"))
     )
     assert overl.count() == 0
+
+
+def test_quality_classifier_margin_decision(spark, sf_dir):
+    r = Q["l20_quality_classifier"](spark, sf_dir).toPandas()
+    # decision is exactly the sign of the margin (exact-integer boundary)
+    assert ((r["margin"] > 0).astype(int) == r["keep"]).all()
+    # probability is a valid sigmoid of the margin: bounds + monotone order
+    assert r["prob_keep"].between(0.0, 1.0).all()
+    s = r.sort_values("margin")
+    assert s["prob_keep"].is_monotonic_increasing
+
+
+def test_unigram_lm_familiarity_bounds(spark, sf_dir):
+    r = Q["l21_unigram_lm"](spark, sf_dir).toPandas()
+    # familiarity is a mean of per-token corpus frequencies: bounded by
+    # the global min/max cf, and the unfamiliar flag matches the N/V rule
+    from sparkstreaming_mq_spark.tables import load_table as _lt
+
+    tok = _lt(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    cf = tok.groupBy("token").count().agg(
+        F.min("count").alias("mn"),
+        F.max("count").alias("mx"),
+        F.sum("count").alias("n"),
+        F.count("*").alias("v"),
+    ).collect()[0]
+    assert (r["familiarity"] >= cf.mn).all() and (r["familiarity"] <= cf.mx).all()
+    expect = (r["sum_cf"] * cf.v < cf.n * r["n_tokens"]).astype(int)
+    assert (r["is_unfamiliar"] == expect).all()
+
+
+def test_schema_merge_accounting(spark, sf_dir):
+    r = Q["s3b_schema_merge"](spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents")
+    # every row lands in exactly one generation; per-lang counts add up
+    assert int(r["n_rows"].sum()) == docs.count()
+    assert (r["n_gen1"] + r["n_gen2"] == r["n_rows"]).all()
+    assert int(r["n_gen1"].sum()) == docs.filter(F.col("doc_id") % 2 == 0).count()
+
+
+def test_zorder_clustering_skips_files(spark, sf_dir):
+    import glob as _glob
+    import os as _os
+
+    from sparkstreaming_mq_spark.operators.storage import (
+        Z_OK_HI,
+        Z_OK_LO,
+        Z_PK_HI,
+        Z_PK_LO,
+        _zorder_lineitem,
+    )
+
+    path = _zorder_lineitem(spark, sf_dir)
+    parts = sorted(_glob.glob(_os.path.join(path, "part-*.parquet")))
+    assert len(parts) > 1
+    hit = 0
+    for p in parts:
+        st = (
+            spark.read.parquet(p)
+            .agg(
+                F.min("l_orderkey").alias("ok_mn"), F.max("l_orderkey").alias("ok_mx"),
+                F.min("l_partkey").alias("pk_mn"), F.max("l_partkey").alias("pk_mx"),
+            )
+            .collect()[0]
+        )
+        if st.ok_mx >= Z_OK_LO and st.ok_mn <= Z_OK_HI and st.pk_mx >= Z_PK_LO and st.pk_mn <= Z_PK_HI:
+            hit += 1
+    # the z-layout must let footer min-max stats prune at least one file
+    # for the 2-D box — a single-column sort cannot prune on the second
+    # dimension at all
+    assert hit < len(parts)
