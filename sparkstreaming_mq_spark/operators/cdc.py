@@ -134,3 +134,83 @@ def m2_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+# --- M3: incremental aggregate maintenance (materialized-view delta) ----------
+
+
+@query(
+    "m3_incremental_agg",
+    oracle=f"""
+WITH upd AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS price
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+dels AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 3 AND o_orderkey % 7 <> 0
+),
+ins AS (
+  SELECT o_orderkey + {_INS_OFFSET} AS o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderkey % 13 = 1
+),
+touched AS (
+  SELECT o_orderkey FROM upd UNION ALL SELECT o_orderkey FROM dels
+),
+merged AS (
+  SELECT b.o_orderpriority, CAST(b.o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders b
+  WHERE NOT EXISTS (SELECT 1 FROM touched t WHERE t.o_orderkey = b.o_orderkey)
+  UNION ALL SELECT o_orderpriority, price FROM upd
+  UNION ALL SELECT o_orderpriority, price FROM ins
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(price) AS DOUBLE) AS sum_price
+FROM merged
+GROUP BY o_orderpriority
+""",
+)
+def m3_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the per-priority
+    (count, sum) rollup is updated from the CDC change-set ALONE —
+    signed delta rows (+insert, -delete, update as +1000 shift) merged
+    into the old aggregate with one small re-aggregation — never
+    rescanning the base table's full history. The oracle recomputes the
+    rollup from the merged snapshot, so a hash match PROVES
+    delta-maintenance equals recompute. All sums run in exact
+    decimal(18,2), so accumulation order cannot diverge. Scale: this is
+    THE pattern for keeping 100 TB rollups fresh — the delta agg is
+    sized by the epoch's changes, not the table; one shuffle on the
+    group key, AQE-broadcastable."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    zero = F.lit("0").cast("decimal(18,2)")
+    # the "old" materialized aggregate (in production: read back from
+    # the sink; recomputed here so the query is self-contained)
+    old = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("dn"), F.sum(price).alias("ds")
+    )
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).groupBy("o_orderpriority").agg(
+        F.lit(0).alias("dn"),
+        F.sum(F.lit("1000").cast("decimal(18,2)")).alias("ds"),
+    )
+    dels = (
+        o.filter((F.col("o_orderkey") % 11 == 3) & (F.col("o_orderkey") % 7 != 0))
+        .groupBy("o_orderpriority")
+        .agg((-F.count("*")).alias("dn"), (zero - F.sum(price)).alias("ds"))
+    )
+    ins = o.filter(F.col("o_orderkey") % 13 == 1).groupBy("o_orderpriority").agg(
+        F.count("*").alias("dn"), F.sum(price).alias("ds")
+    )
+    return (
+        old.unionByName(upd)
+        .unionByName(dels)
+        .unionByName(ins)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("dn").alias("n_orders"),
+            F.sum("ds").cast("double").alias("sum_price"),
+        )
+    )

@@ -144,6 +144,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "o11_partitioned_prune",    # bonus: hive-partitioned layout + pruned scan
     "m1_merge_upsert",          # bonus: CDC MERGE kernel (S7 batch twin)
     "m2_scd2_history",          # bonus: SCD2 interval build
+    "m3_incremental_agg",       # bonus: materialized-view delta maintenance
     "t4c_session_batch",        # T4 batch twin with full SQL oracle
     "j11_salted_skew_join",     # bonus: explicit skew salting
     "l7_embed_neardup",         # embedding-cosine near-dup

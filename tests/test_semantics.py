@@ -374,3 +374,17 @@ def test_zorder_clustering_skips_files(spark, sf_dir):
     # for the 2-D box — a single-column sort cannot prune on the second
     # dimension at all
     assert hit < len(parts)
+
+
+def test_incremental_agg_matches_merged_snapshot(spark, sf_dir):
+    inc = Q["m3_incremental_agg"](spark, sf_dir)
+    merged = Q["m1_merge_upsert"](spark, sf_dir)
+    # the delta-maintained rollup must total exactly what the merged
+    # snapshot holds
+    a = inc.agg(F.sum("n_orders").alias("n"), F.sum("sum_price").alias("s")).collect()[0]
+    b = merged.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("s"),
+    ).collect()[0]
+    assert a.n == b.n
+    assert abs(a.s - b.s) < 1e-6
