@@ -1574,3 +1574,102 @@ def l5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feat", 3).alias("f_mid"),
         F.element_at("feat", 4).alias("f_last"),
     )
+
+
+# --- L22: semantic dedup (cluster-scoped embedding dedup, SemDeDup-style) -----
+
+SEM_N_CLUSTERS = 16
+SEM_THRESHOLD = 0.40
+
+L22_ORACLE = f"""
+WITH seeds AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS c,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {SEM_N_CLUSTERS}
+),
+asgn AS (
+  SELECT e.vec_id, s.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.c), 6)
+                    DESC, s.cid) AS rn
+  FROM embeddings e CROSS JOIN seeds s
+),
+a1 AS (SELECT vec_id, cid FROM asgn WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM a1 a
+  JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])), 4)
+        >= {SEM_THRESHOLD}
+)
+SELECT a1.vec_id, a1.cid,
+       CAST(a1.vec_id NOT IN (SELECT vec_id FROM dropped) AS INTEGER) AS keep
+FROM a1
+"""
+
+
+@query("l22_semantic_dedup", oracle=L22_ORACLE)
+def l22_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped semantic dedup (the SemDeDup recipe from the
+    public literature: cluster embeddings, then drop all but one of
+    each high-cosine pair WITHIN a cluster — never comparing across
+    clusters). Deterministic stand-in for k-means: centroids are the
+    SEM_N_CLUSTERS md5-hash-chosen corpus vectors (md5, not
+    xxhash64, so DuckDB replays the choice exactly); assignment is a
+    broadcast argmax over them with similarities rounded to 6 decimals
+    before ranking so an accumulation-order ulp can't flip the argmax.
+    A doc is dropped when a lower-id same-cluster partner sits at
+    cosine ≥ SEM_THRESHOLD (0.40 — calibrated to this fixture's
+    near-orthogonal vectors, max pair cosine ≈ 0.51; prose corpora
+    run ~0.95+). Scale: assignment is one narrow
+    broadcast pass; the pair join shuffles on cid and is quadratic
+    only within a cluster — which is the SemDeDup design point: k
+    grows with the corpus (k ≈ N/10k) to keep clusters bounded, and
+    the keeper rule needs no global state. Full exact oracle (both
+    engines run the identical pipeline)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    seed_key = F.md5(F.col("vec_id").cast("string"))
+    seeds = (
+        base.withColumn("h", seed_key)
+        .orderBy("h", "vec_id")
+        .limit(SEM_N_CLUSTERS)
+        .withColumn("cid", F.row_number().over(Window.orderBy("h", "vec_id")))
+        .select("cid", F.col("emb").alias("c"))
+    )
+    sim_c = F.round(cosine_sim(F.col("emb"), F.col("c")), 6)
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.desc("sim_c"), "cid")
+    )
+    a1 = (
+        base.crossJoin(F.broadcast(seeds))
+        .withColumn("sim_c", sim_c)
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "emb")
+    )
+    a = a1.select("cid", F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
+    b = a1.select("cid", F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
+    pair_sim = F.round(cosine_sim(F.col("ea"), F.col("eb")), 4)
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(pair_sim >= SEM_THRESHOLD)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        a1.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("_d").isNull(), 1).otherwise(0).alias("keep"),
+        )
+    )

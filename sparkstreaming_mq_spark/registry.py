@@ -161,6 +161,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l19_tfidf_terms",          # per-doc top tf-idf terms (log-free idf)
     "l20_quality_classifier",   # model-based quality filter (exact margin)
     "l21_unigram_lm",           # corpus-fit unigram LM familiarity filter
+    "l22_semantic_dedup",       # cluster-scoped embedding dedup (SemDeDup)
     "s3b_schema_merge",         # schema-evolution mergeSchema scan
     "o12_zorder_scan",          # Z-order clustering + 2-D data skipping
     "l2c_simhash",              # SimHash near-dup

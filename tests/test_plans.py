@@ -195,3 +195,42 @@ def test_partitioned_scan_actually_prunes(spark, sf_dir):
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "o_orderstatus" in pf.group(1)
     assert "PushedFilters" in plan and "o_totalprice" in plan
+
+
+def test_quality_classifier_is_narrow_no_shuffle(spark, sf_dir):
+    plan = executed_plan(Q["l20_quality_classifier"](spark, sf_dir))
+    assert "Exchange" not in plan, "model scoring must be a narrow scan"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_lm_broadcasts_corpus_totals(spark, sf_dir):
+    plan = executed_plan(Q["l21_unigram_lm"](spark, sf_dir))
+    # corpus totals (N, V) arrive as a broadcast single row, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
+    plan = executed_plan(Q["l22_semantic_dedup"](spark, sf_dir))
+    # the 16-centroid assignment side must broadcast
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_scan_pushes_both_range_predicates(spark, sf_dir):
+    plan = formatted_plan(Q["o12_zorder_scan"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1][:400]
+    assert "l_orderkey" in pushed and "l_partkey" in pushed
+
+
+def test_incremental_agg_never_rescans_wide(spark, sf_dir):
+    plan = formatted_plan(Q["m3_incremental_agg"](spark, sf_dir))
+    import re as _re
+    # every scan reads only the 3 referenced columns
+    for m in _re.finditer(r"ReadSchema: struct<([^>]*)", plan):
+        assert m.group(1).count(":") <= 3
+
+
+def test_merge_upsert_single_antijoin_shape(spark, sf_dir):
+    plan = executed_plan(Q["m1_merge_upsert"](spark, sf_dir))
+    assert "LeftAnti" in plan

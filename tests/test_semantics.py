@@ -388,3 +388,18 @@ def test_incremental_agg_matches_merged_snapshot(spark, sf_dir):
     ).collect()[0]
     assert a.n == b.n
     assert abs(a.s - b.s) < 1e-6
+
+
+def test_semantic_dedup_cluster_scoped(spark, sf_dir):
+    r = Q["l22_semantic_dedup"](spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # total accounting: every vector assigned to exactly one cluster
+    assert r.count() == emb.count()
+    assert r.select("vec_id").distinct().count() == r.count()
+    # at least one cluster-scoped drop exists at the fixture-calibrated
+    # threshold (measured: 10 drops at sf0.001, 19 at sf0.01)
+    dropped = r.filter(F.col("keep") == 0).count()
+    assert dropped >= 1
+    # dedup never empties a cluster: each cluster keeps >= 1 member
+    kept_per_cluster = r.groupBy("cid").agg(F.sum("keep").alias("k"))
+    assert kept_per_cluster.filter(F.col("k") < 1).count() == 0
