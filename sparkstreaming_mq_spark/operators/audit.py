@@ -1,0 +1,95 @@
+"""Data-quality audit operators (bonus surface).
+
+The validation pass a production pipeline runs before promoting a
+100 TB batch: key uniqueness, referential integrity, null rates, and
+domain/range checks — the engine-shaped core of the public dbt-test /
+Great-Expectations pattern, expressed as ONE declarative plan whose
+result is a small audit row (so the whole audit is one job, not N).
+
+Scale: each check is an aggregate or anti-join over the audited
+tables; Spark shares the scans between checks within a table, the
+orphan check is a broadcast-or-shuffle anti-join on the key, and the
+output is O(1) rows — the audit costs about one read of each table
+regardless of table count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark.registry import query
+from sparkstreaming_mq_spark.tables import load_table
+
+
+@query(
+    "x1_integrity_audit",
+    oracle="""
+SELECT
+  (SELECT count(*) FROM (
+     SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+   )) AS dup_orderkeys,
+  (SELECT count(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  ) AS orphan_lineitems,
+  (SELECT count(*) FROM orders WHERE o_totalprice IS NULL) AS null_totalprice,
+  (SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS nonpositive_price,
+  (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+    AS qty_out_of_range,
+  (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+    AS bad_discount,
+  (SELECT count(*) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+  ) AS orphan_customers
+""",
+)
+def x1_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass integrity audit: duplicate primary keys, orphaned
+    foreign keys (lineitem→orders, customer→nation), null and
+    range/domain violations — each check an aggregate or anti-join,
+    all combined into a single 1-row audit record. The healthy-fixture
+    expectation is all-zeros, and the oracle proves each counter
+    counts exactly what it claims. At scale the fact-fact orphan check
+    is the expensive one (anti-join shuffle on the key, AQE-broadcast
+    when the dimension side is small); everything else rides the same
+    scan map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    dup = (
+        o.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count("*").alias("dup_orderkeys"))
+    )
+    orphan_li = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphan_lineitems"))
+    )
+    o_checks = o.agg(
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("null_totalprice"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive_price"),
+    )
+    li_checks = li.agg(
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("qty_out_of_range"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("bad_discount"),
+    )
+    orphan_c = (
+        c.join(
+            F.broadcast(n.select("n_nationkey")),
+            c.c_nationkey == n.n_nationkey,
+            "left_anti",
+        ).agg(F.count("*").alias("orphan_customers"))
+    )
+    return (
+        dup.crossJoin(orphan_li)
+        .crossJoin(o_checks)
+        .crossJoin(li_checks)
+        .crossJoin(orphan_c)
+    )

@@ -543,3 +543,51 @@ def j8_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", "__asof_ts").alias("last_signup_ts"),
         F.round("value", 4).alias("value"),
     )
+
+
+# --- J12: star-schema join (multi-dim broadcast + Catalyst reorder) -----------
+
+
+@query(
+    "j12_star_join",
+    oracle="""
+SELECT n.n_name AS nation,
+       count(*) AS n_orders,
+       round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND o.o_orderstatus = 'O'
+GROUP BY n.n_name
+""",
+)
+def j12_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: one fact (orders) against a 3-deep dimension
+    chain (customer→nation→region) with a selective dimension filter.
+    The declared plan is dimension-order-agnostic — Catalyst reorders
+    the joins and broadcasts every dimension side, so the fact table
+    streams through three BroadcastHashJoins with zero fact-side
+    shuffles before the final aggregation; the region filter prunes
+    nations BEFORE any fact row is touched. At 100 TB that shape (one
+    pass over the fact, all dims broadcast) is the only one that
+    works. Revenue is summed in exact decimal so accumulation order
+    cannot diverge from the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -296,3 +296,98 @@ def o12_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").cast("bigint").alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+# --- O13: transaction-log snapshots (time travel + compaction invariance) -----
+
+TXLOG_VERSIONS = (1, 2, 3)
+
+
+def _txlog_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a minimal lakehouse transaction log over `documents`
+    (once per sf per process): commit v1 writes the even-doc_id half,
+    commit v2 appends the odd half, commit v3 compacts the table into
+    one file (logically identical to v2). Each version's manifest is a
+    JSON file listing its data files — the same snapshot mechanism the
+    public table formats (Delta/Iceberg/Hudi) build on. Returns the
+    table base path."""
+    import glob
+    import json
+
+    key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), "sparkgraft_txlog", key)
+    done = os.path.join(base, "manifest", "v3.json")
+    if not os.path.exists(done):
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        os.makedirs(os.path.join(base, "manifest"), exist_ok=True)
+
+        def _commit(version: int, files: list[str]) -> None:
+            tmp = os.path.join(base, "manifest", f".v{version}.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"version": version, "files": sorted(files)}, f)
+            os.replace(tmp, os.path.join(base, "manifest", f"v{version}.json"))
+
+        g1 = os.path.join(base, "data", "gen1")
+        d.filter(F.col("doc_id") % 2 == 0).repartition(4).write.mode("overwrite").parquet(g1)
+        f1 = glob.glob(os.path.join(g1, "part-*.parquet"))
+        _commit(1, f1)
+
+        g2 = os.path.join(base, "data", "gen2")
+        d.filter(F.col("doc_id") % 2 == 1).repartition(4).write.mode("overwrite").parquet(g2)
+        _commit(2, f1 + glob.glob(os.path.join(g2, "part-*.parquet")))
+
+        gc = os.path.join(base, "data", "compact")
+        spark.read.parquet(g1, g2).coalesce(1).write.mode("overwrite").parquet(gc)
+        _commit(3, glob.glob(os.path.join(gc, "part-*.parquet")))
+    return base
+
+
+def read_snapshot(spark: SparkSession, base: str, version: int) -> DataFrame:
+    """Read the table AS OF a committed version: the manifest pins the
+    exact file set, so concurrent later commits never leak in — the
+    reader-side half of snapshot isolation."""
+    import json
+
+    with open(os.path.join(base, "manifest", f"v{version}.json")) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(*manifest["files"])
+
+
+@query(
+    "o13_time_travel",
+    oracle="""
+SELECT 1 AS version, count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 2 AS version, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+UNION ALL
+SELECT 3 AS version, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+""",
+)
+def o13_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a manifest-pinned transaction log: the same
+    query against snapshot v1 (before the append), v2 (after), and v3
+    (after compaction) — v1 must see only its half, v2 and v3 must be
+    byte-for-byte the same logical table even though v3's physical
+    layout is one compacted file. At 100 TB this manifest mechanism is
+    what makes reads repeatable while writers land commits, and lets
+    compaction run without changing any query result — which is
+    exactly what the oracle checks (v3 replays as the full table, not
+    as "whatever files happen to exist")."""
+    base = _txlog_table(spark, sf_dir)
+    snaps = [
+        read_snapshot(spark, base, v)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(F.lit(v).alias("version"), "n_rows", "sum_chars")
+        for v in TXLOG_VERSIONS
+    ]
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out

@@ -60,6 +60,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "sparkstreaming_mq_spark.operators.udfs",
     "sparkstreaming_mq_spark.operators.storage",
     "sparkstreaming_mq_spark.operators.cdc",
+    "sparkstreaming_mq_spark.operators.audit",
     "sparkstreaming_mq_spark.streaming.queries",
 )
 
@@ -147,6 +148,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "m3_incremental_agg",       # bonus: materialized-view delta maintenance
     "t4c_session_batch",        # T4 batch twin with full SQL oracle
     "j11_salted_skew_join",     # bonus: explicit skew salting
+    "j12_star_join",            # bonus: star schema, all dims broadcast
     "l7_embed_neardup",         # embedding-cosine near-dup
     "l8_dedup_clusters",        # connected-components keep/drop
     "l10_decontaminate",        # benchmark n-gram-overlap decontamination
@@ -164,6 +166,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l22_semantic_dedup",       # cluster-scoped embedding dedup (SemDeDup)
     "s3b_schema_merge",         # schema-evolution mergeSchema scan
     "o12_zorder_scan",          # Z-order clustering + 2-D data skipping
+    "o13_time_travel",          # manifest-pinned snapshots + compaction
+    "x1_integrity_audit",       # bonus: dbt-style data-quality audit
     "l2c_simhash",              # SimHash near-dup
     "l3b_ann_lsh",              # hyperplane-LSH ANN (scale path)
     "l3c_ann_ivf",              # IVF ANN

@@ -234,3 +234,12 @@ def test_incremental_agg_never_rescans_wide(spark, sf_dir):
 def test_merge_upsert_single_antijoin_shape(spark, sf_dir):
     plan = executed_plan(Q["m1_merge_upsert"](spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_star_join_broadcasts_every_dimension(spark, sf_dir):
+    plan = executed_plan(Q["j12_star_join"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    # the only hash-partition exchange is the final aggregation
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) <= 1

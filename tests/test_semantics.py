@@ -403,3 +403,41 @@ def test_semantic_dedup_cluster_scoped(spark, sf_dir):
     # dedup never empties a cluster: each cluster keeps >= 1 member
     kept_per_cluster = r.groupBy("cid").agg(F.sum("keep").alias("k"))
     assert kept_per_cluster.filter(F.col("k") < 1).count() == 0
+
+
+def test_time_travel_snapshot_isolation(spark, sf_dir):
+    import glob
+    import json
+    import os
+
+    from sparkstreaming_mq_spark.operators.storage import _txlog_table, read_snapshot
+
+    base = _txlog_table(spark, sf_dir)
+    # v1 pinned BEFORE the v2 append: reading v1 after v2 committed
+    # still sees only the original half
+    v1 = read_snapshot(spark, base, 1)
+    docs = load_table(spark, sf_dir, "documents")
+    assert v1.count() == docs.filter(F.col("doc_id") % 2 == 0).count()
+    # compaction changed the physical layout (fewer files) but not the data
+    with open(os.path.join(base, "manifest", "v2.json")) as f:
+        v2_files = json.load(f)["files"]
+    with open(os.path.join(base, "manifest", "v3.json")) as f:
+        v3_files = json.load(f)["files"]
+    assert len(v3_files) < len(v2_files)
+    v2 = read_snapshot(spark, base, 2).orderBy("doc_id").toPandas()
+    v3 = read_snapshot(spark, base, 3).orderBy("doc_id").toPandas()
+    assert v2.equals(v3)
+
+
+def test_integrity_audit_clean_fixture_and_detects_violations(spark, sf_dir):
+    row = Q["x1_integrity_audit"](spark, sf_dir).collect()[0]
+    # the fixture is referentially sound: every counter must be zero
+    assert all(v == 0 for v in row.asDict().values()), row.asDict()
+    # the orphan check genuinely detects: removing half the orders
+    # makes their lineitems orphans under the identical anti-join
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 2 == 0)
+    li = load_table(spark, sf_dir, "lineitem")
+    orphans = li.join(
+        o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"
+    ).count()
+    assert orphans > 0
