@@ -264,3 +264,60 @@ def u6_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __u6_docs, LATERAL sg_tokenize(doc_id, text) t
         """
     )
+
+
+# --- U7: cogrouped-map applyInPandas -----------------------------------------
+
+@query(
+    "u7_cogroup_apply",
+    oracle="""
+WITH cg AS (
+  SELECT c_nationkey AS k, count(*) AS n_cust, max(c_acctbal) AS max_cust_bal
+  FROM customer GROUP BY c_nationkey
+),
+sg AS (
+  SELECT s_nationkey AS k, count(*) AS n_supp, min(s_acctbal) AS min_supp_bal
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT coalesce(cg.k, sg.k) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp,
+       max_cust_bal,
+       min_supp_bal
+FROM cg FULL OUTER JOIN sg ON cg.k = sg.k
+""",
+)
+def u7_cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map applyInPandas (the last pandas-API extension
+    point: two tables grouped on the same key, each key's pair of
+    pandas frames handed to one Python function — the escape hatch for
+    per-key logic that needs BOTH sides at once, e.g. custom as-of
+    matching or per-entity reconciliation). Semantics here are
+    deliberately order-independent (counts, min/max — never a float
+    sum, which pandas would accumulate in a different order than SQL)
+    so the DuckDB full-outer-join oracle hash-checks the whole result.
+    Scale: one shuffle per side on the cogroup key — the same cost as
+    the equivalent join — and Arrow batches both sides."""
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    s = load_table(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "nationkey": [int(key[0])],
+                "n_cust": [len(left)],
+                "n_supp": [len(right)],
+                "max_cust_bal": [left["c_acctbal"].max() if len(left) else None],
+                "min_supp_bal": [right["s_acctbal"].min() if len(right) else None],
+            }
+        )
+
+    return (
+        c.groupBy("c_nationkey")
+        .cogroup(s.groupBy("s_nationkey"))
+        .applyInPandas(
+            merge,
+            schema="nationkey long, n_cust long, n_supp long, "
+            "max_cust_bal double, min_supp_bal double",
+        )
+    )

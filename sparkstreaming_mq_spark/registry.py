@@ -180,6 +180,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "t5b_stream_dedup_watermarked",  # bounded-state dedup (T5 scale form)
     "s4b_orc_scan",             # third schema-on-read format
     "u5b_map_in_arrow",         # zero-copy Arrow extension point
+    "u7_cogroup_apply",         # cogrouped-map applyInPandas
     "t4b_session_dynamic_gap",  # per-row session gap
     "t2_stream_tumbling",
     "t3_stream_sliding",
