@@ -146,6 +146,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "m1_merge_upsert",          # bonus: CDC MERGE kernel (S7 batch twin)
     "m2_scd2_history",          # bonus: SCD2 interval build
     "m3_incremental_agg",       # bonus: materialized-view delta maintenance
+    "s10b_stream_merge_equiv",  # streaming MERGE == batch MERGE (exact oracle)
+    "s10_stream_merge_upsert",  # CDC stream -> versioned snapshot (rows)
     "t4c_session_batch",        # T4 batch twin with full SQL oracle
     "j11_salted_skew_join",     # bonus: explicit skew salting
     "j12_star_join",            # bonus: star schema, all dims broadcast

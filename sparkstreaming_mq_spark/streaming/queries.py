@@ -849,3 +849,142 @@ def t4c_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+# --- S10: streaming MERGE materialization (CDC stream → versioned table) ------
+
+_CDC_REPLAY_VERSION = 1
+_CDC_N_CHUNKS = 4
+
+
+def _cdc_chunks_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the deterministic orders change-set (operators/cdc
+    `_changes`) as _CDC_N_CHUNKS replay files — the offline stand-in
+    for a CDC topic. Every key carries exactly one op, so chunk
+    assignment (hash of the key) never splits a key across epochs."""
+    import os
+    import tempfile
+
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{_CDC_N_CHUNKS}_v{_CDC_REPLAY_VERSION}"
+    )
+    out = os.path.join(tempfile.gettempdir(), "sparkgraft_cdcreplay", key)
+    done = os.path.join(out, "_READY")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    from sparkstreaming_mq_spark.operators.cdc import _changes
+
+    ch = _changes(load_table(spark, sf_dir, "orders")).withColumn(
+        "__chunk", F.pmod(F.xxhash64("o_orderkey"), F.lit(_CDC_N_CHUNKS))
+    )
+    for k in range(_CDC_N_CHUNKS):
+        (
+            ch.filter(F.col("__chunk") == k)
+            .drop("__chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"chunk_{k:03d}"))
+        )
+    open(done, "w").close()
+    return out
+
+
+@query("s10_stream_merge_upsert", oracle=None)
+def s10_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization end-to-end: the change-set arrives
+    as a 4-epoch replay stream (S1), and foreachBatch (S7) MERGEs each
+    epoch into a manifest-versioned snapshot table (the o13 time-travel
+    mechanism) — epoch-numbered version directories make retries
+    idempotent, and readers always see a complete committed version.
+    The final snapshot provably equals the one-shot batch MERGE
+    (m1_merge_upsert): s10b carries m1's exact SQL oracle; pytest
+    asserts frame equality. This is the full delivery path of the
+    archetype (queue → transform → mutable store) with the store's
+    consistency mechanism made explicit. At 100 TB each epoch rewrites
+    only partitions containing touched keys (partition-pruned MERGE);
+    here the snapshot is small enough to rewrite whole."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    chunks = _cdc_chunks_dir(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("op", StringType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{chunks}/chunk_*")
+    )
+
+    table = tempfile.mkdtemp(prefix="sparkgraft_mergetable_")
+    manifest = os.path.join(table, "manifest.json")
+    v0 = os.path.join(table, "v0")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(v0)
+    )
+    with open(manifest, "w") as f:
+        json.dump({"version": 0, "path": v0}, f)
+
+    def merge_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        with open(manifest) as f:
+            cur = json.load(f)
+        dst = os.path.join(table, f"v{epoch_id + 1}")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            return  # retried epoch: version already committed
+        snap = spark.read.parquet(cur["path"])
+        touched = batch_df.filter(F.col("op") != "I").select("o_orderkey")
+        applied = batch_df.filter(F.col("op") != "D").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        (
+            snap.join(touched, "o_orderkey", "left_anti")
+            .unionByName(applied)
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": epoch_id + 1, "path": dst}, f)
+        os.replace(tmp, manifest)
+
+    run_stream_foreach_batch(stream, merge_epoch)
+    with open(manifest) as f:
+        final = json.load(f)
+    return spark.read.parquet(final["path"])
+
+
+# s10b: the batch-equivalence check as its own oracle-carrying query —
+# identical result contract to m1_merge_upsert, produced by the
+# STREAMING path. Prefix-complete (every chunk consumed under
+# AvailableNow), so the exact SQL oracle is sound.
+from sparkstreaming_mq_spark.operators.cdc import m1_merge_upsert as _m1  # noqa: E402
+from sparkstreaming_mq_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@query("s10b_stream_merge_equiv", oracle=_ORACLES["m1_merge_upsert"])
+def s10b_stream_merge_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming MERGE materialization's final snapshot, exposed
+    under m1's exact oracle: the driver hash-compares the STREAMED
+    result against the SQL MERGE semantics — proving the epoch-by-epoch
+    foreachBatch delivery converges to the batch answer."""
+    return s10_stream_merge_upsert(spark, sf_dir)

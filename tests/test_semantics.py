@@ -441,3 +441,12 @@ def test_integrity_audit_clean_fixture_and_detects_violations(spark, sf_dir):
         o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"
     ).count()
     assert orphans > 0
+
+
+def test_stream_merge_equals_batch_merge(spark, sf_dir):
+    streamed = Q["s10_stream_merge_upsert"](spark, sf_dir)
+    batch = Q["m1_merge_upsert"](spark, sf_dir)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    a = streamed.select(cols).orderBy("o_orderkey").toPandas()
+    b = batch.select(cols).orderBy("o_orderkey").toPandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
