@@ -60,3 +60,60 @@ def test_minhash_empty_document_safe(spark):
     toks = df.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
     sig = toks.groupBy("doc_id").agg(F.min(F.xxhash64("t", F.lit(0))).alias("mh0"))
     assert sig.count() >= 1
+
+
+def test_neardup_pairs_empty_corpus(spark):
+    from sparkstreaming_mq_spark.operators.llm import _neardup_pairs
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert _neardup_pairs(empty, 0.8).count() == 0
+
+
+def test_label_propagation_no_pairs_is_identity(spark):
+    from sparkstreaming_mq_spark.operators.llm import _min_label_propagation
+
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    labels = {r.doc_id: r.label for r in _min_label_propagation(docs, pairs).collect()}
+    assert labels == {1: 1, 2: 2, 3: 3}
+
+
+def test_session_window_single_event_per_user(spark):
+    out = (
+        spark.createDataFrame([(1, "2024-01-01 00:00:00", 1.0)], "user_id long, ts_s string, value double")
+        .select("user_id", F.col("ts_s").cast("timestamp").alias("ts_s"), "value")
+        .groupBy(F.session_window("ts_s", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["n"] == 1
+
+
+def test_merge_kernel_empty_changes_is_identity(spark):
+    base = spark.createDataFrame([(1, "O", 10.0), (2, "F", 20.0)], "k long, st string, p double")
+    ch = spark.createDataFrame([], "k long, op string, st string, p double")
+    touched = ch.filter(F.col("op") != "I").select("k")
+    applied = ch.filter(F.col("op") != "D").select("k", "st", "p")
+    merged = base.join(touched, "k", "left_anti").unionByName(applied)
+    assert sorted(r.k for r in merged.collect()) == [1, 2]
+
+
+def test_zorder_interleave_preserves_bucket_order(spark):
+    # a point whose buckets are both <= another's must never z-sort after it
+    from sparkstreaming_mq_spark.operators.storage import Z_BITS
+
+    rows = [(a, b) for a in (0, 3, 7, 255) for b in (0, 3, 7, 255)]
+    df = spark.createDataFrame(rows, "okb long, pkb long")
+    z = F.lit(0).cast("long")
+    for i in range(Z_BITS):
+        bit = F.lit(1 << i).cast("long")
+        z = (
+            z
+            + F.shiftleft(F.col("okb").bitwiseAND(bit), i + 1)
+            + F.shiftleft(F.col("pkb").bitwiseAND(bit), i)
+        )
+    got = {(r.okb, r.pkb): r.z for r in df.withColumn("z", z).collect()}
+    for (a1, b1), z1 in got.items():
+        for (a2, b2), z2 in got.items():
+            if a1 <= a2 and b1 <= b2:
+                assert z1 <= z2
