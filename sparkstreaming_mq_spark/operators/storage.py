@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkstreaming_mq_spark.registry import query
-from sparkstreaming_mq_spark.tables import load_table
+from sparkstreaming_mq_spark.tables import cache_key, load_table
 
 N_BUCKETS = 8
 
@@ -25,7 +25,7 @@ N_BUCKETS = 8
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize orders+lineitem bucketed by the join key (once per
     sf per process); returns the catalog table names."""
-    key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    key = cache_key(sf_dir, "orders")
     t_orders = f"sg_orders_b_{key}"
     t_lineitem = f"sg_lineitem_b_{key}"
     catalog = spark.catalog
@@ -91,7 +91,7 @@ PART_MIN_PRICE = 100000.0
 def _partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     """Materialize orders hive-partitioned by o_orderstatus (once per
     sf per process); returns the parquet path."""
-    key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    key = cache_key(sf_dir, "orders")
     path = os.path.join(tempfile.gettempdir(), "sparkgraft_parts", key, "orders")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
@@ -147,7 +147,7 @@ def _evolved_docs(spark: SparkSession, sf_dir: str) -> str:
     (doc_id, lang, n_chars); generation v2 (odd doc_id) added `source`
     and n_tokens but dropped n_chars — the classic
     columns-added-over-time shape. Returns the base path."""
-    key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    key = cache_key(sf_dir, "documents")
     base = os.path.join(tempfile.gettempdir(), "sparkgraft_schemaevo", key)
     markers = [os.path.join(base, g, "_SUCCESS") for g in ("gen=v1", "gen=v2")]
     if not all(os.path.exists(m) for m in markers):
@@ -229,7 +229,7 @@ def _zorder_lineitem(spark: SparkSession, sf_dir: str) -> str:
     is min-max bucketed to Z_BITS bits, the bits interleaved into one
     z-value, and the table range-partitioned + sorted by it, so rows
     close in BOTH dimensions land in the same files and row groups."""
-    key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    key = cache_key(sf_dir, "lineitem")
     path = os.path.join(tempfile.gettempdir(), "sparkgraft_zorder", key, "lineitem")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         li = load_table(spark, sf_dir, "lineitem")
@@ -314,7 +314,7 @@ def _txlog_table(spark: SparkSession, sf_dir: str) -> str:
     import glob
     import json
 
-    key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    key = cache_key(sf_dir, "documents")
     base = os.path.join(tempfile.gettempdir(), "sparkgraft_txlog", key)
     done = os.path.join(base, "manifest", "v3.json")
     if not os.path.exists(done):

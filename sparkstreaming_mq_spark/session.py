@@ -29,10 +29,12 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Streaming tests replay finite file sources; keep micro-batches lean.
     "spark.sql.streaming.noDataMicroBatches.enabled": "false",
-    # events.parquet stores INT64 TIMESTAMP(NANOS) which Spark 4 refuses
-    # to read as TimestampType (PARQUET_TYPE_ILLEGAL). Read it as a raw
-    # ns-since-epoch long instead; tables.load_table converts it back to
-    # a µs TimestampType column. ms-precision tables are unaffected.
+    # Some fixture generations store events.ts as INT64 TIMESTAMP(NANOS),
+    # which Spark 4 refuses to read as TimestampType (PARQUET_TYPE_ILLEGAL).
+    # This conf makes that shape scan as a raw ns-epoch long instead;
+    # tables.load_table then normalizes it (and the µs-NTZ shape newer
+    # generations use) to a µs TimestampType column. Harmless when the
+    # data carries no nanos columns.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Externally-built sessions (the driver harness) default to 200
     # shuffle partitions — pure task overhead at test scale, and

@@ -435,7 +435,9 @@ def s4_json_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkstreaming_mq_spark.streaming.sources import _CACHE_VERSION
 
-    key = f"{_os.path.basename(_os.path.normpath(sf_dir))}_v{_CACHE_VERSION}"
+    from sparkstreaming_mq_spark.tables import cache_key as _ck
+
+    key = f"{_ck(sf_dir, 'events')}_v{_CACHE_VERSION}"
     base = _os.path.join(_tf.gettempdir(), "sparkgraft_formats", key)
     ready = _os.path.join(base, "_READY")
     events = _lt(spark, sf_dir, "events").select(
@@ -489,7 +491,9 @@ def s4b_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparkstreaming_mq_spark.streaming.sources import _CACHE_VERSION
 
-    key = f"{_os.path.basename(_os.path.normpath(sf_dir))}_v{_CACHE_VERSION}"
+    from sparkstreaming_mq_spark.tables import cache_key as _ck
+
+    key = f"{_ck(sf_dir, 'events')}_v{_CACHE_VERSION}"
     base = _os.path.join(_tf.gettempdir(), "sparkgraft_orc", key)
     ready = _os.path.join(base, "_READY")
     if not _os.path.exists(ready):
@@ -865,10 +869,9 @@ def _cdc_chunks_dir(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
-    key = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{_CDC_N_CHUNKS}_v{_CDC_REPLAY_VERSION}"
-    )
+    from sparkstreaming_mq_spark.tables import cache_key as _ck
+
+    key = f"{_ck(sf_dir, 'orders')}_{_CDC_N_CHUNKS}_v{_CDC_REPLAY_VERSION}"
     out = os.path.join(tempfile.gettempdir(), "sparkgraft_cdcreplay", key)
     done = os.path.join(out, "_READY")
     if os.path.exists(done):

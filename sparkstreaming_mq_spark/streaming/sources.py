@@ -30,7 +30,7 @@ from pyspark.sql.types import (
 )
 
 from sparkstreaming_mq_spark.session import apply_runtime_conf
-from sparkstreaming_mq_spark.tables import load_table
+from sparkstreaming_mq_spark.tables import cache_key, load_table
 
 # Schema of the materialized replay files: ``tables.load_table`` has
 # already converted the fixture's ns-long ts to a µs TimestampType
@@ -52,7 +52,8 @@ EVENTS_STREAM_SCHEMA = StructType(
 # the ns→µs conversion) changes, so stale /tmp caches from an older code
 # version can never feed a replay (a v1→v2 off-by-one-µs bite: the float
 # ns division fix made cached chunks disagree with fresh batch loads).
-_CACHE_VERSION = 2
+# v3: events.ts normalized NTZ→LTZ (fixture regenerated as µs NTZ).
+_CACHE_VERSION = 3
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,7 +77,7 @@ def chunked_events_dir(
     chunk spans the full time range, so later chunks deliver events far
     behind the watermark — the deterministic late-data scenario.
     """
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{n_chunks}_{order}_v{_CACHE_VERSION}"
+    key = f"{cache_key(sf_dir, 'events')}_{n_chunks}_{order}_v{_CACHE_VERSION}"
     out = os.path.join(tempfile.gettempdir(), "sparkgraft_replay", key)
     done = os.path.join(out, "_READY")
     if os.path.exists(done):

@@ -8,6 +8,8 @@ Catalyst gets predicate pushdown + column pruning for free.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,24 +38,48 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def cache_key(sf_dir: str, name: str) -> str:
+    """Key for /tmp materializations derived from one fixture table.
+
+    Folds the source file's mtime+size into the key: the driver harness
+    regenerates /root/testdata between rounds, and a cache keyed only by
+    scale factor would silently serve last round's rows.
+    """
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    try:
+        st = os.stat(table_path(sf_dir, name))
+        return f"{base}_{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        return f"{base}_nofp"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table.
 
-    ``events.ts`` is physically INT64 TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as a ns-epoch long
-    and is converted here to a µs ``TimestampType`` so every consumer
-    sees a proper timestamp column. (DuckDB keeps ns — oracle queries
-    must ``date_trunc`` on both sides before emitting raw ``ts``.)
+    ``events.ts`` is normalized to a µs session-zone ``TimestampType``
+    regardless of the fixture generation's physical encoding — observed
+    shapes across driver rounds: INT64 TIMESTAMP(NANOS) (scans as a
+    ns-epoch long under ``spark.sql.legacy.parquet.nanosAsLong``) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (scans as TIMESTAMP_NTZ).
+    The session time zone is UTC, so the NTZ→LTZ cast is value-preserving
+    and both shapes produce identical downstream results.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     apply_runtime_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # Integer division: ns-epoch longs (~1.7e18) exceed double's 2^53
-        # exact range, so a float `/ 1000` round-trip can be off by ~1 µs
-        # and flip date_trunc boundaries vs DuckDB's exact ns values.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Integer division: ns-epoch longs (~1.7e18) exceed double's
+            # 2^53 exact range, so a float `/ 1000` round-trip can be off
+            # by ~1 µs and flip date_trunc boundaries vs DuckDB's ns values.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # UTC session: same instant, but a plain TIMESTAMP column is
+            # castable to epoch seconds and matches the ns-era shape that
+            # every consumer (and the replay cache schema) expects.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
