@@ -1,0 +1,185 @@
+"""Event-sequence analytics over the MQ stream table (bonus surface).
+
+The reference archetype (SURVEY.md §0.3: Spark-Streaming-over-MQ event
+pipelines) exists to answer exactly these product questions over the
+event firehose: conversion funnels, cohort retention, and behavioral
+transition matrices. Each operator here is the batch/lambda-layer form
+— the same DataFrame plan applies unchanged to a replayed stream via
+``foreachBatch`` — with a full DuckDB oracle.
+
+Scale notes (100 TB): every operator below is keyed by ``user_id`` —
+one shuffle per stage, all joins user_id-co-partitioned (Catalyst
+reuses the partitioning across the funnel stages), aggregates carry
+map-side partial combines, and no state is wider than (user, stage
+timestamp). Skewed power-users are bounded by the per-user event cap
+of the upstream dedup; AQE skew-split handles the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark.registry import query
+from sparkstreaming_mq_spark.tables import load_table
+
+
+@query(
+    "e1_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3, min(c.t1) AS t1
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT
+  (SELECT count(*) FROM v) AS users_viewed,
+  (SELECT count(*) FROM c) AS users_clicked,
+  (SELECT count(*) FROM p) AS users_purchased,
+  (SELECT coalesce(sum(date_diff('second', t1, t3)), 0) FROM p)
+    AS total_conversion_sec
+""",
+)
+def e1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase.
+
+    Strict event-order semantics: a stage counts only if it happens
+    AFTER the user's earliest completion of the previous stage (the
+    standard product-analytics funnel, not mere set membership).
+    Implementation is three user_id-keyed min-aggregates chained by
+    co-partitioned joins — at scale each stage is one shuffle on
+    user_id and the stage frames shrink monotonically, so the funnel
+    costs about one pass over the events that survive each gate.
+    ``total_conversion_sec`` stays integer (unix-second difference) so
+    the oracle hash is float-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t1").alias("t1"))
+    )
+    return (
+        v.agg(F.count("*").alias("users_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("users_clicked")))
+        .crossJoin(
+            p.agg(
+                F.count("*").alias("users_purchased"),
+                F.coalesce(
+                    F.sum(F.unix_timestamp("t3") - F.unix_timestamp("t1")),
+                    F.lit(0),
+                ).alias("total_conversion_sec"),
+            )
+        )
+    )
+
+
+@query(
+    "e2_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT
+  f.cohort_week AS cohort_week,
+  CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT)
+    AS week_offset,
+  count(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def e2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week,
+    counted distinct in every subsequent active week.
+
+    The classic growth-analytics triangle. Two user_id-keyed
+    aggregates feeding one co-partitioned join; the output is
+    O(cohorts × weeks) — tiny regardless of input scale. Weeks are
+    ISO Monday-start in both engines; the offset stays integer
+    (day-diff of week-truncated stamps is always a multiple of 7).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "e3_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT
+    event_type AS src_type,
+    lead(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+    ) AS dst_type
+  FROM events
+)
+SELECT src_type, dst_type, count(*) AS n_transitions
+FROM seq WHERE dst_type IS NOT NULL
+GROUP BY src_type, dst_type
+""",
+)
+def e3_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: for each user's time-ordered
+    event sequence, count src→dst adjacent-event pairs (the 1-step
+    Markov transition counts behind session-flow and next-action
+    models).
+
+    One window (partition by user_id — a single shuffle, sort local
+    to each partition) plus one 25-cell aggregate. Ties inside a
+    user's stream are broken by event_id so the sequence — and the
+    oracle hash — is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type").over(w).alias("dst_type"),
+    )
+    return (
+        seq.filter(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )

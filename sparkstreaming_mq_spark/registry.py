@@ -61,6 +61,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "sparkstreaming_mq_spark.operators.storage",
     "sparkstreaming_mq_spark.operators.cdc",
     "sparkstreaming_mq_spark.operators.audit",
+    "sparkstreaming_mq_spark.operators.events_analytics",
     "sparkstreaming_mq_spark.streaming.queries",
 )
 
@@ -170,6 +171,9 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "o12_zorder_scan",          # Z-order clustering + 2-D data skipping
     "o13_time_travel",          # manifest-pinned snapshots + compaction
     "x1_integrity_audit",       # bonus: dbt-style data-quality audit
+    "e1_funnel",                # ordered conversion funnel (MQ archetype)
+    "e2_retention",             # weekly cohort retention triangle
+    "e3_transitions",           # 1-step Markov transition counts
     "l2c_simhash",              # SimHash near-dup
     "l3b_ann_lsh",              # hyperplane-LSH ANN (scale path)
     "l3c_ann_ivf",              # IVF ANN

@@ -1,0 +1,61 @@
+"""Semantic properties of the event-sequence analytics operators
+(e1 funnel, e2 retention, e3 transitions). Value parity with DuckDB
+is covered by the oracle sweep; these tests pin the invariants a
+product-analytics user relies on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark import registry
+from sparkstreaming_mq_spark.tables import load_table
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    row = Q["e1_funnel"](spark, sf_dir).collect()[0]
+    assert row.users_viewed >= row.users_clicked >= row.users_purchased
+    assert row.users_viewed > 0
+    # strict ordering: every conversion takes positive time
+    if row.users_purchased:
+        assert row.total_conversion_sec > 0
+
+
+def test_funnel_stage_is_subset_not_membership(spark, sf_dir):
+    """The funnel must demand order (click AFTER first view), so the
+    click stage is <= the count of users who merely have both types."""
+    ev = load_table(spark, sf_dir, "events")
+    both = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("k"))
+        .filter(F.col("k") == 2)
+        .count()
+    )
+    row = Q["e1_funnel"](spark, sf_dir).collect()[0]
+    assert row.users_clicked <= both
+
+
+def test_retention_week_zero_covers_every_user(spark, sf_dir):
+    out = Q["e2_retention"](spark, sf_dir).toPandas()
+    assert (out["week_offset"] >= 0).all()
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    week0 = out[out["week_offset"] == 0]["n_users"].sum()
+    # every user is active in their own cohort week by construction
+    assert week0 == n_users
+    # retention can never exceed cohort size
+    cohort_size = out[out["week_offset"] == 0].set_index("cohort_week")["n_users"]
+    for _, r in out.iterrows():
+        assert r["n_users"] <= cohort_size[r["cohort_week"]]
+
+
+def test_transitions_count_exactly_adjacent_pairs(spark, sf_dir):
+    out = Q["e3_transitions"](spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # each user with k events contributes exactly k-1 transitions
+    assert out["n_transitions"].sum() == n_events - n_users
+    assert (out["n_transitions"] > 0).all()
