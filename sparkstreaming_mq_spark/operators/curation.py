@@ -773,3 +773,98 @@ def l21_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_unfamiliar"),
     )
+
+
+# --- L23: span-level (substring) dedup detection -----------------------------
+
+SPAN_N = 5  # window width in tokens; every fixture doc (>=10 tokens) has spans
+
+
+L23_ORACLE = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(toks) - {SPAN_N} + 2),
+           i -> array_to_string(toks[i:i + {SPAN_N} - 1], ' '))) AS gram
+  FROM tokd WHERE len(toks) >= {SPAN_N}
+),
+occ AS (
+  SELECT gram, count(*) AS total, count(DISTINCT doc_id) AS ndocs
+  FROM grams GROUP BY gram
+),
+per_doc AS (
+  SELECT g.doc_id,
+         count(*) AS n_spans,
+         CAST(sum(CASE WHEN o.total > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans,
+         CAST(sum(CASE WHEN o.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cross_doc_spans
+  FROM grams g JOIN occ o USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(p.n_cross_doc_spans, 0) AS n_cross_doc_spans
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("l23_span_dedup", oracle=L23_ORACLE)
+def l23_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate detection: for every {SPAN_N}-token window
+    of every document, count how often that exact span recurs — in the
+    whole corpus (``n_dup_spans``: any repeat, including within the
+    same document) and across distinct documents
+    (``n_cross_doc_spans``). The per-span form of exact substring
+    dedup from the public train-data-dedup literature: document-level
+    dedup misses boilerplate shared between otherwise-distinct pages,
+    and these counters are exactly the signal a span-cut pass keys on.
+
+    Shape: one explode (×~n_tokens rows, narrow), one groupBy on the
+    span text (shuffle 1: map-side partial counts), one join back on
+    span text (shuffle 2, same key — Catalyst reuses the exchange),
+    one per-doc aggregate. At 100 TB the span key should be
+    ``xxhash64(gram)`` (8 bytes instead of ~30), an engine-side swap
+    that leaves semantics identical modulo 2^-64 collisions; the
+    oracle-checked form keeps the exact string key.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    grams = (
+        toks.filter(F.size("ts") >= SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - SPAN_N + 1),
+                    lambda i: F.concat_ws(" ", F.slice("ts", i, SPAN_N)),
+                )
+            ).alias("gram"),
+        )
+    )
+    occ = grams.groupBy("gram").agg(
+        F.count("*").alias("total"), F.countDistinct("doc_id").alias("ndocs")
+    )
+    per_doc = (
+        grams.join(occ, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("total") > 1).cast("long")).alias("n_dup_spans"),
+            F.sum((F.col("ndocs") > 1).cast("long")).alias("n_cross_doc_spans"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("n_cross_doc_spans", F.lit(0)).alias("n_cross_doc_spans"),
+        )
+    )

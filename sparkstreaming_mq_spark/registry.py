@@ -167,6 +167,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l20_quality_classifier",   # model-based quality filter (exact margin)
     "l21_unigram_lm",           # corpus-fit unigram LM familiarity filter
     "l22_semantic_dedup",       # cluster-scoped embedding dedup (SemDeDup)
+    "l23_span_dedup",           # span-level duplicated-window detection
     "s3b_schema_merge",         # schema-evolution mergeSchema scan
     "o12_zorder_scan",          # Z-order clustering + 2-D data skipping
     "o13_time_travel",          # manifest-pinned snapshots + compaction

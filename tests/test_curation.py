@@ -140,3 +140,20 @@ def test_tfidf_ranks_rare_terms_over_common(spark, sf_dir):
     for _, g in out.groupby("doc_id"):
         g = g.sort_values("rnk")
         assert (g["score"].diff().dropna() <= 1e-9).all()
+
+
+def test_span_dedup_counters_are_consistent(spark, sf_dir):
+    from sparkstreaming_mq_spark.operators.curation import SPAN_N
+
+    out = Q["l23_span_dedup"](spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    ).toPandas()
+    assert out["doc_id"].is_unique and len(out) == len(docs)
+    merged = out.merge(docs, on="doc_id")
+    # exact span accounting: max(n_tok - SPAN_N + 1, 0) windows per doc
+    expect = (merged["n_tok"] - SPAN_N + 1).clip(lower=0)
+    assert (merged["n_spans"] == expect).all()
+    # a cross-doc duplicate is necessarily a duplicate
+    assert (out["n_cross_doc_spans"] <= out["n_dup_spans"]).all()
+    assert (out["n_dup_spans"] <= out["n_spans"]).all()
