@@ -185,6 +185,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l4e_langid",
     "s6_stream_file_sink",
     "t5b_stream_dedup_watermarked",  # bounded-state dedup (T5 scale form)
+    "t11_rocksdb_state",        # RocksDB state backend (100 TB state path)
+    "j10b_stream_outer_join",   # stream-stream LEFT OUTER with watermark eviction
     "s4b_orc_scan",             # third schema-on-read format
     "u5b_map_in_arrow",         # zero-copy Arrow extension point
     "u7_cogroup_apply",         # cogrouped-map applyInPandas

@@ -991,3 +991,98 @@ def s10b_stream_merge_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     result against the SQL MERGE semantics — proving the epoch-by-epoch
     foreachBatch delivery converges to the batch answer."""
     return s10_stream_merge_upsert(spark, sf_dir)
+
+
+# --- T11: RocksDB state store (the 100 TB state backend) ----------------------
+
+@query(
+    "t11_rocksdb_state",
+    oracle="""
+SELECT date_trunc('day', ts) AS day_start, event_type, count(*) AS n,
+       round(sum(value), 2) AS total
+FROM events
+GROUP BY day_start, event_type
+""",
+)
+def t11_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily aggregation with the RocksDB state store
+    provider — the production state backend at scale: keyed state
+    lives off-heap/on-disk per partition instead of in executor heap,
+    so watermark-bounded state survives 100 TB replay volumes that
+    would OOM the default HDFS-backed in-memory map. Same
+    prefix-complete complete-mode semantics as t2, so the batch SQL
+    oracle applies; the provider swap is pure configuration — the
+    plan, and therefore the result, is identical.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+        agg = stream.groupBy(F.window("ts", "1 day"), "event_type").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+        )
+        out = run_stream_to_table(agg, "complete")
+        # materialize before restoring the provider conf (the memory
+        # sink is already complete after awaitTermination, but keep the
+        # read inside the override for clarity)
+        return out.select(
+            F.col("window.start").alias("day_start"), "event_type", "n", "total"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+# --- J10b: stream-stream LEFT OUTER join --------------------------------------
+
+@query("j10b_stream_outer_join")
+def j10b_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream LEFT OUTER join: every signup, matched with the
+    purchases that follow it within 2 hours — or emitted null-padded
+    once the watermark proves no match can arrive. The outer-emission
+    timing depends on watermark advancement across micro-batches
+    (null rows for signups still inside the join window at end-of-
+    replay are correctly withheld), so this is rows-only by design;
+    tests/test_semantics.py pins the containment properties (matched
+    rows == the inner join; null rows only for truly unmatched
+    signups).
+
+    Scale: both sides watermarked at 4 h with a 2 h interval bound —
+    state per key is a bounded time slice, evicted as the watermark
+    passes; the join shuffles both streams once on user_id.
+    """
+    signups = (
+        read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "4 hours")
+    )
+    purchases = (
+        read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "4 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+        "left_outer",
+    ).select(
+        "user_id",
+        F.date_trunc("second", "s_ts").alias("signup_ts"),
+        F.date_trunc("second", "p_ts").alias("purchase_ts"),
+        F.round("value", 4).alias("value"),
+    )
+    return run_stream_to_table(joined, "append")

@@ -450,3 +450,37 @@ def test_stream_merge_equals_batch_merge(spark, sf_dir):
     a = streamed.select(cols).orderBy("o_orderkey").toPandas()
     b = batch.select(cols).orderBy("o_orderkey").toPandas()
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_stream_outer_join_contains_inner_and_safe_nulls(spark, sf_dir):
+    out = Q["j10b_stream_outer_join"](spark, sf_dir).toPandas()
+    inner = Q["j10_stream_stream_join"](spark, sf_dir).toPandas()
+    matched = out[out["purchase_ts"].notna()]
+    # the matched slice IS the inner join (same pairs, same values)
+    key = ["user_id", "signup_ts", "purchase_ts"]
+    assert sorted(map(tuple, matched[key].values.tolist())) == sorted(
+        map(tuple, inner[key].values.tolist())
+    )
+    # null-padded rows only for signups with NO qualifying purchase
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    has_match = {
+        (r.user_id, r.s_sec)
+        for r in s.withColumn("s_sec", F.date_trunc("second", "s_ts"))
+        .join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+            "left_semi",
+        ).collect()
+    }
+    nulls = out[out["purchase_ts"].isna()]
+    assert len(nulls) > 0, "watermark never evicted any unmatched signup"
+    for r in nulls.itertuples():
+        assert (r.user_id, r.signup_ts.to_pydatetime()) not in has_match
