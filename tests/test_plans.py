@@ -243,3 +243,44 @@ def test_star_join_broadcasts_every_dimension(spark, sf_dir):
     # the only hash-partition exchange is the final aggregation
     exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert len(exchanges) <= 1
+
+
+def test_funnel_stages_shuffle_only_on_user_id(spark, sf_dir):
+    """e1: every exchange in the funnel is hash-partitioned on user_id
+    (stage aggregates + co-partitioned stage joins); the final 1-row
+    combines are broadcast nested-loop crosses, not shuffles."""
+    plan = executed_plan(Q["e1_funnel"](spark, sf_dir))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        assert "user_id" in m.group(1)
+
+
+def test_retention_output_is_tiny_aggregate(spark, sf_dir):
+    """e2: the scan reads only (user_id, ts) — retention never touches
+    payload columns."""
+    plan = formatted_plan(Q["e2_retention"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and m.group(1).count(":") == 2
+
+
+def test_transitions_single_window_exchange(spark, sf_dir):
+    """e3: exactly one hash exchange for the lead() window (plus the
+    final tiny aggregate exchange) — the user-sequence sort must stay
+    partition-local."""
+    plan = executed_plan(Q["e3_transitions"](spark, sf_dir))
+    user_exchanges = [
+        m.group(0)
+        for m in re.finditer(r"Exchange hashpartitioning\(user_id", plan)
+    ]
+    assert len(user_exchanges) == 1
+
+
+def test_span_dedup_reuses_gram_exchange(spark, sf_dir):
+    """l23: the occurrence count and the join-back shuffle on the same
+    gram key; AQE/plan must not add a third wide exchange on any other
+    key except the final doc_id aggregate."""
+    plan = executed_plan(Q["l23_span_dedup"](spark, sf_dir))
+    keys = [
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan)
+    ]
+    assert set(keys) <= {"gram", "doc_id"}, keys
