@@ -591,3 +591,68 @@ def j12_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# --- J13: runtime bloom-filter join pruning -----------------------------------
+
+BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The j13 join/agg plan; call with BLOOM_CONFS applied."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .alias("revenue"),
+    )
+
+
+@query(
+    "j13_bloom_filter_join",
+    oracle="""
+SELECT o.o_orderpriority AS priority, count(*) AS n_lines,
+       round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 400000
+GROUP BY o.o_orderpriority
+""",
+)
+def j13_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join behind a selective build-side filter, with
+    Catalyst's runtime bloom-filter injection forced on: the optimizer
+    plants a bloom filter built from the filtered orders keys as a
+    semi-join predicate on the lineitem scan, so most probe rows die
+    BEFORE the join shuffle. On a 100 TB fact join this is the
+    difference between shuffling the full probe side and shuffling the
+    ~1% that can match — the same effect dynamic partition pruning has
+    for partitioned layouts, but for arbitrary key distributions. The
+    filter is a pure optimization (might_contain false positives only
+    re-admit rows the join itself rejects), so results — and the
+    oracle — are unchanged. Broadcast is disabled for the run so the
+    shuffle-join shape (where the bloom matters) is the one exercised;
+    a plan test asserts the bloom actually landed.
+    """
+    prev = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    for k, v in BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        out = bloom_join_frame(spark, sf_dir)
+        # materialize under the forced-bloom confs; restoring them
+        # afterwards must not re-plan this result
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -186,6 +186,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s6_stream_file_sink",
     "t5b_stream_dedup_watermarked",  # bounded-state dedup (T5 scale form)
     "t11_rocksdb_state",        # RocksDB state backend (100 TB state path)
+    "s11_stream_union",         # multi-topic fan-in (union of streams)
+    "j13_bloom_filter_join",    # runtime bloom-filter probe pruning
     "j10b_stream_outer_join",   # stream-stream LEFT OUTER with watermark eviction
     "s4b_orc_scan",             # third schema-on-read format
     "u5b_map_in_arrow",         # zero-copy Arrow extension point

@@ -1086,3 +1086,42 @@ def j10b_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
     )
     return run_stream_to_table(joined, "append")
+
+
+# --- S11: multi-topic fan-in (union of streams) -------------------------------
+
+@query(
+    "s11_stream_union",
+    oracle="""
+SELECT date_trunc('day', ts) AS day_start, event_type, count(*) AS n
+FROM events
+GROUP BY day_start, event_type
+""",
+)
+def s11_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-topic fan-in: the archetype's `subscribe("a,b")` shape —
+    two independent streams (here: a clickstream topic carrying
+    view/click and a transaction topic carrying signup/purchase/error,
+    each its own replay source with its own offsets) unioned into ONE
+    unbounded DataFrame and aggregated together. Structured Streaming
+    tracks each source's offsets independently in the same checkpoint,
+    exactly as the kafka source does per topic-partition; the union is
+    a zero-shuffle narrow op. Complete-mode aggregation over a full
+    replay equals the batch aggregation over all events — each event
+    belongs to exactly one topic, so the union re-assembles the
+    original stream.
+    """
+    clicks = read_events_stream_chunked(
+        spark, sf_dir, n_chunks=2, order="time"
+    ).filter(F.col("event_type").isin("view", "click"))
+    txns = read_events_stream_chunked(
+        spark, sf_dir, n_chunks=4, order="time"
+    ).filter(F.col("event_type").isin("signup", "purchase", "error"))
+    unioned = clicks.unionByName(txns)
+    agg = unioned.groupBy(F.window("ts", "1 day"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    out = run_stream_to_table(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("day_start"), "event_type", "n"
+    )

@@ -284,3 +284,23 @@ def test_span_dedup_reuses_gram_exchange(spark, sf_dir):
         for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan)
     ]
     assert set(keys) <= {"gram", "doc_id"}, keys
+
+
+def test_bloom_filter_lands_on_probe_side(spark, sf_dir):
+    """j13: with the runtime-bloom confs applied, the optimizer plants
+    a bloom-filter semi-join predicate on the lineitem (probe) side."""
+    from sparkstreaming_mq_spark.operators.joins import BLOOM_CONFS, bloom_join_frame
+
+    prev = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    for k, v in BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = bloom_join_frame(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom_filter" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
