@@ -506,3 +506,48 @@ def f7_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("h_sha256"),
         F.length(F.sha2("text", 256)).alias("sha_len"),
     )
+
+
+# --- F8: VariantType semi-structured payloads (Spark 4) -----------------------
+
+@query(
+    "f8_variant",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 10
+GROUP BY event_type
+""",
+)
+def f8_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType over the MQ payload: ``parse_json`` turns
+    the opaque JSON string into the binary Variant encoding ONCE at
+    ingest, and every downstream ``variant_get`` path access is a
+    direct binary probe — no re-parse per expression, the engine-native
+    answer to schema-on-read payloads whose shape drifts too fast to
+    declare a StructType. The filter and aggregate run on extracted
+    typed values, so the plan stays whole-stage codegen after the
+    single parse.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+    )
+    return (
+        v.filter(F.col("k") > 10)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

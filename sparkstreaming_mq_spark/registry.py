@@ -188,6 +188,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "t11_rocksdb_state",        # RocksDB state backend (100 TB state path)
     "s11_stream_union",         # multi-topic fan-in (union of streams)
     "j13_bloom_filter_join",    # runtime bloom-filter probe pruning
+    "s12_python_datasource",    # custom Python DataSource MQ envelope
+    "f8_variant",               # Spark 4 VariantType payload ETL
     "j10b_stream_outer_join",   # stream-stream LEFT OUTER with watermark eviction
     "s4b_orc_scan",             # third schema-on-read format
     "u5b_map_in_arrow",         # zero-copy Arrow extension point

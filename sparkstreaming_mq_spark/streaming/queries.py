@@ -1125,3 +1125,65 @@ def s11_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("day_start"), "event_type", "n"
     )
+
+
+# --- S12: custom Python data source (Spark 4 DataSource API) ------------------
+
+@query(
+    "s12_python_datasource",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, props,
+         NTILE(4) OVER (ORDER BY ts, event_id) - 1 AS part_id
+  FROM events
+)
+SELECT 'events' AS topic, part_id,
+       count(*) AS n,
+       min(event_id) AS min_offset,
+       max(event_id) AS max_offset,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k
+FROM ranked
+GROUP BY part_id
+""",
+)
+def s12_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's own connector: a Spark 4 Python DataSource
+    (streaming/sources.py ``MQReplayDataSource``) exposing the replay
+    directory as MQ envelope records (topic, part_id, offset, ts, key,
+    value) — one planner partition per queue partition, Arrow batches
+    end-to-end. The query consumes the envelope exactly as the
+    archetype does: parse the opaque JSON payload, aggregate per
+    topic-partition with offset ranges (the consumer-lag bookkeeping
+    view). The oracle replays the connector's partitioning (NTILE over
+    event time) in SQL, so partition assignment, offsets, and payload
+    parse are all value-checked.
+    """
+    from sparkstreaming_mq_spark.streaming.sources import (
+        MQReplayDataSource,
+        chunked_events_dir,
+    )
+
+    if MQReplayDataSource is None:  # pragma: no cover - Spark < 4
+        raise RuntimeError("Python DataSource API unavailable")
+    try:
+        spark.dataSource.register(MQReplayDataSource)
+    except Exception:
+        pass  # already registered in this session
+    base = chunked_events_dir(spark, sf_dir, n_chunks=4, order="time")
+    env = spark.read.format("mqreplay").option("path", base).load()
+    return (
+        env.select(
+            "topic",
+            "part_id",
+            "offset",
+            F.get_json_object("value", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("topic", "part_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+            F.sum("k").alias("sum_k"),
+        )
+    )

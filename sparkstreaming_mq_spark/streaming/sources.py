@@ -248,3 +248,81 @@ def kafka_writer(df: DataFrame, brokers: str, topic: str, checkpoint: str):
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
     )
+
+
+# --- S12: custom Python data source (Spark 4 DataSource API) ------------------
+
+try:  # pyspark.sql.datasource exists in Spark 4; guard for older runtimes
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class MQReplayDataSource(DataSource):
+        """A from-scratch connector on Spark 4's Python DataSource API
+        that presents the replay directory as a **message-queue
+        envelope** source: every record is (topic, part_id, offset,
+        ts, key, value) with the payload kept as an opaque JSON string
+        — byte-for-byte the kafka source's contract, minus the jars
+        this container lacks. One InputPartition per chunk file — the
+        planner schedules chunks in parallel exactly as it schedules
+        kafka topic-partitions, and each partition streams
+        Arrow RecordBatches (zero row-at-a-time Python).
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "mqreplay"
+
+        def schema(self) -> str:
+            return (
+                "topic string, part_id int, offset bigint, "
+                "ts timestamp, key string, value string"
+            )
+
+        def reader(self, schema):  # noqa: ANN001 - API signature
+            return _MQReplayReader(self.options)
+
+    class _MQReplayReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+            self.topic = options.get("topic", "events")
+
+        def partitions(self):
+            import glob
+
+            chunks = sorted(glob.glob(os.path.join(self.path, "chunk_*")))
+            return [InputPartition((i, c)) for i, c in enumerate(chunks)]
+
+        def read(self, partition):
+            import glob
+
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            idx, chunk = partition.value
+            for f in sorted(glob.glob(os.path.join(chunk, "part-*.parquet"))):
+                t = pq.read_table(f, columns=["event_id", "ts", "props"])
+                n = t.num_rows
+                # Spark writes TimestampType as INT96 by default, which
+                # pyarrow surfaces as ns precision — Arrow interchange
+                # into Spark requires µs.
+                ts_us = pc.cast(
+                    t.column("ts"), pa.timestamp("us", tz="UTC")
+                ).combine_chunks()
+                yield pa.record_batch(
+                    [
+                        pa.array([self.topic] * n, pa.string()),
+                        pa.array([idx] * n, pa.int32()),
+                        t.column("event_id").combine_chunks(),
+                        ts_us,
+                        pc.cast(t.column("event_id"), pa.string()).combine_chunks(),
+                        t.column("props").combine_chunks(),
+                    ],
+                    names=["topic", "part_id", "offset", "ts", "key", "value"],
+                )
+
+except ImportError:  # pragma: no cover
+    MQReplayDataSource = None  # type: ignore[assignment]
