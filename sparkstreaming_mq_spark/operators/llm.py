@@ -1673,3 +1673,78 @@ def l22_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_d").isNull(), 1).otherwise(0).alias("keep"),
         )
     )
+
+
+# --- L24: contrastive hard-negative mining -----------------------------------
+
+HN_ANCHOR_IDS = 8   # vec_id < 8 are the anchor vectors
+HN_K = 3            # hard negatives kept per anchor
+
+L24_ORACLE = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding AS ae, label AS alabel
+  FROM embeddings WHERE vec_id < {HN_ANCHOR_IDS}
+),
+scored AS (
+  SELECT
+    a.anchor_id,
+    a.alabel AS anchor_label,
+    e.vec_id AS negative_id,
+    e.label  AS negative_label,
+    round(list_cosine_similarity(CAST(a.ae AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])), 4) AS sim
+  FROM embeddings e, a
+  WHERE e.label != a.alabel
+)
+SELECT anchor_id, anchor_label, negative_id, negative_label, sim, rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY anchor_id ORDER BY sim DESC, negative_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {HN_K}
+"""
+
+
+@query("l24_hard_negatives", oracle=L24_ORACLE)
+def l24_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor embedding,
+    the top-k most-similar vectors carrying a DIFFERENT label — the
+    pairs that teach a contrastive/metric model the most (highest-
+    similarity wrong-label examples). Same execution shape as l3
+    (bounded anchor set broadcast against a linear corpus scan,
+    per-anchor top-k heap, ranking on the rounded similarity + id
+    tiebreak), plus the label inequality pushed into the scan-side
+    filter so same-label rows never reach the heap. At 100 TB the
+    anchor set stays the broadcast side and the corpus is read once;
+    the LSH-bucketed variant (l3b) is the recall-trading alternative
+    when the anchor set itself is huge.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    corpus = e.select("vec_id", F.col("label"), emb_d.alias("ce"))
+    anchors = e.filter(F.col("vec_id") < HN_ANCHOR_IDS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        emb_d.alias("ae"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round(cosine_sim(F.col("ae"), F.col("ce")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HN_K)
+    )

@@ -168,6 +168,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l21_unigram_lm",           # corpus-fit unigram LM familiarity filter
     "l22_semantic_dedup",       # cluster-scoped embedding dedup (SemDeDup)
     "l23_span_dedup",           # span-level duplicated-window detection
+    "l24_hard_negatives",       # contrastive hard-negative mining
     "s3b_schema_merge",         # schema-evolution mergeSchema scan
     "o12_zorder_scan",          # Z-order clustering + 2-D data skipping
     "o13_time_travel",          # manifest-pinned snapshots + compaction

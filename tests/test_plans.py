@@ -304,3 +304,36 @@ def test_bloom_filter_lands_on_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_variant_parses_once_stays_codegen(spark, sf_dir):
+    """f8: a single parse_json feeds all variant_get accesses; no
+    Python eval appears anywhere in the plan."""
+    plan = executed_plan(Q["f8_variant"](spark, sf_dir))
+    assert "parse_json" not in plan.lower() or "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_python_datasource_partitions_follow_queue_partitions(spark, sf_dir):
+    """s12: the custom connector exposes one planner partition per
+    queue partition (4 replay chunks -> 4 scan partitions)."""
+    from sparkstreaming_mq_spark.streaming.sources import (
+        MQReplayDataSource,
+        chunked_events_dir,
+    )
+
+    try:
+        spark.dataSource.register(MQReplayDataSource)
+    except Exception:
+        pass
+    base = chunked_events_dir(spark, sf_dir, n_chunks=4, order="time")
+    env = spark.read.format("mqreplay").option("path", base).load()
+    assert env.rdd.getNumPartitions() == 4
+
+
+def test_hard_negatives_broadcast_anchor_side(spark, sf_dir):
+    """l24: the anchor set is the broadcast side; the corpus is never
+    shuffled for the join."""
+    plan = executed_plan(Q["l24_hard_negatives"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
