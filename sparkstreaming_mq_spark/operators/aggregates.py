@@ -548,3 +548,40 @@ def a10_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderstatus").agg(
         F.round(geomean("o_totalprice"), 2).alias("geomean_price")
     )
+
+
+# --- A8b: unpivot / melt (the inverse of pivot) -------------------------------
+
+@query(
+    "a8b_unpivot",
+    oracle="""
+SELECT l_returnflag, measure, val FROM (
+  UNPIVOT (
+    SELECT l_returnflag,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS qty,
+           CAST(round(sum(CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS disc
+    FROM lineitem GROUP BY l_returnflag
+  ) ON qty, disc INTO NAME measure VALUE val
+)
+""",
+)
+def a8b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide measure columns back to (name, value)
+    rows — the inverse reshaping of A8's pivot, used to normalize
+    per-metric fan-out before generic per-measure processing. A narrow
+    Expand node (each input row emits one row per measure, no
+    shuffle beyond the feeding aggregate); measures are exact-decimal
+    rounded BEFORE the reshape so both engines unpivot identical
+    doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("qty"),
+        F.round(F.sum(F.col("l_discount").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("disc"),
+    )
+    return wide.unpivot("l_returnflag", ["qty", "disc"], "measure", "val")

@@ -656,3 +656,35 @@ def j13_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- J14: correlated LATERAL join ---------------------------------------------
+
+J14_SQL = """
+SELECT o.o_orderkey, t.l_linenumber,
+       CAST(round(CAST(t.l_extendedprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+         AS price
+FROM orders o, LATERAL (
+  SELECT l_linenumber, l_extendedprice FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber
+  LIMIT 2
+) t
+WHERE o.o_totalprice > 400000
+"""
+
+
+@query("j14_lateral_topn", oracle=J14_SQL)
+def j14_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: for each qualifying order, the top-2
+    priciest lineitems — the per-row-subquery formulation users write
+    when a window feels unnatural. Spark decorrelates the lateral
+    subquery into a ranked join (DecorrelateInnerQuery), so the
+    executed plan is the same shuffle-once window shape as W4 rather
+    than a per-order nested loop — which is exactly why the construct
+    survives at 100 TB. Identical SQL text runs on both engines.
+    """
+    from sparkstreaming_mq_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(J14_SQL)
