@@ -585,3 +585,44 @@ def a8b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("disc"),
     )
     return wide.unpivot("l_returnflag", ["qty", "disc"], "measure", "val")
+
+
+# --- A4b: re-aggregatable distinct-count sketches (HLL merge) -----------------
+
+@query(
+    "a4b_sketch_merge",
+    oracle="""
+SELECT date_trunc('week', date_trunc('day', ts)) AS week,
+       count(DISTINCT user_id) AS weekly_users
+FROM events
+GROUP BY week
+""",
+)
+def a4b_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting: per-DAY Datasketches HLL
+    sketches of user_id, merged up to per-WEEK estimates with
+    ``hll_union_agg`` — the only distinct-count pattern that works in
+    a 100 TB rollup pipeline, because sketches (unlike counts) compose:
+    daily partials are built once, and every coarser granularity is a
+    cheap sketch union instead of a full re-scan (the m3 incremental-
+    maintenance story, applied to COUNT DISTINCT).
+
+    Oracle note (the l2 cost-based pattern): at gate scale the
+    per-week user cardinality is far below the lgK=14 sketch's sparse-
+    mode promotion threshold, where the Datasketches HLL stores exact
+    hashes and the estimator returns the exact integer — so the exact
+    COUNT DISTINCT SQL is a value-exact oracle here, while the plan
+    exercised is the real sketch-merge path. pytest additionally pins
+    the merge property (union of dailies == direct weekly sketch) and
+    the error bound that holds past the sparse regime.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", "day").alias("week"))
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("weekly_users")
+        )
+    )

@@ -193,6 +193,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "f8_variant",               # Spark 4 VariantType payload ETL
     "a8b_unpivot",              # unpivot/melt (inverse of pivot)
     "j14_lateral_topn",         # correlated LATERAL join (decorrelated)
+    "a4b_sketch_merge",         # re-aggregatable HLL distinct rollup
     "j10b_stream_outer_join",   # stream-stream LEFT OUTER with watermark eviction
     "s4b_orc_scan",             # third schema-on-read format
     "u5b_map_in_arrow",         # zero-copy Arrow extension point

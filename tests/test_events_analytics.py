@@ -59,3 +59,38 @@ def test_transitions_count_exactly_adjacent_pairs(spark, sf_dir):
     # each user with k events contributes exactly k-1 transitions
     assert out["n_transitions"].sum() == n_events - n_users
     assert (out["n_transitions"] > 0).all()
+
+
+def test_hll_sketch_merge_equals_direct_sketch(spark, sf_dir):
+    """Sketch mergeability: union of daily sketches must estimate
+    exactly what a directly-built weekly sketch estimates — the
+    property that makes sketch rollups valid at any granularity."""
+    merged = {
+        (r.week, r.weekly_users)
+        for r in Q["a4b_sketch_merge"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        (r.week, r.weekly_users)
+        for r in ev.groupBy(
+            F.date_trunc("week", F.date_trunc("day", "ts")).alias("week")
+        )
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias(
+                "weekly_users"
+            )
+        )
+        .collect()
+    }
+    assert merged == direct
+    # and the estimate is within the HLL error bound of exact
+    exact = {
+        r.week: r.n
+        for r in ev.groupBy(
+            F.date_trunc("week", F.date_trunc("day", "ts")).alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for week, est in merged:
+        assert abs(est - exact[week]) <= max(1, 0.02 * exact[week])
