@@ -190,6 +190,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s11_stream_union",         # multi-topic fan-in (union of streams)
     "j13_bloom_filter_join",    # runtime bloom-filter probe pruning
     "s12_python_datasource",    # custom Python DataSource MQ envelope
+    "s12b_python_stream_source",  # streaming DataSource with offset WAL
     "f8_variant",               # Spark 4 VariantType payload ETL
     "a8b_unpivot",              # unpivot/melt (inverse of pivot)
     "j14_lateral_topn",         # correlated LATERAL join (decorrelated)

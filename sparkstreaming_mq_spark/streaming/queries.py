@@ -1187,3 +1187,46 @@ def s12_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
         )
     )
+
+
+@query(
+    "s12b_python_stream_source",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         NTILE(4) OVER (ORDER BY ts, event_id) - 1 AS part_id
+  FROM events
+)
+SELECT part_id, event_type, count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(18,2))), 2) AS total
+FROM ranked
+GROUP BY part_id, event_type
+""",
+)
+def s12b_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom connector as a true STREAMING source: Spark 4's
+    SimpleDataSourceStreamReader drives the replay with engine-managed
+    offsets (initialOffset/read/commit through the checkpoint WAL —
+    the kafka consumer-group mechanic, reimplemented in ~40 lines of
+    Python). Complete-mode aggregation over the full replay equals the
+    batch answer; the oracle also re-derives the connector's partition
+    ids, so offset bookkeeping is value-checked too.
+    """
+    from sparkstreaming_mq_spark.streaming.sources import (
+        MQReplayStreamDataSource,
+        chunked_events_dir,
+    )
+
+    if MQReplayStreamDataSource is None:  # pragma: no cover - Spark < 4
+        raise RuntimeError("Python streaming DataSource API unavailable")
+    try:
+        spark.dataSource.register(MQReplayStreamDataSource)
+    except Exception:
+        pass
+    base = chunked_events_dir(spark, sf_dir, n_chunks=4, order="time")
+    env = spark.readStream.format("mqreplay_stream").option("path", base).load()
+    agg = env.groupBy("part_id", "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).alias("total"),
+    )
+    return run_stream_to_table(agg, "complete")

@@ -326,3 +326,83 @@ try:  # pyspark.sql.datasource exists in Spark 4; guard for older runtimes
 
 except ImportError:  # pragma: no cover
     MQReplayDataSource = None  # type: ignore[assignment]
+
+
+try:  # streaming side of the Python DataSource API (Spark 4)
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class MQReplayStreamDataSource(DataSource):
+        """Streaming twin of ``MQReplayDataSource``: the same replay
+        directory served through Spark 4's SimpleDataSourceStreamReader
+        — a from-scratch streaming connector with REAL offset
+        management (initialOffset → read → commit, persisted in the
+        checkpoint WAL exactly like kafka consumer offsets). Offsets
+        count whole chunks; a read drains every chunk currently on
+        disk (Trigger.AvailableNow prefetches exactly one read), so
+        the replay is deterministic and the offset log still records
+        the consumed range end-to-end.
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "mqreplay_stream"
+
+        def schema(self) -> str:
+            return (
+                "part_id int, offset bigint, ts timestamp, "
+                "event_type string, value double"
+            )
+
+        def simpleStreamReader(self, schema):  # noqa: ANN001 - API signature
+            return _MQReplayStreamReader(self.options)
+
+    class _MQReplayStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def initialOffset(self):
+            return {"chunk": 0}
+
+        def _chunks(self):
+            import glob
+
+            return sorted(glob.glob(os.path.join(self.path, "chunk_*")))
+
+        def _rows(self, lo: int, hi: int):
+            import glob
+
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            chunks = self._chunks()
+            for i in range(lo, min(hi, len(chunks))):
+                for f in sorted(
+                    glob.glob(os.path.join(chunks[i], "part-*.parquet"))
+                ):
+                    t = pq.read_table(
+                        f, columns=["event_id", "ts", "event_type", "value"]
+                    )
+                    ts = pc.cast(t.column("ts"), pa.timestamp("us", tz="UTC"))
+                    yield from zip(
+                        [i] * t.num_rows,
+                        t.column("event_id").to_pylist(),
+                        ts.to_pylist(),
+                        t.column("event_type").to_pylist(),
+                        t.column("value").to_pylist(),
+                    )
+
+        def read(self, start):
+            lo = start["chunk"]
+            hi = len(self._chunks())
+            if lo >= hi:
+                return iter([]), start
+            # list-backed iterator: the engine's prefetch cache
+            # copy.copy()s it, which a generator can't survive
+            return iter(list(self._rows(lo, hi))), {"chunk": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(list(self._rows(start["chunk"], end["chunk"])))
+
+except ImportError:  # pragma: no cover
+    MQReplayStreamDataSource = None  # type: ignore[assignment]
