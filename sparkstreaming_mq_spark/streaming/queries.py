@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from sparkstreaming_mq_spark.registry import query
 from sparkstreaming_mq_spark.streaming.sources import (
+    read_docs_stream_chunked,
     read_events_stream,
     read_events_stream_chunked,
     run_stream_foreach_batch,
@@ -1230,3 +1231,51 @@ def s12b_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).alias("total"),
     )
     return run_stream_to_table(agg, "complete")
+
+
+# --- S13: streaming decontamination against a static corpus -------------------
+
+# Docs with doc_id % CORPUS_MOD == 0 stand in for the already-ingested
+# corpus; everything replays as the incoming crawl.
+CORPUS_MOD = 3
+
+
+@query(
+    "s13_stream_decontaminate",
+    oracle=f"""
+WITH corpus AS (
+  SELECT DISTINCT sha256(text) AS digest
+  FROM documents WHERE doc_id % {CORPUS_MOD} = 0
+)
+SELECT d.doc_id, d.lang, d.source, sha256(d.text) AS digest
+FROM documents d
+WHERE sha256(d.text) NOT IN (SELECT digest FROM corpus)
+""",
+)
+def s13_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup (SURVEY.md §2.8 T5 × §2.10 L1): an
+    incoming crawl stream left-anti-joined per micro-batch against the
+    static digest set of the existing corpus — the production "drop
+    re-crawls of what we already have" gate, the streaming complement
+    to batch l1/l10. The digest dim is bounded (one 32-byte digest per
+    distinct corpus doc) → broadcast hash anti-join per batch, no
+    stream-side shuffle and NO state store (stateless join, unlike
+    t5's in-stream dedup whose key state must be watermark-bounded).
+    At 100 TB the digest set outgrows a broadcast; the same plan then
+    shuffles on digest — still one exchange, zero state. Stateless
+    append emission is prefix-complete over a full replay → exact
+    batch oracle."""
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % CORPUS_MOD == 0)
+        .select(F.sha2("text", 256).alias("digest"))
+        .distinct()
+    )
+    crawl = read_docs_stream_chunked(spark, sf_dir, n_chunks=4).withColumn(
+        "digest", F.sha2("text", 256)
+    )
+    fresh = crawl.join(F.broadcast(corpus), "digest", "left_anti")
+    out = run_stream_to_table(
+        fresh.select("doc_id", "lang", "source", "digest"), "append"
+    )
+    return out

@@ -129,6 +129,46 @@ def read_events_stream_chunked(
     )
 
 
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_docs_stream_chunked(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """Documents replayed as an incoming-crawl stream, one chunk file
+    per micro-batch (hash-partitioned by doc_id — arrival order is
+    irrelevant to the stateless decontamination join)."""
+    apply_runtime_conf(spark)
+    key = f"{cache_key(sf_dir, 'documents')}_{n_chunks}_docs_v{_CACHE_VERSION}"
+    out = os.path.join(tempfile.gettempdir(), "sparkgraft_replay", key)
+    done = os.path.join(out, "_READY")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        docs = load_table(spark, sf_dir, "documents")
+        for k in range(n_chunks):
+            (
+                docs.filter(F.pmod("doc_id", F.lit(n_chunks)) == k)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, f"chunk_{k:03d}"))
+            )
+        open(done, "w").close()
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{out}/chunk_*")
+    )
+
+
 # State-store partition count for local finite replays: each stateful
 # partition pays per-micro-batch store open/commit/checkpoint overhead,
 # which dominates at test scale (measured at sf0.1: 32 partitions x 4
