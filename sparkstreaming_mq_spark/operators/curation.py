@@ -868,3 +868,131 @@ def l23_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_cross_doc_spans", F.lit(0)).alias("n_cross_doc_spans"),
         )
     )
+
+
+# --- L25: BM25 keyword retrieval ---------------------------------------------
+
+# Fixed multi-term query with a deliberate df spread on the fixture
+# vocabulary (rare / medium / common) so the idf weighting is visible
+# in the ranking. k1 = 6/5, b = 3/4 (the standard 1.2 / 0.75).
+BM25_TERMS = ("dup", "vector", "join")
+BM25_TOP_K = 20
+
+
+def _bm25_score_sql(tf: str, df: str, dl: str, n: str, t: str) -> str:
+    """Per-term BM25 as ONE integer-ratio division — log-free odds
+    idf ((N-df+.5)/(df+.5)) times the k1/b saturation, both scaled to
+    exact BIGINT numerator/denominator (k1=6/5, b=3/4 multiplied
+    through by 10*T): bitwise-identical doubles on any engine."""
+    num = f"(2*{n} - 2*{df} + 1) * 22 * {t} * {tf}"
+    den = f"(2*{df} + 1) * (10*{t}*{tf} + 3*{t} + 9*{n}*{dl})"
+    return f"({num}) / ({den})"
+
+
+_BM25_IN = ", ".join(f"'{w}'" for w in BM25_TERMS)
+_BM25_PIV = ",\n         ".join(
+    f"coalesce(max(CASE WHEN term = '{w}' THEN sc END), 0.0) AS s_{w}"
+    for w in BM25_TERMS
+)
+_BM25_SUM = " + ".join(f"s_{w}" for w in BM25_TERMS)
+
+L25_ORACLE = f"""
+WITH dld AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+g AS (SELECT count(*) AS n_docs, sum(dl) AS total_tok FROM dld),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_BM25_IN}) GROUP BY doc_id, term
+),
+dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ({_BM25_IN}) GROUP BY term
+),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         {_bm25_score_sql("tf.tf", "dft.df", "dld.dl", "g.n_docs", "g.total_tok")} AS sc
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dld ON tf.doc_id = dld.doc_id
+  CROSS JOIN g
+),
+p AS (
+  SELECT doc_id,
+         {_BM25_PIV}
+  FROM s GROUP BY doc_id
+),
+r AS (SELECT doc_id, {", ".join("s_" + w for w in BM25_TERMS)},
+             {_BM25_SUM} AS score
+      FROM p)
+SELECT doc_id, {", ".join("s_" + w for w in BM25_TERMS)}, score,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+FROM r
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
+@query("l25_bm25_retrieval", oracle=L25_ORACLE)
+def l25_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (top-{k}): the lexical complement to the
+    embedding ANN family (l3/l3b/l3c) — score every document against a
+    fixed multi-term query with k1=1.2, b=0.75 length-normalized term
+    saturation and a LOG-FREE odds-ratio idf, so each per-term score
+    is one BIGINT/BIGINT division (exact while idf_num*22*T*tf < 2^53;
+    beyond that the same plan runs with double accumulators and only
+    sub-ulp rank ties can differ). The multi-term sum is a fixed-order
+    3-column addition after a pivot — no float-reduction
+    nondeterminism anywhere, hence the exact oracle.
+
+    Plan shape: tokens filter to the query terms BEFORE the tf agg
+    (predicate on the exploded scan — the "query" side of an inverted
+    index without materializing one), df and the global N/T are
+    broadcast single-digit-row aggregates, and the final top-k is
+    orderBy+limit (TakeOrderedAndProject), never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    dld = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    g = dld.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tok")
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    sc = F.expr(
+        _bm25_score_sql("tf", "df", "dl", "n_docs", "total_tok")
+    ).alias("sc")
+    s = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dld, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select("doc_id", "term", sc)
+    )
+    p = s.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == w, F.col("sc"))), F.lit(0.0)
+            ).alias(f"s_{w}")
+            for w in BM25_TERMS
+        ]
+    )
+    score = None
+    for w in BM25_TERMS:
+        score = F.col(f"s_{w}") if score is None else score + F.col(f"s_{w}")
+    r = p.select("doc_id", *[f"s_{w}" for w in BM25_TERMS], score.alias("score"))
+    top = r.orderBy(F.desc("score"), "doc_id").limit(BM25_TOP_K)
+    from pyspark.sql import Window
+
+    # row_number over the already-limited top-k (20 rows, one
+    # partition) — the global sort never materializes.
+    return top.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")),
+    )
+
+
+l25_bm25_retrieval.__doc__ = l25_bm25_retrieval.__doc__.format(k=BM25_TOP_K)

@@ -337,3 +337,19 @@ def test_hard_negatives_broadcast_anchor_side(spark, sf_dir):
     plan = executed_plan(Q["l24_hard_negatives"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_topk_fuses_and_broadcasts(spark, sf_dir):
+    plan = formatted_plan(Q["l25_bm25_retrieval"](spark, sf_dir))
+    # final top-k must fuse (orderBy+limit), never a global sort of
+    # the scored corpus; df and N/T sides must broadcast
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # single-row global agg
+
+
+def test_bm25_term_filter_before_tf_agg(spark, sf_dir):
+    plan = formatted_plan(Q["l25_bm25_retrieval"](spark, sf_dir))
+    # the IN-filter on query terms must run as a post-explode Filter
+    # node (before the tf aggregate), not after the join
+    assert re.search(r"Condition : term#\d+ IN \(dup,vector,join\)", plan)
