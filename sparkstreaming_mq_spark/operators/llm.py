@@ -1748,3 +1748,123 @@ def l24_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= HN_K)
     )
+
+
+# --- L26: int8-quantized similarity search ------------------------------------
+
+# Symmetric per-vector int8 quantization: q_i = round_half_up(x_i *
+# 127/amax). The quantized cosine needs NO dequantization — the two
+# scales cancel: cos_q = dot(qa,qb) / (|qa| * |qb|) — so the whole
+# kernel is exact BIGINT arithmetic (64-dim int8 dot ≤ 64*127^2 ≈ 1e6)
+# plus one deterministic sqrt/divide, which is what makes an exact
+# cross-engine oracle possible.
+
+
+@query(
+    "l26_quantized_search",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sc AS (
+  SELECT vec_id, e,
+         127.0 / greatest(list_max(list_transform(e, y -> abs(y))), 1e-30) AS s
+  FROM base
+),
+q8 AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS q
+  FROM sc
+),
+n8 AS (
+  SELECT vec_id, q,
+         list_sum(list_transform(q, x -> x * x)) AS nq
+  FROM q8
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65),
+                                 i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS qdot,
+         a.nq AS na, b.nq AS nb
+  FROM n8 a, n8 b
+  WHERE a.vec_id < {TOPK_QUERY_IDS} AND b.vec_id != a.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, qdot,
+         qdot / (sqrt(na) * sqrt(nb)) AS qsim
+  FROM pairs
+)
+SELECT query_id, neighbor_id, qdot, qsim, rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY qsim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TOPK_K}
+""",
+)
+def l26_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over int8-QUANTIZED embeddings — the
+    memory-bound scale path: int8 storage is 4x smaller than float32
+    (at 100 TB of vectors that is the difference between in-memory and
+    spilled scans), SIMD int8 dot products are the fast kernel every
+    production vector store uses, and the per-vector scales cancel in
+    the cosine so ranking needs no dequantization. Quantize once
+    (narrow, JVM higher-order functions), broadcast the bounded probe
+    set, integer dot + one sqrt/divide per pair, per-query bounded
+    top-k window — l3's plan shape with a 4x lighter scan. The pytest
+    layer checks quantized top-k recall against exact float cosine
+    (l3); the oracle replays the identical integer arithmetic in SQL."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    s = F.lit(127.0) / F.greatest(
+        F.array_max(F.transform("e", F.abs)), F.lit(1e-30)
+    )
+    q8 = ed.select(
+        "vec_id",
+        F.transform("e", lambda x: F.floor(x * s + F.lit(0.5))).alias("q"),
+    )
+    n8 = q8.select(
+        "vec_id",
+        "q",
+        F.aggregate(
+            F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("nq"),
+    )
+    probes = n8.filter(F.col("vec_id") < TOPK_QUERY_IDS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    pairs = (
+        n8.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("qa", "q", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("qdot"),
+            "na",
+            F.col("nq").alias("nb"),
+        )
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "qdot",
+        (F.col("qdot") / (F.sqrt("na") * F.sqrt("nb"))).alias("qsim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("qsim"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_K)
+    )

@@ -353,3 +353,11 @@ def test_bm25_term_filter_before_tf_agg(spark, sf_dir):
     # the IN-filter on query terms must run as a post-explode Filter
     # node (before the tf aggregate), not after the join
     assert re.search(r"Condition : term#\d+ IN \(dup,vector,join\)", plan)
+
+
+def test_quantized_search_broadcasts_probe_side(spark, sf_dir):
+    plan = formatted_plan(Q["l26_quantized_search"](spark, sf_dir))
+    # bounded probe set must broadcast; corpus side never shuffles
+    # for the scoring join
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

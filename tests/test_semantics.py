@@ -484,3 +484,22 @@ def test_stream_outer_join_contains_inner_and_safe_nulls(spark, sf_dir):
     assert len(nulls) > 0, "watermark never evicted any unmatched signup"
     for r in nulls.itertuples():
         assert (r.user_id, r.signup_ts.to_pydatetime()) not in has_match
+
+
+def test_quantized_search_recall_vs_exact(spark, sf_dir):
+    """int8 quantization must preserve the exact-cosine top-k almost
+    perfectly on 64-dim vectors (measured 1.0 on both fixture SFs; the
+    0.8 floor absorbs future fixture regeneration)."""
+    exact = Q["l3_cosine_topk"](spark, sf_dir).collect()
+    quant = Q["l26_quantized_search"](spark, sf_dir).collect()
+    by_q_exact, by_q_quant = {}, {}
+    for r in exact:
+        by_q_exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in quant:
+        by_q_quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(by_q_exact) == set(by_q_quant)
+    recalls = [
+        len(by_q_exact[q] & by_q_quant[q]) / len(by_q_exact[q])
+        for q in by_q_exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
