@@ -626,3 +626,53 @@ def a4b_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("weekly_users")
         )
     )
+
+
+# --- A4c: re-aggregatable heavy-hitter sketches (approx_top_k rollup) ---------
+
+@query(
+    "a4c_topk_rollup",
+    oracle="""
+WITH weekly AS (
+  SELECT date_trunc('week', date_trunc('day', ts)) AS week,
+         event_type AS item, count(*) AS n
+  FROM events GROUP BY week, item
+)
+SELECT week, item, n, rnk
+FROM (
+  SELECT week, item, n,
+         row_number() OVER (PARTITION BY week ORDER BY n DESC, item) AS rnk
+  FROM weekly
+)
+WHERE rnk <= 3
+""",
+)
+def a4c_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable heavy hitters: per-DAY approx_top_k sketches of
+    event_type, combined up to per-WEEK top-3 — the frequency-sketch
+    complement to a4b's HLL rollup (same reason it matters at 100 TB:
+    sketches compose, so daily partials are built once and every
+    coarser rollup is a cheap sketch combine, never a re-scan).
+    Accumulate → combine → estimate is the Spark 4 three-phase API;
+    the estimate rows are re-ranked deterministically (count desc,
+    item) before the top-3 cut.
+
+    Oracle note (the a4b cost-based pattern): maxItemsTracked (16)
+    exceeds the event-type domain, so the sketch phase tracks every
+    item exactly and the estimates are exact integers — the exact
+    GROUP BY oracle is value-exact while the plan exercised is the
+    real sketch-rollup path."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.expr("approx_top_k_accumulate(event_type, 16)").alias("st")
+    )
+    weekly = daily.groupBy(F.date_trunc("week", "day").alias("week")).agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(st), 8)").alias("top")
+    )
+    ex = weekly.select("week", F.explode("top").alias("e")).select(
+        "week", F.col("e.item").alias("item"), F.col("e.count").alias("n")
+    )
+    w = Window.partitionBy("week").orderBy(F.desc("n"), "item")
+    return ex.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)

@@ -94,3 +94,32 @@ def test_hll_sketch_merge_equals_direct_sketch(spark, sf_dir):
     }
     for week, est in merged:
         assert abs(est - exact[week]) <= max(1, 0.02 * exact[week])
+
+
+def test_topk_sketch_combine_equals_direct_sketch(spark, sf_dir):
+    """approx_top_k mergeability (the a4c rollup validity property):
+    combining daily sketches must estimate exactly what a directly-
+    built weekly sketch estimates, and — since maxItemsTracked exceeds
+    the event-type domain — both must equal the exact counts."""
+    rolled = {
+        (r.week, r.item, r.n)
+        for r in Q["a4c_topk_rollup"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    week = F.date_trunc("week", F.date_trunc("day", "ts")).alias("week")
+    direct_sketch = (
+        ev.groupBy(week)
+        .agg(F.expr("approx_top_k_estimate(approx_top_k_accumulate(event_type, 16), 8)").alias("top"))
+        .select("week", F.explode("top").alias("e"))
+        .select("week", F.col("e.item").alias("item"), F.col("e.count").alias("n"))
+    )
+    w = Window.partitionBy("week").orderBy(F.desc("n"), "item")
+    direct = {
+        (r.week, r.item, r.n)
+        for r in direct_sketch.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .collect()
+    }
+    assert rolled == direct
