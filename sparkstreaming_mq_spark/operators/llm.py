@@ -1752,6 +1752,26 @@ def l24_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- L26: int8-quantized similarity search ------------------------------------
 
+def quantize_int8(df: DataFrame, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: append ``q`` (the
+    quantized array<long>, values in [-127, 127]) and ``nq`` (its
+    exact integer squared norm) for ``vec_col`` (array<double>).
+    q_i = round_half_up(x_i * 127/amax) with a 1e-30 floor on amax so
+    all-zero vectors quantize to zeros instead of dividing by zero."""
+    s = F.lit(127.0) / F.greatest(
+        F.array_max(F.transform(vec_col, F.abs)), F.lit(1e-30)
+    )
+    q8 = df.withColumn(
+        "q", F.transform(vec_col, lambda x: F.floor(x * s + F.lit(0.5)))
+    )
+    return q8.withColumn(
+        "nq",
+        F.aggregate(
+            F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+    ).drop(vec_col)
+
+
 # Symmetric per-vector int8 quantization: q_i = round_half_up(x_i *
 # 127/amax). The quantized cosine needs NO dequantization — the two
 # scales cancel: cos_q = dot(qa,qb) / (|qa| * |qb|) — so the whole
@@ -1817,23 +1837,9 @@ def l26_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer checks quantized top-k recall against exact float cosine
     (l3); the oracle replays the identical integer arithmetic in SQL."""
     e = load_table(spark, sf_dir, "embeddings")
-    ed = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
-    s = F.lit(127.0) / F.greatest(
-        F.array_max(F.transform("e", F.abs)), F.lit(1e-30)
-    )
-    q8 = ed.select(
-        "vec_id",
-        F.transform("e", lambda x: F.floor(x * s + F.lit(0.5))).alias("q"),
-    )
-    n8 = q8.select(
-        "vec_id",
-        "q",
-        F.aggregate(
-            F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
-        ).alias("nq"),
+    n8 = quantize_int8(
+        e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")),
+        "e",
     )
     probes = n8.filter(F.col("vec_id") < TOPK_QUERY_IDS).select(
         F.col("vec_id").alias("query_id"),

@@ -98,3 +98,77 @@ def test_window_running_sum_matches_pandas(spark, vals):
     expected = pd.Series([float(v) for v in vals]).cumsum().tolist()
     for g, e in zip(got, expected):
         assert abs(g - e) < 1e-6 * max(1.0, abs(e))
+
+
+VEC = st.lists(
+    st.floats(
+        min_value=-10.0, max_value=10.0, allow_nan=False, allow_infinity=False
+    ),
+    min_size=4,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=st.lists(VEC.filter(lambda v: max(abs(x) for x in v) > 0.01), min_size=2, max_size=4))
+def test_int8_quantized_cosine_error_bound(spark, vecs):
+    """The l26 kernel's quantized cosine must stay within the int8
+    rounding bound of exact cosine: per-vector perturbation norm is
+    <= 0.5*sqrt(d) quantized units against a signal norm >= 127, so
+    the cosine moves by at most ~2*sqrt(d)/127 (slack 1.5x)."""
+    import math
+
+    from sparkstreaming_mq_spark.operators.llm import quantize_int8
+
+    d = min(len(v) for v in vecs)
+    vecs = [v[:d] for v in vecs]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vid long, e array<double>",
+    )
+    rows = {r.vid: (r.q, r.nq) for r in quantize_int8(df, "e").collect()}
+    bound = 1.5 * 2 * math.sqrt(d) / 127
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            qa, na = rows[i]
+            qb, nb = rows[j]
+            ea, eb = vecs[i], vecs[j]
+            na_e = math.sqrt(sum(x * x for x in ea))
+            nb_e = math.sqrt(sum(x * x for x in eb))
+            if na_e == 0 or nb_e == 0 or na == 0 or nb == 0:
+                continue
+            exact = sum(x * y for x, y in zip(ea, eb)) / (na_e * nb_e)
+            quant = sum(x * y for x, y in zip(qa, qb)) / (
+                math.sqrt(na) * math.sqrt(nb)
+            )
+            assert abs(quant - exact) <= bound, (exact, quant, bound)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    tf=st.integers(min_value=1, max_value=50),
+    df_=st.integers(min_value=1, max_value=999),
+    dl=st.integers(min_value=1, max_value=200),
+)
+def test_bm25_score_monotonicity(duck, tf, df_, dl):
+    """The shipped BM25 SQL fragment (shared verbatim by the Spark
+    expression and the oracle) must be positive, increase in tf, and
+    decrease in df and dl — evaluated through DuckDB on the exact
+    fragment _bm25_score_sql emits."""
+    from sparkstreaming_mq_spark.operators.curation import _bm25_score_sql
+
+    N, T = 1000, 100000
+
+    def score(tf, df_, dl):
+        # literal ints bind as INT32 in DuckDB; the real oracle's
+        # operands are BIGINT count(*) columns — mirror that here
+        args = [f"CAST({v} AS BIGINT)" for v in (tf, df_, dl, N, T)]
+        frag = _bm25_score_sql(*args)
+        return duck.execute(f"SELECT {frag}").fetchone()[0]
+
+    s = score(tf, df_, dl)
+    assert s > 0
+    assert score(tf + 1, df_, dl) > s
+    if df_ < 999:
+        assert score(tf, df_ + 1, dl) < s
+    assert score(tf, df_, dl + 1) < s
