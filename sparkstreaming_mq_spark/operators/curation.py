@@ -996,3 +996,52 @@ def l25_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 l25_bm25_retrieval.__doc__ = l25_bm25_retrieval.__doc__.format(k=BM25_TOP_K)
+
+
+# --- L27: deterministic epoch shuffle ----------------------------------------
+
+SHUFFLE_EPOCHS = 2
+
+
+L27_ORACLE = f"""
+WITH e AS (
+  SELECT doc_id, epoch
+  FROM documents CROSS JOIN (SELECT unnest(range(0, {SHUFFLE_EPOCHS})) AS epoch)
+),
+h AS (
+  SELECT doc_id, epoch,
+         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM e
+)
+SELECT epoch, substring(hk, 1, 1) AS shard, doc_id,
+       row_number() OVER (
+         PARTITION BY epoch, substring(hk, 1, 1) ORDER BY hk, doc_id) AS pos
+FROM h
+"""
+
+
+@query("l27_epoch_shuffle", oracle=L27_ORACLE)
+def l27_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle: every (doc, epoch) gets a
+    position from sorting on md5(epoch:doc_id) — a different
+    pseudo-random permutation per epoch with NO RNG state, identical
+    on any cluster layout or retry (the property seed-based shuffles
+    lose the moment partitioning changes). The scale shape: the hash
+    prefix shards the order (16 here, 4096 at 100 TB), positions are
+    assigned WITHIN shards — one hash-partition shuffle, per-shard
+    sorts, never a global sort; training readers consume shards
+    round-robin, which preserves the shuffle's statistical purpose."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    e = d.select("doc_id").crossJoin(
+        spark.range(SHUFFLE_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    )
+    h = e.withColumn(
+        "hk",
+        F.md5(F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))),
+    ).withColumn("shard", F.substring("hk", 1, 1))
+    w = Window.partitionBy("epoch", "shard").orderBy("hk", "doc_id")
+    return h.select(
+        "epoch", "shard", "doc_id", F.row_number().over(w).alias("pos")
+    )

@@ -503,3 +503,19 @@ def test_quantized_search_recall_vs_exact(spark, sf_dir):
         for q in by_q_exact
     ]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_epoch_shuffle_is_per_epoch_bijection(spark, sf_dir):
+    """Each epoch must be a complete permutation of the corpus, and
+    different epochs must order it differently (the whole point of
+    re-shuffling between training epochs)."""
+    rows = Q["l27_epoch_shuffle"](spark, sf_dir).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append((r.shard, r.pos, r.doc_id))
+    docs = {r.doc_id for r in rows}
+    orders = []
+    for ep, items in sorted(by_epoch.items()):
+        assert {d for _, _, d in items} == docs, f"epoch {ep} not a bijection"
+        orders.append(tuple(d for _, _, d in sorted(items)))
+    assert orders[0] != orders[1], "epochs must shuffle differently"
