@@ -1279,3 +1279,33 @@ def s13_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh.select("doc_id", "lang", "source", "digest"), "append"
     )
     return out
+
+
+# --- T12: sketch aggregation inside streaming state ---------------------------
+
+@query(
+    "t12_stream_distinct",
+    oracle="""
+SELECT date_trunc('hour', ts) AS win_start,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY win_start
+""",
+)
+def t12_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting INSIDE streaming state: per-hour
+    unique users via Datasketches HLL as the streaming aggregation
+    buffer — the only distinct-count shape that works in long-running
+    streams, because the state per window is a fixed-size sketch
+    instead of an unbounded user-id set (a4b's rollup argument,
+    applied to the state store). Complete mode over the full 4-chunk
+    replay is prefix-complete; at gate scale the lgK=14 sketch stays
+    in sparse-exact mode, so the exact COUNT DISTINCT oracle
+    value-checks the real sketch path (the a4b/l2 cost-based oracle
+    pattern)."""
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+    agg = stream.groupBy(F.window("ts", "1 hour")).agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("n_users")
+    )
+    out = run_stream_to_table(agg, "complete")
+    return out.select(F.col("window.start").alias("win_start"), "n_users")
