@@ -1309,3 +1309,38 @@ def t12_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_table(agg, "complete")
     return out.select(F.col("window.start").alias("win_start"), "n_users")
+
+
+# --- T13: state-store introspection (checkpoint state as a batch table) -------
+
+@query(
+    "t13_state_inspect",
+    oracle="""
+SELECT event_type, n_state
+FROM (
+  SELECT event_type, count(*) AS n_state FROM events GROUP BY event_type
+)
+""",
+)
+def t13_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational state introspection: run a stateful streaming
+    aggregation to completion, then open its checkpoint's state store
+    with Spark 4's `statestore` batch reader — the debugging/audit
+    path for a production stream (answer "what is this query's state
+    RIGHT NOW" from the checkpoint, without touching the stream). The
+    oracle proves the inspected state is exactly the aggregation the
+    stream computed: complete-mode counts per event type equal the
+    batch GROUP BY. At 100 TB the reader scans state shards in
+    parallel exactly like any other data source — state debugging
+    scales with the state, not the stream."""
+    import tempfile
+
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    ckpt = tempfile.mkdtemp(prefix="sparkgraft_ckpt_")
+    run_stream_to_table(agg, "complete", checkpoint=ckpt)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_state"),
+    )

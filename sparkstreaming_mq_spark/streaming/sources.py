@@ -200,14 +200,16 @@ class _stream_partitions:
 def run_stream_to_table(
     stream_df: DataFrame,
     output_mode: str = "append",
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion with
     Trigger.AvailableNow into a memory sink (S5) and return the result
     as a batch DataFrame. Checkpoint directory (S9) gives the run the
-    same offset/commit WAL a production query has."""
+    same offset/commit WAL a production query has; pass ``checkpoint``
+    to use a known location (e.g. for post-run state inspection)."""
     spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="sparkgraft_ckpt_")
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="sparkgraft_ckpt_")
     with _stream_partitions(spark):
         q = (
             stream_df.writeStream.format("memory")
