@@ -938,7 +938,7 @@ LIMIT {BM25_TOP_K}
 
 @query("l25_bm25_retrieval", oracle=L25_ORACLE)
 def l25_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword retrieval (top-{k}): the lexical complement to the
+    """BM25 keyword retrieval (top-BM25_TOP_K): the lexical complement to the
     embedding ANN family (l3/l3b/l3c) — score every document against a
     fixed multi-term query with k1=1.2, b=0.75 length-normalized term
     saturation and a LOG-FREE odds-ratio idf, so each per-term score
@@ -993,9 +993,6 @@ def l25_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
         F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")),
     )
-
-
-l25_bm25_retrieval.__doc__ = l25_bm25_retrieval.__doc__.format(k=BM25_TOP_K)
 
 
 # --- L27: deterministic epoch shuffle ----------------------------------------

@@ -1245,11 +1245,12 @@ CORPUS_MOD = 3
     oracle=f"""
 WITH corpus AS (
   SELECT DISTINCT sha256(text) AS digest
-  FROM documents WHERE doc_id % {CORPUS_MOD} = 0
+  FROM documents WHERE doc_id % {CORPUS_MOD} = 0 AND text IS NOT NULL
 )
 SELECT d.doc_id, d.lang, d.source, sha256(d.text) AS digest
 FROM documents d
-WHERE sha256(d.text) NOT IN (SELECT digest FROM corpus)
+WHERE d.text IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.digest = sha256(d.text))
 """,
 )
 def s13_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1264,15 +1265,20 @@ def s13_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the digest set outgrows a broadcast; the same plan then
     shuffles on digest — still one exchange, zero state. Stateless
     append emission is prefix-complete over a full replay → exact
-    batch oracle."""
+    batch oracle. NULL texts are excluded on BOTH sides (a NULL digest
+    never anti-joins away in Spark but would poison a SQL NOT IN —
+    the oracle uses NOT EXISTS plus the same explicit filter)."""
     corpus = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % CORPUS_MOD == 0)
+        .filter(F.col("text").isNotNull())
         .select(F.sha2("text", 256).alias("digest"))
         .distinct()
     )
-    crawl = read_docs_stream_chunked(spark, sf_dir, n_chunks=4).withColumn(
-        "digest", F.sha2("text", 256)
+    crawl = (
+        read_docs_stream_chunked(spark, sf_dir, n_chunks=4)
+        .filter(F.col("text").isNotNull())
+        .withColumn("digest", F.sha2("text", 256))
     )
     fresh = crawl.join(F.broadcast(corpus), "digest", "left_anti")
     out = run_stream_to_table(
@@ -1302,7 +1308,10 @@ def t12_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay is prefix-complete; at gate scale the lgK=14 sketch stays
     in sparse-exact mode, so the exact COUNT DISTINCT oracle
     value-checks the real sketch path (the a4b/l2 cost-based oracle
-    pattern)."""
+    pattern). Residual risk, accepted: sparse-mode coupon collisions
+    can make one window off by 1 with p ~ sum(n_w^2)/2^26 (~1e-4 at
+    sf0.001, ~1e-3 at sf0.01) — if a fixture regeneration densifies
+    hourly traffic, coarsen the window before trusting the oracle."""
     stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
     agg = stream.groupBy(F.window("ts", "1 hour")).agg(
         F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("n_users")

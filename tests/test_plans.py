@@ -352,7 +352,10 @@ def test_bm25_term_filter_before_tf_agg(spark, sf_dir):
     plan = formatted_plan(Q["l25_bm25_retrieval"](spark, sf_dir))
     # the IN-filter on query terms must run as a post-explode Filter
     # node (before the tf aggregate), not after the join
-    assert re.search(r"Condition : term#\d+ IN \(dup,vector,join\)", plan)
+    from sparkstreaming_mq_spark.operators.curation import BM25_TERMS
+
+    terms = re.escape(",".join(BM25_TERMS))
+    assert re.search(rf"Condition : term#\d+ IN \({terms}\)", plan)
 
 
 def test_quantized_search_broadcasts_probe_side(spark, sf_dir):
