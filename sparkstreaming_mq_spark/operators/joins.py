@@ -688,3 +688,68 @@ def j14_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("orders", "lineitem"))
     return spark.sql(J14_SQL)
+
+
+# --- J15: interval-overlap join via time-bucket decomposition -----------------
+
+@query(
+    "j15_interval_overlap",
+    oracle="""
+WITH p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase')
+SELECT date_trunc('day', a.ts) AS day, count(*) AS n_overlapping_pairs
+FROM p a JOIN p b
+  ON a.event_id < b.event_id
+ AND b.ts <= a.ts + INTERVAL 2 HOUR
+ AND a.ts <= b.ts + INTERVAL 2 HOUR
+GROUP BY day
+""",
+)
+def j15_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join with NO equi key — pairs of
+    purchases whose 2-hour windows [ts, ts+2h] overlap, counted per
+    day. Catalyst can only plan a pure overlap predicate as a
+    nested-loop join (O(n·m) — the 100 TB killer); the scalable
+    rewrite decomposes each interval into its covered hour buckets,
+    equi-joins on the bucket (hash-partitioned, shards like any join),
+    re-checks the EXACT overlap as a residual (bucket collision is
+    necessary but not sufficient), and dedups pairs that collide in
+    several buckets. Bucket count per interval = interval/bucket + 1
+    is the classic granularity trade-off: finer buckets → more
+    replication, coarser → more false candidates; both stay linear,
+    never all-pairs."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts")
+    )
+    b = ev.withColumn(
+        "hb",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('hour', ts),"
+                " date_trunc('hour', ts + interval 2 hours),"
+                " interval 1 hour)"
+            )
+        ),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.hb") == F.col("b.hb"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .filter(
+            (F.col("b.ts") <= F.col("a.ts") + F.expr("interval 2 hours"))
+            & (F.col("a.ts") <= F.col("b.ts") + F.expr("interval 2 hours"))
+        )
+        .select(
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+            F.col("a.ts").alias("ts_a"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy(F.date_trunc("day", "ts_a").alias("day")).agg(
+        F.count("*").alias("n_overlapping_pairs")
+    )

@@ -364,3 +364,14 @@ def test_quantized_search_broadcasts_probe_side(spark, sf_dir):
     # for the scoring join
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_overlap_avoids_nested_loop(spark, sf_dir):
+    plan = executed_plan(Q["j15_interval_overlap"](spark, sf_dir))
+    # the bucket decomposition must turn the pure overlap predicate
+    # into an equi join — never the O(n*m) nested-loop plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
