@@ -93,3 +93,56 @@ def x1_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(li_checks)
         .crossJoin(orphan_c)
     )
+
+
+# --- X2: observed metrics (data-quality counters on an existing pass) ---------
+
+@query(
+    "x2_observed_metrics",
+    oracle="""
+SELECT count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price,
+       count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS null_priorities,
+       count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS nonpositive_prices
+FROM orders
+""",
+)
+def x2_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline metrics via `Dataset.observe`: data-quality counters
+    (row count, checksum, null/domain violations) computed ON THE SAME
+    PASS as the job's real work — at 100 TB a second validation scan
+    doubles the bill, so production pipelines attach observations to
+    the write job and alert from the listener. Here the observed job
+    is a plain materialization of orders; the observation is read
+    after the action and returned as a one-row table whose oracle is
+    the equivalent (second-scan) SQL — proving observe() counts
+    exactly what a dedicated audit query would."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+        F.count(F.when(F.col("o_orderpriority").isNull(), 1)).alias("null_priorities"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "nonpositive_prices"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                float(m["total_price"]),
+                m["null_priorities"],
+                m["nonpositive_prices"],
+            )
+        ],
+        "n_rows long, total_price double, null_priorities long, nonpositive_prices long",
+    )
