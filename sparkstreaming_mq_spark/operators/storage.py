@@ -438,3 +438,64 @@ def o14_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields exactly the source table."""
     base = _shard_export(spark, sf_dir)
     return spark.read.parquet(base).select("doc_id", "lang", "source", "n_chars")
+
+
+# --- O15: dynamic partition pruning (runtime pruning from a filtered dim) -----
+
+DPP_YEAR = 1997
+
+
+def _month_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize orders hive-partitioned by order month (once per sf
+    per process); returns the parquet path."""
+    key = cache_key(sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), "sparkgraft_parts", key, "orders_m")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+            .write.mode("overwrite")
+            .partitionBy("o_month")
+            .parquet(path)
+        )
+    return path
+
+
+@query(
+    "o15_dynamic_pruning",
+    oracle=f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE date_part('year', o_orderdate) = {DPP_YEAR}
+GROUP BY o_orderpriority
+""",
+)
+def o15_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact is month-partitioned and
+    carries NO static partition predicate — the selective filter lives
+    on a months dimension (year = {DPP_YEAR}), and Catalyst plants a
+    runtime `dynamicpruningexpression` into the fact scan's
+    PartitionFilters, reusing the dim's broadcast to enumerate the
+    surviving months before the fact directories open. o11 is the
+    static half of the story; this is the half that matters for
+    star-schema queries at 100 TB, where the partition predicate is
+    only known after filtering a dimension. The dim joins with
+    multiplicity 1 (distinct months), so the join equals a plain year
+    filter — which is what the oracle checks."""
+    path = _month_partitioned_orders(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    months = (
+        fact.select("o_month").distinct()
+        .withColumn("m_year", F.substring("o_month", 1, 4).cast("int"))
+    ).select(F.col("o_month").alias("m_month"), "m_year")
+    dim = months.filter(F.col("m_year") == DPP_YEAR)
+    return (
+        fact.join(F.broadcast(dim), fact.o_month == dim.m_month)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -392,3 +392,10 @@ def test_shard_export_bounds_file_size_and_partitions(spark, sf_dir):
     for f in glob.glob(os.path.join(base, "lang=*", "*.parquet")):
         n = spark.read.parquet(f).count()
         assert n <= SHARD_MAX_RECORDS, f"{f} has {n} rows"
+
+
+def test_dynamic_partition_pruning_engages(spark, sf_dir):
+    plan = executed_plan(Q["o15_dynamic_pruning"](spark, sf_dir))
+    # the fact scan must carry a runtime pruning subquery in its
+    # PartitionFilters — the DPP signature — not a full-table scan
+    assert "dynamicpruning" in plan.lower(), plan[:800]
