@@ -551,3 +551,99 @@ def f8_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# --- F9: recursive CTE (engine-native iteration) ------------------------------
+
+F9_SPARK_SQL = """
+WITH RECURSIVE r AS (
+  SELECT c_custkey, c_acctbal, 0 AS depth FROM customer WHERE c_custkey = 1
+  UNION ALL
+  SELECT c.c_custkey, c.c_acctbal, r.depth + 1
+  FROM customer c JOIN r ON c.c_custkey DIV 2 = r.c_custkey
+  WHERE c.c_custkey >= 2
+)
+SELECT depth, count(*) AS n,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_bal
+FROM r GROUP BY depth
+"""
+
+
+@query(
+    "f9_recursive_cte",
+    oracle="""
+WITH RECURSIVE r AS (
+  SELECT c_custkey, c_acctbal, 0 AS depth FROM customer WHERE c_custkey = 1
+  UNION ALL
+  SELECT c.c_custkey, c.c_acctbal, r.depth + 1
+  FROM customer c JOIN r ON c.c_custkey // 2 = r.c_custkey
+  WHERE c.c_custkey >= 2
+)
+SELECT depth, count(*) AS n,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_bal
+FROM r GROUP BY depth
+""",
+)
+def f9_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): reachability over the implicit binary
+    tree parent(k) = k div 2 rooted at customer 1, aggregated per
+    depth — ENGINE-NATIVE iteration, the declarative alternative to
+    the driver-side loop l8's connected components uses (each step is
+    one equi join; the engine owns the fixpoint). DuckDB runs the
+    same recursion, so the oracle checks both the traversal and the
+    per-level aggregate exactly (balances decimal-cast inside the
+    sum, per the parity rules)."""
+    from sparkstreaming_mq_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(F9_SPARK_SQL)
+
+
+# --- F10: SQL-defined scalar function (UDF without leaving codegen) -----------
+
+@query(
+    "f10_sql_udf",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+           * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+         AS total_charge_u
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def f10_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (CREATE FUNCTION ... RETURN expr,
+    Spark 4): the `charge` business rule is declared ONCE as a catalog
+    function and inlined by Catalyst into whole-stage codegen — reuse
+    like a UDF, cost of a built-in expression (no Python boundary, no
+    Arrow transfer; contrast u1, the API-coverage Python UDF). The
+    function quantizes to fixed-point (integer cents / percent) and
+    returns micro-dollar units, so the grouped sum is exact BIGINT
+    arithmetic — no float reduction anywhere, no rounding-mode parity
+    trap (the DECIMAL-cast variant of this query was measured one
+    cent off: Spark HALF_UP vs DuckDB HALF_EVEN per-row casts). The
+    oracle inlines the identical expression."""
+    from sparkstreaming_mq_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sg_charge_u("
+        "price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(floor(price * 100 + 0.5) AS BIGINT)"
+        " * (100 - CAST(floor(disc * 100 + 0.5) AS BIGINT))"
+        " * (100 + CAST(floor(tax * 100 + 0.5) AS BIGINT))"
+    )
+    return spark.sql(
+        """
+SELECT l_returnflag,
+       count(*) AS n,
+       sum(sg_charge_u(l_extendedprice, l_discount, l_tax)) AS total_charge_u
+FROM lineitem
+GROUP BY l_returnflag
+"""
+    )

@@ -399,3 +399,11 @@ def test_dynamic_partition_pruning_engages(spark, sf_dir):
     # the fact scan must carry a runtime pruning subquery in its
     # PartitionFilters — the DPP signature — not a full-table scan
     assert "dynamicpruning" in plan.lower(), plan[:800]
+
+
+def test_sql_udf_stays_in_codegen(spark, sf_dir):
+    plan = executed_plan(Q["f10_sql_udf"](spark, sf_dir))
+    # the SQL-defined function must inline — its fixed-point arithmetic
+    # appears directly inside the aggregate, with no Python eval node
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FLOOR" in plan and "sg_charge" not in plan
