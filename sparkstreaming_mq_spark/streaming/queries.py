@@ -1162,11 +1162,13 @@ def s12_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from sparkstreaming_mq_spark.streaming.sources import (
         MQReplayDataSource,
+        ship_package,
         chunked_events_dir,
     )
 
     if MQReplayDataSource is None:  # pragma: no cover - Spark < 4
         raise RuntimeError("Python DataSource API unavailable")
+    ship_package(spark)
     try:
         spark.dataSource.register(MQReplayDataSource)
     except Exception:
@@ -1214,14 +1216,16 @@ def s12b_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, so offset bookkeeping is value-checked too.
     """
     from sparkstreaming_mq_spark.streaming.sources import (
-        MQReplayStreamDataSource,
         chunked_events_dir,
+        make_mq_stream_datasource,
     )
 
-    if MQReplayStreamDataSource is None:  # pragma: no cover - Spark < 4
+    try:
+        cls = make_mq_stream_datasource()
+    except ImportError:  # pragma: no cover - Spark < 4
         raise RuntimeError("Python streaming DataSource API unavailable")
     try:
-        spark.dataSource.register(MQReplayStreamDataSource)
+        spark.dataSource.register(cls)
     except Exception:
         pass
     base = chunked_events_dir(spark, sf_dir, n_chunks=4, order="time")
@@ -1352,4 +1356,63 @@ def t13_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n_state"),
+    )
+
+
+# --- S8: MQ sink (custom Python DataSource writer) ----------------------------
+
+@query(
+    "s8_python_mq_sink",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       min(event_id) AS min_key, max(event_id) AS max_key
+FROM events
+GROUP BY event_type
+""",
+)
+def s8_python_mq_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 made runnable: events are produced to the custom MQ sink
+    (`MQSinkDataSource`, a from-scratch Python DataSource WRITER) as
+    envelope records — every write task is a producer appending one
+    JSON-lines segment, and delivery is transactional two-phase
+    (tasks stage `*.tmp` segments + commit messages; only the driver
+    commit renames them and publishes the manifest — kafka's
+    transactional-producer protocol with the local FS standing in for
+    the broker). The consumed-back messages are then aggregated by
+    header type; the oracle checks against the original events, so a
+    lost, duplicated, or torn message fails the value hash."""
+    import json
+    import os
+    import tempfile
+
+    from sparkstreaming_mq_spark.streaming.sources import (
+        MQSinkDataSource,
+        ship_package,
+    )
+
+    if MQSinkDataSource is None:  # pragma: no cover - Spark < 4
+        raise RuntimeError("Python DataSource writer API unavailable")
+    ship_package(spark)
+    try:
+        spark.dataSource.register(MQSinkDataSource)
+    except Exception:
+        pass
+    env = load_table(spark, sf_dir, "events").select(
+        F.lit("events").alias("topic"),
+        F.col("event_id").alias("key"),
+        F.col("props").alias("value"),
+        F.col("event_type").alias("htype"),
+    )
+    broker = tempfile.mkdtemp(prefix="sparkgraft_broker_")
+    env.write.format("mqsink").option("path", broker).mode("append").save()
+    with open(os.path.join(broker, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    files = [os.path.join(broker, "data", s) for s in manifest["segments"]]
+    msgs = spark.read.schema(
+        "topic string, key bigint, value string, htype string"
+    ).json(files)
+    return msgs.groupBy(F.col("htype").alias("event_type")).agg(
+        F.count("*").alias("n"),
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
     )

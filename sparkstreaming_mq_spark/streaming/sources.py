@@ -370,33 +370,15 @@ except ImportError:  # pragma: no cover
     MQReplayDataSource = None  # type: ignore[assignment]
 
 
-try:  # streaming side of the Python DataSource API (Spark 4)
-    from pyspark.sql.datasource import SimpleDataSourceStreamReader
-
-    class MQReplayStreamDataSource(DataSource):
-        """Streaming twin of ``MQReplayDataSource``: the same replay
-        directory served through Spark 4's SimpleDataSourceStreamReader
-        — a from-scratch streaming connector with REAL offset
-        management (initialOffset → read → commit, persisted in the
-        checkpoint WAL exactly like kafka consumer offsets). Offsets
-        count whole chunks; a read drains every chunk currently on
-        disk (Trigger.AvailableNow prefetches exactly one read), so
-        the replay is deterministic and the offset log still records
-        the consumed range end-to-end.
-        """
-
-        @classmethod
-        def name(cls) -> str:
-            return "mqreplay_stream"
-
-        def schema(self) -> str:
-            return (
-                "part_id int, offset bigint, ts timestamp, "
-                "event_type string, value double"
-            )
-
-        def simpleStreamReader(self, schema):  # noqa: ANN001 - API signature
-            return _MQReplayStreamReader(self.options)
+def make_mq_stream_datasource():
+    """Build the streaming MQ DataSource class ON DEMAND, inside a
+    function, so cloudpickle serializes it BY VALUE: the streaming
+    reader is planned in a separate python process that does NOT see
+    ``addPyFile`` artifacts (unlike task workers), so a module-level
+    class — pickled by reference — would need this package on that
+    process's PYTHONPATH. A function-local class has no importable
+    module path and ships whole. Raises ImportError below Spark 4."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
     class _MQReplayStreamReader(SimpleDataSourceStreamReader):
         def __init__(self, options):
@@ -407,11 +389,13 @@ try:  # streaming side of the Python DataSource API (Spark 4)
 
         def _chunks(self):
             import glob
+            import os
 
             return sorted(glob.glob(os.path.join(self.path, "chunk_*")))
 
         def _rows(self, lo: int, hi: int):
             import glob
+            import os
 
             import pyarrow as pa
             import pyarrow.compute as pc
@@ -446,5 +430,148 @@ try:  # streaming side of the Python DataSource API (Spark 4)
         def readBetweenOffsets(self, start, end):
             return iter(list(self._rows(start["chunk"], end["chunk"])))
 
+    class MQReplayStreamDataSource(DataSource):
+        """Streaming twin of ``MQReplayDataSource``: the same replay
+        directory served through Spark 4's SimpleDataSourceStreamReader
+        — a from-scratch streaming connector with REAL offset
+        management (initialOffset → read → commit, persisted in the
+        checkpoint WAL exactly like kafka consumer offsets). Offsets
+        count whole chunks; a read drains every chunk currently on
+        disk (Trigger.AvailableNow prefetches exactly one read), so
+        the replay is deterministic and the offset log still records
+        the consumed range end-to-end.
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "mqreplay_stream"
+
+        def schema(self) -> str:
+            return (
+                "part_id int, offset bigint, ts timestamp, "
+                "event_type string, value double"
+            )
+
+        def simpleStreamReader(self, schema):  # noqa: ANN001 - API signature
+            return _MQReplayStreamReader(self.options)
+
+    return MQReplayStreamDataSource
+
+
+try:  # batch-write side of the Python DataSource API (Spark 4)
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (  # noqa: F811 - same module
+        DataSource as _DS,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class _MQSinkCommit(WriterCommitMessage):
+        path: str
+        n: int
+
+    class MQSinkDataSource(_DS):
+        """S8 (MQ/kafka sink) as a from-scratch Python DataSource
+        WRITER: each write task is a producer that appends its
+        partition's envelope records to the broker as one JSON-lines
+        segment, and delivery is TWO-PHASE — tasks write `*.tmp`
+        segments and return commit messages; only the driver-side
+        `commit()` renames them and publishes the manifest (an abort
+        deletes the tmps), which is exactly the transactional-producer
+        protocol a kafka sink runs (send → commitTransaction). The
+        local filesystem stands in for the broker network — the
+        task/commit topology is the real thing, the jars are not in
+        this container."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "mqsink"
+
+        def schema(self) -> str:
+            return "topic string, key bigint, value string, htype string"
+
+        def writer(self, schema, overwrite):  # noqa: ANN001 - API signature
+            return _MQSinkWriter(self.options)
+
+    class _MQSinkWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            import json
+            import uuid
+
+            data_dir = os.path.join(self.path, "data")
+            os.makedirs(data_dir, exist_ok=True)
+            tmp = os.path.join(data_dir, f"seg-{uuid.uuid4().hex}.jsonl.tmp")
+            n = 0
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(
+                        json.dumps(
+                            {
+                                "topic": row.topic,
+                                "key": row.key,
+                                "value": row.value,
+                                "htype": row.htype,
+                            },
+                            sort_keys=True,
+                        )
+                        + "\n"
+                    )
+                    n += 1
+            return _MQSinkCommit(tmp, n)
+
+        def commit(self, messages):
+            import json
+
+            final = []
+            for m in messages:
+                if m is None:
+                    continue
+                dst = m.path[: -len(".tmp")]
+                os.replace(m.path, dst)
+                final.append(os.path.basename(dst))
+            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                json.dump({"segments": sorted(final)}, f)
+
+        def abort(self, messages):
+            for m in messages or []:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
 except ImportError:  # pragma: no cover
-    MQReplayStreamDataSource = None  # type: ignore[assignment]
+    MQSinkDataSource = None  # type: ignore[assignment]
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``sparkstreaming_mq_spark`` importable on EXECUTOR python
+    workers: Python DataSource classes are cloudpickled BY REFERENCE
+    (unlike UDF closures), so workers must import this package — which
+    fails when the driver process was launched outside the repo (the
+    real harness does exactly that). Zip the package once per process
+    and ``addPyFile`` it; Spark distributes the zip and prepends it to
+    every worker's sys.path — the same mechanism that deploys
+    dependencies on a real cluster."""
+    import zipfile
+
+    import sparkstreaming_mq_spark as pkg
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    dst = os.path.join(
+        tempfile.gettempdir(), "sparkgraft_pkg", "sparkstreaming_mq_spark.zip"
+    )
+    if not os.path.exists(dst):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = dst + f".{uuid.uuid4().hex}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            pkg_dir = os.path.join(root, "sparkstreaming_mq_spark")
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, dst)
+    spark.sparkContext.addPyFile(dst)

@@ -17,6 +17,7 @@ OPERATOR_TO_SCORED = {
     "S5": ["s1_stream_replay"],  # memory sink in run_stream_to_table
     "S6": ["s9_checkpoint_recovery"],
     "S7": ["s7_stream_foreachbatch"],
+    "S8": ["s8_python_mq_sink"],
     "S9": ["s9_checkpoint_recovery"],
     "P1": ["p1_project_filter_case"],
     "P2": ["p1_project_filter_case"],
@@ -54,7 +55,9 @@ OPERATOR_TO_SCORED = {
     "O6": ["o5_setops"],
     "O7": ["o5_setops"],
     "O8": ["o5_setops"],
-    "O9": ["o9_sample"],
+    # O9 ceded its slot to S8 in round 3: sample is rows-only by nature
+    # (RNG reproducibility is pytest-pinned), while the MQ-sink writer
+    # carries a full oracle for a previously-untestable family.
     "F1": ["f1_string_hash"],
     "F2": ["f2_datetime_math"],
     "F3": ["f2_datetime_math"],
@@ -125,6 +128,6 @@ def test_every_operator_row_has_a_scored_query():
 def test_scored_window_is_mostly_oracle_checked():
     os_ = registry.all_oracles()
     n_oracle = sum(1 for n in registry.PRIORITY if n in os_)
-    # 41 oracle-checked + 9 rows-only-by-nature (sketches, LSH recall,
-    # watermark/update-mode semantics, monitors, RNG sampling, UDAF)
-    assert n_oracle >= 41
+    # 42 oracle-checked + 8 rows-only-by-nature (sketches, LSH recall,
+    # watermark/update-mode semantics, monitors, UDAF)
+    assert n_oracle >= 42

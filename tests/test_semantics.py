@@ -519,3 +519,27 @@ def test_epoch_shuffle_is_per_epoch_bijection(spark, sf_dir):
         assert {d for _, _, d in items} == docs, f"epoch {ep} not a bijection"
         orders.append(tuple(d for _, _, d in sorted(items)))
     assert orders[0] != orders[1], "epochs must shuffle differently"
+
+
+def test_mq_sink_two_phase_commit_hygiene(spark, sf_dir):
+    """After a committed produce: no staged .tmp segments survive, the
+    manifest lists exactly the segment files on the broker, and the
+    message count equals the produced row count."""
+    import glob
+    import json
+    import os
+    import tempfile
+
+    out = Q["s8_python_mq_sink"](spark, sf_dir)
+    n_msgs = out.agg(F.sum("n")).collect()[0][0]
+    ev = load_table(spark, sf_dir, "events")
+    assert n_msgs == ev.count()
+    broker = sorted(
+        glob.glob(os.path.join(tempfile.gettempdir(), "sparkgraft_broker_*")),
+        key=os.path.getmtime,
+    )[-1]
+    assert not glob.glob(os.path.join(broker, "data", "*.tmp"))
+    with open(os.path.join(broker, "_MANIFEST.json")) as f:
+        manifest = set(json.load(f)["segments"])
+    on_disk = {os.path.basename(p) for p in glob.glob(os.path.join(broker, "data", "*"))}
+    assert manifest == on_disk
