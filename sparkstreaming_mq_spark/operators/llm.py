@@ -1804,7 +1804,7 @@ n8 AS (
 ),
 pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         list_sum(list_transform(range(1, 65),
+         list_sum(list_transform(range(1, len(a.q) + 1),
                                  i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS qdot,
          a.nq AS na, b.nq AS nb
   FROM n8 a, n8 b

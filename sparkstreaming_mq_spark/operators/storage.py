@@ -393,6 +393,13 @@ def o13_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Cache version for the o14/o15 materializations below: bump whenever
+# the exported columns, shard bound, or partition scheme change — the
+# fixture-keyed cache_key alone cannot see code edits (CLAUDE.md's
+# stale-cache rule).
+_STORAGE_CACHE_VERSION = 1
+
+
 # --- O14: size-bounded training-shard export ----------------------------------
 
 SHARD_MAX_RECORDS = 100
@@ -401,7 +408,7 @@ SHARD_MAX_RECORDS = 100
 def _shard_export(spark: SparkSession, sf_dir: str) -> str:
     """Materialize documents as lang-partitioned, size-bounded shard
     files (once per sf per source fingerprint); returns the base dir."""
-    key = cache_key(sf_dir, "documents")
+    key = f"{cache_key(sf_dir, 'documents')}_v{_STORAGE_CACHE_VERSION}"
     base = os.path.join(tempfile.gettempdir(), "sparkgraft_export", key)
     done = os.path.join(base, "_READY")
     if not os.path.exists(done):
@@ -448,7 +455,7 @@ DPP_YEAR = 1997
 def _month_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     """Materialize orders hive-partitioned by order month (once per sf
     per process); returns the parquet path."""
-    key = cache_key(sf_dir, "orders")
+    key = f"{cache_key(sf_dir, 'orders')}_v{_STORAGE_CACHE_VERSION}"
     path = os.path.join(tempfile.gettempdir(), "sparkgraft_parts", key, "orders_m")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
@@ -466,7 +473,8 @@ def _month_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     "o15_dynamic_pruning",
     oracle=f"""
 SELECT o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price
 FROM orders
 WHERE date_part('year', o_orderdate) = {DPP_YEAR}
 GROUP BY o_orderpriority
@@ -496,6 +504,8 @@ def o15_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
         )
     )

@@ -552,16 +552,31 @@ def ship_package(spark: SparkSession) -> None:
     (unlike UDF closures), so workers must import this package — which
     fails when the driver process was launched outside the repo (the
     real harness does exactly that). Zip the package once per process
-    and ``addPyFile`` it; Spark distributes the zip and prepends it to
-    every worker's sys.path — the same mechanism that deploys
-    dependencies on a real cluster."""
+    (keyed by the package's content fingerprint, so a code edit always
+    rebuilds) and ``addPyFile`` it; Spark distributes the zip and
+    prepends it to every worker's sys.path — the same mechanism that
+    deploys dependencies on a real cluster."""
+    import hashlib
     import zipfile
 
     import sparkstreaming_mq_spark as pkg
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    pkg_fp = hashlib.md5()
+    for dirpath, _dirs, files in sorted(
+        os.walk(os.path.join(root, "sparkstreaming_mq_spark"))
+    ):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                st = os.stat(os.path.join(dirpath, f))
+                pkg_fp.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())
+    # zip name keyed by package content fingerprint: a stale zip after a
+    # code edit would ship LAST session's classes to executors (the
+    # CLAUDE.md stale-cache rule, applied to code instead of data)
     dst = os.path.join(
-        tempfile.gettempdir(), "sparkgraft_pkg", "sparkstreaming_mq_spark.zip"
+        tempfile.gettempdir(),
+        "sparkgraft_pkg",
+        f"sparkstreaming_mq_spark_{pkg_fp.hexdigest()[:12]}.zip",
     )
     if not os.path.exists(dst):
         os.makedirs(os.path.dirname(dst), exist_ok=True)
