@@ -301,9 +301,9 @@ WITH d AS (
 ),
 pos AS (
   SELECT doc_id, shard, n_tokens,
-         coalesce(sum(n_tokens) OVER (
+         CAST(coalesce(sum(n_tokens) OVER (
            PARTITION BY shard ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
   FROM d
 )
 SELECT doc_id, shard, n_tokens,

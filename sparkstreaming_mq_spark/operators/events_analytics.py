@@ -45,7 +45,7 @@ SELECT
   (SELECT count(*) FROM v) AS users_viewed,
   (SELECT count(*) FROM c) AS users_clicked,
   (SELECT count(*) FROM p) AS users_purchased,
-  (SELECT coalesce(sum(date_diff('second', t1, t3)), 0) FROM p)
+  (SELECT CAST(coalesce(sum(date_diff('second', t1, t3)), 0) AS BIGINT) FROM p)
     AS total_conversion_sec
 """,
 )

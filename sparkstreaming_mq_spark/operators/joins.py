@@ -647,9 +647,11 @@ def j13_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         out = bloom_join_frame(spark, sf_dir)
         # materialize under the forced-bloom confs; restoring them
-        # afterwards must not re-plan this result
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # afterwards must not re-plan this result. localCheckpoint keeps
+        # the materialized partitions on the executors (no driver
+        # round-trip — a .collect() here would be the anti-pattern at
+        # 100 TB even though this aggregate is small).
+        return out.localCheckpoint(eager=True)
     finally:
         for k, v in prev.items():
             if v is None:

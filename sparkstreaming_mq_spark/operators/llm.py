@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkstreaming_mq_spark.registry import query
-from sparkstreaming_mq_spark.tables import load_table
+from sparkstreaming_mq_spark.tables import load_table, table_rowcount
 
 # Fixed stopword list shared by quality scoring and lang-id.
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
@@ -438,9 +438,7 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle keeps the postings formulation — same semantics,
     each engine in its best physical shape."""
     d = load_table(spark, sf_dir, "documents")
-    if d.count() > L2B_MAX_BROADCAST_DOCS:
-        return _verify_pairs(d, _lsh_candidate_pairs(d), JACCARD_THRESHOLD)
-    return _broadcast_jaccard_pairs(d, JACCARD_THRESHOLD)
+    return _neardup_pairs(d, JACCARD_THRESHOLD, n_docs=table_rowcount(sf_dir, "documents"))
 
 
 def _broadcast_jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
@@ -641,21 +639,41 @@ def _lsh_candidate_pairs(d: DataFrame) -> DataFrame:
     )
 
 
-def _verify_pairs(d: DataFrame, cands: DataFrame, threshold: float) -> DataFrame:
-    """Exact-Jaccard verify of candidate pairs via two broadcast joins.
+# Above this corpus size the exact-verify representation no longer fits
+# a broadcast (it is corpus-sized); the verify joins fall back to
+# shuffle hash joins on the pair keys. Separate knob from
+# L2B_MAX_BROADCAST_DOCS: that one bounds the *all-pairs kernel*, this
+# one bounds the *verify-side broadcast* on the banded path.
+VERIFY_MAX_BROADCAST_DOCS = 5_000_000
 
-    The verification representation is corpus-sized (small next to the
-    pair count) → broadcast both verify joins; exact Jaccard never
-    shuffles pairs, and on small vocabularies it's bitmap arithmetic.
+
+def _verify_pairs(
+    d: DataFrame, cands: DataFrame, threshold: float, n_docs: int | None = None
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate pairs.
+
+    Below ``VERIFY_MAX_BROADCAST_DOCS`` the corpus-sized verification
+    representation broadcasts (small next to the pair count; pairs never
+    shuffle). Past the bound — the true 100 TB regime, where a
+    corpus-sized broadcast is an executor OOM — both verify joins run
+    as shuffle hash joins keyed on doc_a/doc_b instead: the pair table
+    shuffles twice, but every side is hash-partitioned and bounded, and
+    recall is unchanged (same exact kernel either way).
     """
     repr_df, jac_fn = _jaccard_repr(d)
     ra = repr_df.select(F.col("doc_id").alias("doc_a"), F.col("jr").alias("ja"))
     rb = repr_df.select(F.col("doc_id").alias("doc_b"), F.col("jr").alias("jb"))
     jac = jac_fn(F.col("ja"), F.col("jb"))
+    if n_docs is None:
+        n_docs = d.count()
+    if n_docs > VERIFY_MAX_BROADCAST_DOCS:
+        joined = cands.join(ra.hint("shuffle_hash"), "doc_a").join(
+            rb.hint("shuffle_hash"), "doc_b"
+        )
+    else:
+        joined = cands.join(F.broadcast(ra), "doc_a").join(F.broadcast(rb), "doc_b")
     return (
-        cands.join(F.broadcast(ra), "doc_a")
-        .join(F.broadcast(rb), "doc_b")
-        .filter(jac >= threshold)
+        joined.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jac"))
     )
 
@@ -686,15 +704,23 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact kernel.
     """
     d = load_table(spark, sf_dir, "documents")
-    return _neardup_pairs(d, MINHASH_THRESHOLD)
+    return _neardup_pairs(d, MINHASH_THRESHOLD, n_docs=table_rowcount(sf_dir, "documents"))
 
 
-def _neardup_pairs(d: DataFrame, threshold: float) -> DataFrame:
-    """Cost-based near-dup pair strategy shared by l2 and l9: banded
+def _neardup_pairs(d: DataFrame, threshold: float, n_docs: int | None = None) -> DataFrame:
+    """Cost-based near-dup pair strategy shared by l2/l2b/l9: banded
     LSH + verify past the broadcast boundary, exact broadcast bitmap
-    kernel below it."""
-    if d.count() > L2B_MAX_BROADCAST_DOCS:
-        return _verify_pairs(d, _lsh_candidate_pairs(d), threshold)
+    kernel below it.
+
+    ``n_docs``: pre-known corpus size (parquet-footer statistics via
+    ``tables.table_rowcount``, or any upper bound). Passing it avoids a
+    full ``d.count()`` scan per invocation just to pick the strategy —
+    an upper bound is safe: it can only push toward the banded path,
+    which is correct at any size."""
+    if n_docs is None:
+        n_docs = d.count()
+    if n_docs > L2B_MAX_BROADCAST_DOCS:
+        return _verify_pairs(d, _lsh_candidate_pairs(d), threshold, n_docs=n_docs)
     return _broadcast_jaccard_pairs(d, threshold)
 
 
@@ -1345,8 +1371,14 @@ def l9_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = quality_ok.join(keepers, "doc_id", "left_semi").select("doc_id", "text")
 
     # near-dup clustering among survivors (cost-based: banded LSH +
-    # verify past the broadcast boundary, exact kernel below it)
-    pairs = _neardup_pairs(survivors, MINHASH_THRESHOLD)
+    # verify past the broadcast boundary, exact kernel below it).
+    # Footer count of the unfiltered table is an upper bound on the
+    # survivor count — safe for the strategy switch (can only err
+    # toward the banded path, correct at any size) and avoids a
+    # count() scan of the filtered frame.
+    pairs = _neardup_pairs(
+        survivors, MINHASH_THRESHOLD, n_docs=table_rowcount(sf_dir, "documents")
+    )
     labels = _min_label_propagation(survivors, pairs.select("doc_a", "doc_b"))
     final = labels.select(
         "doc_id",
@@ -1815,7 +1847,7 @@ scored AS (
          qdot / (sqrt(na) * sqrt(nb)) AS qsim
   FROM pairs
 )
-SELECT query_id, neighbor_id, qdot, qsim, rnk
+SELECT query_id, neighbor_id, CAST(qdot AS BIGINT) AS qdot, qsim, rnk
 FROM (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY qsim DESC, neighbor_id) AS rnk

@@ -332,8 +332,8 @@ SELECT
   CAST(list_contains(string_split(text, ' '), 'data') AS INTEGER) AS has_data,
   list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'max')
                                                         AS max_tok_len,
-  list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum')
-                                                        AS sum_tok_len,
+  CAST(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum')
+       AS BIGINT)                                       AS sum_tok_len,
   len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS n_long
 FROM documents
 """,
@@ -355,7 +355,10 @@ def f5_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         # observed on str/num/timestamp cells (r02), so scalarize flags.
         F.array_contains(toks, "data").cast("int").alias("has_data"),
         F.array_max(lens).alias("max_tok_len"),
-        F.aggregate(lens, F.lit(0), lambda acc, x: acc + x).alias("sum_tok_len"),
+        # r03 driver fail: DuckDB list_aggregate(..., 'sum') returns DOUBLE
+        # while F.aggregate over ints returns int — the driver hashes
+        # stringified cells, so '126' != '126.0'. Pin BIGINT on both sides.
+        F.aggregate(lens, F.lit(0), lambda acc, x: acc + x).cast("long").alias("sum_tok_len"),
         F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
     )
 
@@ -608,9 +611,9 @@ def f9_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        count(*) AS n,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
-           * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS BIGINT)
          AS total_charge_u
 FROM lineitem
 GROUP BY l_returnflag

@@ -84,7 +84,14 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str | None:
         return f"rowcount spark={len(srows)} oracle={len(orows)}"
     if scols != ocols:
         return f"columns spark={scols} oracle={ocols}"
-    if srows != orows:
-        diffs = [(a, b) for a, b in zip(srows, orows) if a != b]
+    # Compare reprs, not values: the driver hashes *stringified* cells, so
+    # int 126 vs float 126.0 must FAIL here even though 126 == 126.0 (this
+    # permissiveness hid a scored-row hash failure in r2 AND r3). repr is
+    # exactly as strict as == for matching dtypes (float == was already
+    # exact), and additionally distinguishes int/float/bool representations.
+    sreprs = [repr(r) for r in srows]
+    oreprs = [repr(r) for r in orows]
+    if sreprs != oreprs:
+        diffs = [(a, b) for a, b in zip(sreprs, oreprs) if a != b]
         return f"{len(diffs)}/{len(srows)} rows differ; first spark={diffs[0][0]} oracle={diffs[0][1]}"
     return None

@@ -50,7 +50,30 @@ def cache_key(sf_dir: str, name: str) -> str:
         st = os.stat(table_path(sf_dir, name))
         return f"{base}_{int(st.st_mtime)}_{st.st_size}"
     except OSError:
-        return f"{base}_nofp"
+        # Un-fingerprinted keys must never collide with a prior run's
+        # cache (a transiently-unstatable source would otherwise serve
+        # last generation's rows) — salt with the process id so the
+        # fallback only ever reuses material this process built.
+        return f"{base}_nofp_{os.getpid()}"
+
+
+_ROWCOUNT_CACHE: dict[str, int] = {}
+
+
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Row count of a fixture table from the parquet FOOTER — zero data
+    scan. Cost-based operators (l2/l2b strategy switch) need the corpus
+    size before planning; paying a full `df.count()` action per
+    invocation is a whole extra scan at 100 TB (on a real catalog this
+    is table statistics; on raw parquet it is footer metadata).
+    Cached per fixture generation (cache_key folds mtime+size, so a
+    regenerated fixture never serves a stale count)."""
+    key = f"{cache_key(sf_dir, name)}_{name}"
+    if key not in _ROWCOUNT_CACHE:
+        import pyarrow.parquet as pq
+
+        _ROWCOUNT_CACHE[key] = pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows
+    return _ROWCOUNT_CACHE[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -40,3 +40,20 @@ def test_rows_only_runs(name, spark, sf_dir):
     bad = [f.name for f in df.schema.fields
            if f.dataType.simpleString().startswith(("array", "map", "struct"))]
     assert not bad, f"{name}: non-scalar output columns {bad}"
+
+
+def test_compare_rejects_int_vs_float_dtypes():
+    """r2 (array canon) and r3 (f5_array int-vs-double) both slipped past a
+    value-equal but repr-different mirror: 126 == 126.0 in Python, but the
+    driver hashes stringified cells where '126' != '126.0'. The mirror must
+    be at least as strict as the driver."""
+    import pandas as pd
+
+    a = pd.DataFrame({"k": [1, 2], "v": [126, 240]})            # int64
+    b = pd.DataFrame({"k": [1, 2], "v": [126.0, 240.0]})        # float64
+    assert compare(a, b) is not None
+    assert compare(a, a.copy()) is None
+    # bool-vs-int likewise differs under str()
+    c = pd.DataFrame({"k": [1, 2], "v": [True, False]})
+    d = pd.DataFrame({"k": [1, 2], "v": [1, 0]})
+    assert compare(c, d) is not None

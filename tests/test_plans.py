@@ -79,6 +79,33 @@ def test_minhash_verify_joins_broadcast(spark, sf_dir, monkeypatch):
     assert plan.count("BroadcastHashJoin") >= 2, "verify joins must broadcast"
 
 
+def test_minhash_verify_falls_back_to_shuffle_past_broadcast_bound(
+    spark, sf_dir, monkeypatch
+):
+    """Past VERIFY_MAX_BROADCAST_DOCS the corpus-sized verify
+    representation must NOT broadcast (executor OOM at 100 TB) — the
+    verify joins become shuffle hash joins, with identical results."""
+    from sparkstreaming_mq_spark.operators import llm
+
+    monkeypatch.setattr(llm, "L2B_MAX_BROADCAST_DOCS", 0)
+    broadcast_pairs = {
+        (r.doc_a, r.doc_b, r.jac) for r in Q["l2_minhash_lsh"](spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(llm, "VERIFY_MAX_BROADCAST_DOCS", 0)
+    df = Q["l2_minhash_lsh"](spark, sf_dir)
+    shuffled_pairs = {(r.doc_a, r.doc_b, r.jac) for r in df.collect()}
+    # final (post-AQE) plan: the two verify joins — the ones carrying
+    # the corpus-sized ja/jb representation — must be ShuffledHashJoin.
+    # (The band-collision self-join upstream may still broadcast at
+    # fixture scale; that side is candidate-bounded, not corpus-sized.)
+    plan = executed_plan(df)
+    assert plan.count("ShuffledHashJoin") >= 2, plan[:3000]
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "ja#" not in line and "jb#" not in line, line
+    assert shuffled_pairs == broadcast_pairs
+
+
 def test_minhash_small_corpus_takes_exact_kernel(spark, sf_dir):
     # below the boundary: broadcast nested-loop, no shuffle joins
     plan = executed_plan(Q["l2_minhash_lsh"](spark, sf_dir))
