@@ -417,13 +417,52 @@ def a2_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A4 + A5-approx combined sketches (driver-slot query; rows-only) ---------------
 
-@query("a4_sketches")
+@query(
+    "a4_sketches",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey)    AS approx_suppliers,
+       count(DISTINCT l_linestatus) AS approx_statuses,
+       count(*)                     AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def a4_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass sketch aggregates — the 100 TB substitutes for exact
-    distinct counts and percentiles: HLL ``approx_count_distinct`` (A4)
-    and KLL-style ``approx_percentile`` (A5 approx) per return flag.
-    Rows-only oracle (estimates are engine-specific); pytest bounds
-    both against exact values."""
+    """Distinct-count sketches (A4): Datasketches HLL per return flag —
+    the 100 TB substitute for exact COUNT DISTINCT (one pass, bounded
+    state, mergeable partials instead of a distinct shuffle).
+
+    Full oracle via the sparse-exact regime (the a4b pattern): at gate
+    scale the per-group supplier/status cardinalities (≈100 / 2) sit
+    far below the lgK=21 sketch's coupon-promotion threshold, where
+    the sketch stores exact hashes and the estimator returns the exact
+    integer — so exact COUNT DISTINCT SQL is a value-exact oracle
+    while the executed plan is the real sketch path. (The earlier
+    l_orderkey cut at ~11k distinct was measured off-by-one from
+    coupon hash collisions — cardinality chosen for provable margin,
+    not luck.) Raw HLL++ ``approx_count_distinct`` + approx_percentile
+    stay covered by a4d_approx_raw / a5b (estimate-tier, rows-only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_suppkey, 21))").alias(
+            "approx_suppliers"
+        ),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_linestatus, 21))").alias(
+            "approx_statuses"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@query("a4d_approx_raw")
+def a4d_approx_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw estimate-tier sketch aggregates: HLL++
+    ``approx_count_distinct`` (A4) and KLL-style ``approx_percentile``
+    (A5 approx) per return flag. Rows-only by design — these estimators
+    are engine-specific; pytest bounds them against exact values
+    (test_semantics), and the value-exact A4 evidence lives in
+    a4_sketches/a4b via the sparse-exact regime."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
