@@ -1201,7 +1201,7 @@ WITH ranked AS (
   FROM events
 )
 SELECT part_id, event_type, count(*) AS n,
-       round(sum(CAST(value AS DECIMAL(18,2))), 2) AS total
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM ranked
 GROUP BY part_id, event_type
 """,
@@ -1230,9 +1230,15 @@ def s12b_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     base = chunked_events_dir(spark, sf_dir, n_chunks=4, order="time")
     env = spark.readStream.format("mqreplay_stream").option("path", base).load()
+    # fixed-point cents, not a per-row DECIMAL cast: value is an
+    # arbitrary double, and Spark casts HALF_UP where DuckDB rounds
+    # HALF_EVEN — the measured f10 trap. floor(x*100+0.5) quantizes
+    # identically on both engines and the BIGINT sum is exact.
     agg = env.groupBy("part_id", "event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).alias("total"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "total_cents"
+        ),
     )
     return run_stream_to_table(agg, "complete")
 

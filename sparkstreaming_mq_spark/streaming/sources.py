@@ -525,6 +525,7 @@ try:  # batch-write side of the Python DataSource API (Spark 4)
             return _MQSinkCommit(tmp, n)
 
         def commit(self, messages):
+            import glob as _glob
             import json
 
             final = []
@@ -534,8 +535,21 @@ try:  # batch-write side of the Python DataSource API (Spark 4)
                 dst = m.path[: -len(".tmp")]
                 os.replace(m.path, dst)
                 final.append(os.path.basename(dst))
-            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            # sweep orphan tmps from failed-then-retried task attempts:
+            # abort() only runs on whole-job failure, so a successful
+            # job must not leave a retried attempt's *.tmp in the
+            # broker dir (only committed segments are data).
+            for orphan in _glob.glob(os.path.join(self.path, "data", "*.tmp")):
+                try:
+                    os.remove(orphan)
+                except OSError:
+                    pass
+            # manifest publish is atomic (tmp + rename) like the
+            # segments themselves: a reader never sees a torn manifest.
+            manifest = os.path.join(self.path, "_MANIFEST.json")
+            with open(manifest + ".tmp", "w") as f:
                 json.dump({"segments": sorted(final)}, f)
+            os.replace(manifest + ".tmp", manifest)
 
         def abort(self, messages):
             for m in messages or []:
