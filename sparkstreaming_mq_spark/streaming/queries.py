@@ -208,16 +208,75 @@ def t5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- T4: session windows ------------------------------------------------------
 
-@query("t4_stream_session")
+@query(
+    "t4_stream_session",
+    oracle="""
+WITH e AS (
+  SELECT user_id, date_trunc('second', ts) AS ts_s, value FROM events
+),
+marked AS (
+  SELECT user_id, ts_s, value,
+         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts_s, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts_s) AS sess_start,
+       max(ts_s) + INTERVAL 30 MINUTE AS sess_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total
+FROM sess
+GROUP BY user_id, sid
+""",
+)
 def t4_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based session windows (30-minute inactivity gap) per user:
-    watermarked append mode over in-order chunks. Rows-only — sessions
-    still open at end-of-stream are unflushed by design; pytest checks
-    the flushed sessions against a batch sessionization."""
+    """Gap-based session windows (30-minute inactivity gap) per user —
+    STREAMING, complete output mode over the 4-chunk replay, which
+    makes the end-of-stream answer prefix-complete (every session
+    merged across micro-batches, none unflushed) and therefore
+    full-oracle checkable: the final table equals batch sessionization,
+    replayed in SQL as the classic lag/cumsum rewrite. Session state is
+    carried and MERGED across micro-batches by the session-window state
+    store — adjacent per-batch fragments coalesce exactly like the
+    batch expression. The watermarked append-mode variant (sessions
+    flush only once the watermark passes; trailing sessions stay open —
+    inherently rows-only) is t4d_stream_session_append. Timestamps are
+    second-truncated on BOTH sides so gap comparisons never sit within
+    a ulp of the 30-minute boundary."""
     stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
     agg = (
-        stream.withWatermark("ts", "30 minutes")
-        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        stream.select("user_id", F.date_trunc("second", "ts").alias("ts_s"), "value")
+        .groupBy(F.session_window("ts_s", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    out = run_stream_to_table(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("sess_start"),
+        F.col("session_window.end").alias("sess_end"),
+        "n_events",
+        "total",
+    )
+
+
+@query("t4d_stream_session_append")
+def t4d_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark-driven flavor of T4: append mode emits a session
+    only once the 30-minute watermark passes its close, so sessions
+    still open at end-of-stream are unflushed BY DESIGN — rows-only
+    (pytest pins flushed ⊆ batch sessions and the flush semantics)."""
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+    agg = (
+        stream.select("user_id", F.date_trunc("second", "ts").alias("ts_s"), "value")
+        .withWatermark("ts_s", "30 minutes")
+        .groupBy(F.session_window("ts_s", "30 minutes"), "user_id")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
     )
     out = run_stream_to_table(agg, "append")
@@ -560,14 +619,36 @@ def t4b_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- T8: update output mode -----------------------------------------------------
 
-@query("t8_stream_update_mode")
+@query(
+    "t8_stream_update_mode",
+    oracle="""
+WITH chunked AS (
+  SELECT event_type, NTILE(4) OVER (ORDER BY ts, event_id) AS chunk
+  FROM events
+),
+per AS (
+  SELECT event_type, chunk, count(*) AS c FROM chunked GROUP BY event_type, chunk
+)
+SELECT event_type,
+       CAST(sum(c) OVER (PARTITION BY event_type ORDER BY chunk) AS BIGINT) AS n
+FROM per
+""",
+)
 def t8_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Update output mode: per-batch changed-row emission for a running
     per-type count over the 4-chunk replay — the sink sees one row per
     (key, batch-it-changed-in); the LAST update per key equals the
-    complete-mode result. Rows-only (the update history is
-    mode-specific by design); the final-state property is asserted in
-    pytest."""
+    complete-mode result.
+
+    Full oracle — the update HISTORY itself is deterministic here,
+    because the replay's micro-batch boundaries are pinned (chunk k =
+    ntile(4) over (ts, event_id); maxFilesPerTrigger=1 → one batch per
+    chunk, oldest-first): update mode emits (key, running count) at
+    exactly the batches where the key received rows, which the oracle
+    replays as a per-chunk cumulative sum over the same ntile
+    assignment. Watermark/eviction never enters (no event-time agg), so
+    this is prefix-complete the same way complete mode is — the one
+    output mode whose scored evidence can be value-exact."""
     stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
     agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
     return run_stream_to_table(agg, "update")
@@ -639,7 +720,36 @@ def s9_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in µs
 
 
-@query("t7_stateful_sessionize")
+@query(
+    "t7_stateful_sessionize",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+agg AS (
+  SELECT user_id, sid,
+         min(ts) AS sess_start,
+         max(ts) AS sess_end,
+         count(*) AS n_events,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, sess_start, sess_end, n_events, total_cents
+FROM agg
+WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+""",
+)
 def t7_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom per-key state machine via ``applyInPandasWithState``: a
     hand-rolled sessionizer keeping (start, last, count, sum) per user
@@ -648,8 +758,17 @@ def t7_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     point (SURVEY.md §2.8 T7) — the state survives between triggers in
     the checkpointed state store, exactly like a production counter or
     CEP operator. Sessions still open at end-of-stream stay in state
-    (unflushed), matching t4's semantics; rows-only oracle + pytest
-    equivalence vs batch sessionization."""
+    (unflushed), matching append-mode t4d's semantics.
+
+    Full oracle: with the replay's pinned in-order micro-batches the
+    emitted set is exactly "every session but each user's last"
+    (the last never closes), which the oracle replays via the
+    lag/cumsum sessionization minus each user's max session id. The
+    session sum is accumulated as fixed-point CENTS inside the state
+    (floor(v*100+0.5) per event, integer adds) — a float sum rounded
+    in the UDF would be association-order-sensitive and break hash
+    parity (the repo's never-round-in-pandas rule); integer adds are
+    exact and order-free on both engines."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -658,33 +777,40 @@ def t7_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def sessionize(key, pdf_iter, state: GroupState):
+        import math
+
         (uid,) = key
         if state.exists:
-            start, last, n, tot = state.get
+            start, last, n, cents = state.get
         else:
-            start, last, n, tot = None, None, 0, 0.0
+            start, last, n, cents = None, None, 0, 0
         closed: list[tuple] = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values("ts")
             for ts, val in zip(pdf["ts"], pdf["value"]):
                 us = int(ts.value // 1000)  # pandas ns → µs
                 if last is not None and us - last > SESSION_GAP_US:
-                    closed.append((uid, start, last, n, round(tot, 2)))
-                    start, n, tot = us, 0, 0.0
+                    closed.append((uid, start, last, n, cents))
+                    start, n, cents = us, 0, 0
                 if start is None:
                     start = us
-                last, n, tot = us, n + 1, tot + float(val)
-        state.update((start, last, n, tot))
+                # fixed-point cents: same IEEE double ops as the SQL
+                # floor(v*100+0.5), then exact integer accumulation
+                last, n = us, n + 1
+                cents += int(math.floor(float(val) * 100 + 0.5))
+        state.update((start, last, n, cents))
         if closed:
             yield pd.DataFrame(
                 closed,
-                columns=["user_id", "start_us", "end_us", "n_events", "total"],
+                columns=["user_id", "start_us", "end_us", "n_events", "total_cents"],
             )
 
     out = stream.groupBy("user_id").applyInPandasWithState(
         sessionize,
-        outputStructType="user_id long, start_us long, end_us long, n_events long, total double",
-        stateStructType="start long, last long, n long, total double",
+        outputStructType=(
+            "user_id long, start_us long, end_us long, n_events long, total_cents long"
+        ),
+        stateStructType="start long, last long, n long, total_cents long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -694,7 +820,7 @@ def t7_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros("start_us").alias("sess_start"),
         F.timestamp_micros("end_us").alias("sess_end"),
         "n_events",
-        "total",
+        "total_cents",
     )
 
 

@@ -218,11 +218,17 @@ def test_stateful_sessions_match_batch(spark, sf_dir):
 
 
 def test_session_windows_subset_of_batch(spark, sf_dir):
-    streamed = Q["t4_stream_session"](spark, sf_dir).collect()
-    assert streamed
-    n_events_streamed = sum(r.n_events for r in streamed)
     n_total = load_table(spark, sf_dir, "events").count()
-    assert n_events_streamed <= n_total
+    # complete mode: every event lands in exactly one merged session
+    complete = Q["t4_stream_session"](spark, sf_dir).collect()
+    assert complete
+    assert sum(r.n_events for r in complete) == n_total
+    # watermarked append mode: only watermark-flushed sessions emit
+    flushed = Q["t4d_stream_session_append"](spark, sf_dir).collect()
+    assert flushed
+    assert sum(r.n_events for r in flushed) <= n_total
+    complete_keys = {(r.user_id, r.sess_start) for r in complete}
+    assert {(r.user_id, r.sess_start) for r in flushed} <= complete_keys
 
 
 def test_dedup_clusters_are_consistent(spark, sf_dir):
