@@ -164,15 +164,62 @@ def t2_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- T1 + T6: watermark + late-data drops (append mode; rows-only) -----------
 
-@query("t6_stream_late_data")
+@query(
+    "t6_stream_late_data",
+    oracle="""
+WITH c AS (
+  SELECT ts, CAST(event_id % 4 AS BIGINT) AS chunk,
+         date_trunc('hour', ts) AS win_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end
+  FROM events
+),
+cmax AS (SELECT chunk, max(ts) AS mx FROM c GROUP BY chunk),
+wm AS (
+  SELECT chunk,
+         max(mx) OVER (ORDER BY chunk ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - INTERVAL 30 MINUTE AS w
+  FROM cmax
+),
+accepted AS (
+  SELECT c.win_start, c.win_end FROM c
+  LEFT JOIN wm f ON f.chunk = c.chunk - 2
+  WHERE f.w IS NULL OR c.win_end > f.w
+)
+SELECT win_start, count(*) AS n
+FROM accepted
+WHERE win_end <= (SELECT w FROM wm WHERE chunk = 2)
+GROUP BY win_start
+""",
+)
 def t6_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked append-mode tumbling count over an OUT-OF-ORDER
-    replay (hash-interleaved chunks): each micro-batch advances the
-    watermark to max(ts)-30min, so later chunks' old events are
-    dropped and only finalized windows emit. Deterministic given the
-    fixed chunk assignment and trigger sequence, but intentionally NOT
-    equal to the batch result — no SQL oracle; the pytest layer
-    asserts emitted_windows ⊆ batch_windows and counts ≤ batch counts."""
+    replay (id-interleaved chunks: chunk j = event_id % 4, every chunk
+    spans the full time range): each micro-batch advances the
+    watermark, so later chunks' old events are dropped and only
+    finalized windows emit — intentionally NOT equal to the batch
+    result.
+
+    Full oracle nonetheless: with pinned micro-batches the drop/emit
+    history is deterministic, and the measured microbatch watermark
+    mechanics (verified against per-batch progress numbers at two SFs)
+    are
+      * W(k) = running max event time through chunk k, minus the
+        30-min delay;
+      * the late-row filter in batch j uses W(j-2) — the watermark
+        LAGS one batch behind eviction, because batch j's watermark
+        W(j-1) is applied to eviction at batch END while rows arriving
+        in batch j were filtered with the watermark computed when
+        batch j-1 finished planning (batch 1 measured dropping 0 rows,
+        batch 2 dropping by W(0), batch 3 by W(1));
+      * accepted rows emit iff win_end <= W(n_chunks-2), the LAST
+        batch's eviction watermark — Trigger.AvailableNow stops
+        without a trailing no-data flush batch, so the final chunk's
+        watermark advance is never applied (measured: a window inside
+        W(3) but past W(2) stays unflushed).
+    The oracle replays exactly that in SQL over the same event_id % 4
+    chunk assignment (why the chunker uses id-mod, not xxhash64: the
+    assignment must be ANSI-SQL-expressible). The pytest layer keeps
+    the coarser invariants (emitted ⊆ batch windows, counts ≤ batch)."""
     stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="hash")
     agg = (
         stream.withWatermark("ts", "30 minutes")
@@ -893,11 +940,29 @@ def t7b_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- T10: stream monitoring ---------------------------------------------------
 
-@query("t10_stream_progress")
+@query(
+    "t10_stream_progress",
+    oracle="""
+WITH chunked AS (
+  SELECT CAST(NTILE(4) OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS batch_id
+  FROM events
+)
+SELECT batch_id, count(*) AS num_input_rows
+FROM chunked
+GROUP BY batch_id
+""",
+)
 def t10_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-progress observability (replaces the archetype's log
     files): run a replay and surface per-batch progress counters from
-    the StreamingQuery API as rows."""
+    the StreamingQuery API as rows.
+
+    Full oracle: wall-clock metrics would be run-dependent, but the
+    surfaced counters (batchId, numInputRows) are not — the replay's
+    micro-batches are pinned (one per ntile(4) chunk, oldest-first,
+    no trailing no-data batch under AvailableNow, verified), so the
+    progress log's input counts equal the chunk sizes, which the
+    oracle re-derives from the same ntile assignment."""
     import tempfile
     import uuid as _uuid
 

@@ -53,7 +53,7 @@ EVENTS_STREAM_SCHEMA = StructType(
 # version can never feed a replay (a v1→v2 off-by-one-µs bite: the float
 # ns division fix made cached chunks disagree with fresh batch loads).
 # v3: events.ts normalized NTZ→LTZ (fixture regenerated as µs NTZ).
-_CACHE_VERSION = 3
+_CACHE_VERSION = 4
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,8 +95,13 @@ def chunked_events_dir(
             F.ntile(n_chunks).over(Window.orderBy("ts", "event_id")) - 1,
         )
     else:
+        # event_id % n, NOT a hash: same full-time-range interleave per
+        # chunk (ids are uncorrelated enough with ts), but expressible
+        # in ANSI SQL — which is what lets t6's watermark-drop replay
+        # carry a value-exact DuckDB oracle. xxhash64 would be
+        # Spark-only and force the slot back to rows-tier.
         ranked = events.withColumn(
-            "__chunk", F.pmod(F.xxhash64("event_id"), F.lit(n_chunks))
+            "__chunk", F.pmod(F.col("event_id"), F.lit(n_chunks))
         )
     # write sequentially so file modification times follow chunk order
     # (the file source picks up files oldest-first)
