@@ -1042,3 +1042,69 @@ def l27_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "epoch", "shard", "doc_id", F.row_number().over(w).alias("pos")
     )
+
+
+# --- L29: token-budget corpus selection --------------------------------------
+
+# The planning step between mixture weights (l17) and shard export
+# (o14): given a per-source token budget, pick WHICH documents fill it
+# — deterministically, so every rerun/engine/cluster layout selects
+# the same corpus. Priority is md5(doc_id) (an unbiased, coordination-
+# free order); a doc is admitted iff its source's budget was not
+# already exhausted before it, so each source overshoots by at most
+# one document (the standard greedy knapsack cut every curation
+# pipeline uses — a partial final doc is taken, not split).
+#
+# Scale shape: token counting is a per-row JVM expression, the cumsum
+# is ONE window shuffle partitioned by source. Integer-exact
+# throughout (token counts and running sums are BIGINT on both sides).
+
+TOKEN_BUDGET = 800  # per-source token budget (fixture sources hold ~1.3-1.6k)
+
+L29_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS pri
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS BIGINT)
+           AS pick_order
+  FROM t
+)
+SELECT doc_id, source, n_tok, cum_tok, pick_order
+FROM c
+WHERE cum_tok - n_tok < {TOKEN_BUDGET}
+"""
+
+
+@query("l29_token_budget", oracle=L29_ORACLE)
+def l29_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source token-budget selection: hash-ordered
+    greedy fill to TOKEN_BUDGET tokens per source. One window shuffle
+    on source; no RNG state; the admitted set is identical under any
+    partitioning or retry, which is what makes the selected corpus
+    reproducible (and auditable: cum_tok/pick_order record exactly why
+    each doc made the cut)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("pri"),
+    )
+    w = Window.partitionBy("source").orderBy("pri", "doc_id")
+    c = t.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_tok"),
+        F.row_number().over(w).cast("long").alias("pick_order"),
+    )
+    return c.filter(F.col("cum_tok") - F.col("n_tok") < TOKEN_BUDGET)

@@ -33,6 +33,7 @@ known-hard list: determinism across partitions).
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1906,3 +1907,220 @@ def l26_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOPK_K)
     )
+
+
+# --- L28: corpus k-means clustering (Lloyd's, exact-integer) ------------------
+
+# K-means over the embedding corpus — the clustering step under corpus
+# organization jobs (IVF coarse quantizers, SemDeDup's cluster scoping,
+# domain discovery, diversity-balanced sampling). Lloyd's algorithm is
+# iterative; Spark's shape for it is the MLlib one: centroids live on
+# the driver (K*dim values — bounded metadata, NOT corpus data), each
+# iteration is ONE corpus scan that computes every distance JVM-side
+# against broadcast centroid literals, and the re-center is one narrow
+# posexplode + (cluster, component) partial-agg shuffle of K*dim*parts
+# rows. No corpus-sized join, no per-row Python.
+#
+# Exactness (what makes a cross-engine oracle possible, vs MLlib's
+# float path): embeddings are quantized once to BIGINT at a fixed
+# global scale, distances are exact integer sums, and each new
+# centroid component is floor((2*sum + n) / (2n)) — round-half-up of
+# the mean computed identically by Spark and DuckDB (the IEEE quotient
+# is >= 1/(2n) from the nearest integer whenever it is not exactly
+# one, so floor() cannot diverge). Ties in the argmin break to the
+# lowest cluster id via struct ordering. Iteration count is fixed
+# (KMEANS_ITERS), init is the first K vec_ids: every run, engine, and
+# cluster layout produces the same assignment.
+
+KMEANS_K = 4
+KMEANS_ITERS = 2          # re-center rounds; assignments run ITERS+1 times
+KMEANS_SCALE = 10000      # global quantization: q_i = round_half_up(x_i * SCALE)
+
+
+def _kmeans_sql_iters() -> str:
+    """Unrolled CTE chain: assign -> re-center, KMEANS_ITERS times,
+    then the final assignment (exactly what the Spark loop runs)."""
+    parts = [
+        f"""
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+comp AS (
+  SELECT vec_id, unnest(range(0, len(q))) AS i, unnest(q) AS x FROM q
+),
+cent0 AS (SELECT vec_id AS c, i, x AS ci FROM comp WHERE vec_id < {KMEANS_K})"""
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(f"""
+a{it} AS (
+  SELECT comp.vec_id, cent{it}.c,
+         CAST(sum((comp.x - cent{it}.ci) * (comp.x - cent{it}.ci)) AS BIGINT) AS d
+  FROM comp JOIN cent{it} USING (i) GROUP BY comp.vec_id, cent{it}.c
+),
+asg{it} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM a{it}
+  ) WHERE rn = 1
+),
+cent{it + 1} AS (
+  SELECT c, i,
+         CAST(floor((2 * sum(x) + count(*)) / (2.0 * count(*))) AS BIGINT) AS ci
+  FROM asg{it} JOIN comp USING (vec_id) GROUP BY c, i
+)""")
+    parts.append(f"""
+afin AS (
+  SELECT comp.vec_id, cent{KMEANS_ITERS}.c,
+         CAST(sum((comp.x - cent{KMEANS_ITERS}.ci) * (comp.x - cent{KMEANS_ITERS}.ci)) AS BIGINT) AS d
+  FROM comp JOIN cent{KMEANS_ITERS} USING (i) GROUP BY comp.vec_id, cent{KMEANS_ITERS}.c
+)""")
+    return ",".join(parts)
+
+
+L28_ORACLE = f"""
+WITH {_kmeans_sql_iters()}
+SELECT vec_id, CAST(c AS BIGINT) AS cluster, d AS dist FROM (
+  SELECT vec_id, c, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+  FROM afin
+) WHERE rn = 1
+"""
+
+
+def _kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * KMEANS_SCALE + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _kmeans_best(cents: dict[int, list[int]]):
+    """(cluster, dist) struct of the nearest centroid: one JVM
+    expression per centroid against broadcast literals, argmin via
+    array_min's struct ordering (d first, then cluster id for ties)."""
+    dist_structs = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    "q",
+                    F.array(*[F.lit(int(v)) for v in vec]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("d"),
+            F.lit(int(c)).cast("long").alias("c"),
+        )
+        for c, vec in sorted(cents.items())
+    ]
+    return F.array_min(F.array(*dist_structs))
+
+
+@query("l28_kmeans_embed", oracle=L28_ORACLE)
+def l28_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Lloyd's k-means over the embedding corpus (K=
+    KMEANS_K, KMEANS_ITERS re-center rounds, first-K-vec_ids init).
+    Per iteration: one corpus scan computing all K distances against
+    driver-held centroid literals (K*dim bounded metadata — the MLlib
+    pattern, not a corpus collect), then a narrow posexplode +
+    (cluster, component) agg whose shuffle is K*dim*partitions rows.
+    At 100 TB you would cache/checkpoint the quantized corpus across
+    iterations; the per-iteration plan is unchanged."""
+    qdf = _kmeans_quantized(spark, sf_dir)
+
+    # init: quantized embeddings of the first K vec_ids (K*dim ints)
+    init = qdf.filter(F.col("vec_id") < KMEANS_K).collect()
+    cents = {int(r["vec_id"]): list(r["q"]) for r in init}
+
+    for _ in range(KMEANS_ITERS):
+        asg = qdf.select("vec_id", "q", _kmeans_best(cents)["c"].alias("c"))
+        sums = (
+            asg.select("c", F.posexplode("q").alias("i", "x"))
+            .groupBy("c", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_cents: dict[int, list[int]] = {}
+        for r in sums:
+            vec = new_cents.setdefault(int(r["c"]), [0] * len(next(iter(cents.values()))))
+            vec[int(r["i"])] = math.floor((2 * r["s"] + r["n"]) / (2.0 * r["n"]))
+        cents = new_cents
+
+    best = _kmeans_best(cents)
+    return qdf.select(
+        "vec_id", best["c"].alias("cluster"), best["d"].alias("dist")
+    )
+
+
+# --- L30: incremental dedup against an existing corpus ------------------------
+
+# The production shape of exact dedup at 100 TB: you almost never
+# re-dedup the whole store — you dedup each incoming crawl batch (a)
+# within itself and (b) against the digest index of everything already
+# ingested. The batch split here is deterministic (doc_id % 5 == 0 is
+# the "incoming drop", the rest is the standing corpus) so the oracle
+# replays it; in production the corpus side is the persisted digest
+# index, not a rescan.
+#
+# Scale shape: digests are computed per-row (codegen sha2); the
+# corpus membership probe is ONE equi-join on the 64-char digest.
+# The incoming batch is the small side; Spark shuffles both sides on
+# h (hash-partitioned, spill-safe) — at a 100 TB corpus the digest
+# index is bucketed by h on disk, making this a zero-shuffle
+# sort-merge probe. Within-batch dedup is a window over the same
+# partitioning (no extra shuffle).
+
+INCR_BATCH_MOD = 5  # doc_id % MOD == 0 -> the incoming batch
+
+L30_ORACLE = f"""
+WITH corpus AS (
+  SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % {INCR_BATCH_MOD} != 0
+),
+incoming AS (
+  SELECT doc_id, sha256(text) AS h,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0
+)
+SELECT i.doc_id, i.h,
+       CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+            WHEN i.rn = 1 THEN 'new'
+            ELSE 'dup_in_batch' END AS status
+FROM incoming i LEFT JOIN corpus c ON i.h = c.h
+"""
+
+
+@query("l30_incremental_dedup", oracle=L30_ORACLE)
+def l30_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: classify each incoming-batch document
+    as 'new', 'dup_in_batch' (a batch-internal copy after the first),
+    or 'dup_of_corpus' (already in the standing store). One digest
+    equi-join + one window on the same key — the join and the window
+    share the hash partitioning on h, so the batch is shuffled once."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (
+        d.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    incoming = (
+        d.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+        .select("doc_id", F.sha2("text", 256).alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    out = incoming.join(corpus, "h", "left")
+    status = (
+        F.when(F.col("in_corpus").isNotNull(), F.lit("dup_of_corpus"))
+        .when(F.col("rn") == 1, F.lit("new"))
+        .otherwise(F.lit("dup_in_batch"))
+    )
+    return out.select("doc_id", "h", status.alias("status"))

@@ -549,3 +549,64 @@ def test_mq_sink_two_phase_commit_hygiene(spark, sf_dir):
         manifest = set(json.load(f)["segments"])
     on_disk = {os.path.basename(p) for p in glob.glob(os.path.join(broker, "data", "*"))}
     assert manifest == on_disk
+
+
+def test_kmeans_assignment_well_formed_and_deterministic(spark, sf_dir):
+    """Every vector gets exactly one cluster, all K clusters are
+    non-empty on the fixture, assignment is a pure function of the
+    quantized vector, and a rerun reproduces the exact assignment
+    (driver-held centroids are exact integers, so no float-
+    accumulation drift between runs)."""
+    from sparkstreaming_mq_spark.operators import llm
+
+    out = Q["l28_kmeans_embed"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == load_table(spark, sf_dir, "embeddings").count()
+    assert len({r.cluster for r in rows}) == llm.KMEANS_K
+    assert all(r.dist >= 0 for r in rows)
+    # identical quantized vectors must land in the same cluster with
+    # the same distance (assignment is a pure function of q)
+    qdf = llm._kmeans_quantized(spark, sf_dir)
+    by_q = {}
+    asg = {r.vec_id: (r.cluster, r.dist) for r in rows}
+    for r in qdf.collect():
+        by_q.setdefault(tuple(r.q), set()).add(asg[r.vec_id])
+    assert all(len(v) == 1 for v in by_q.values())
+    rows2 = Q["l28_kmeans_embed"](spark, sf_dir).collect()
+    assert {(r.vec_id, r.cluster, r.dist) for r in rows2} == {
+        (r.vec_id, r.cluster, r.dist) for r in rows
+    }
+
+
+def test_token_budget_greedy_cut(spark, sf_dir):
+    """Per source: admitted docs must be a prefix of the hash order,
+    every admitted doc's predecessor-cumsum must be under budget, the
+    first excluded doc would have started at/over budget (the greedy
+    cut is tight), and overshoot is at most one document."""
+    from sparkstreaming_mq_spark.operators.curation import TOKEN_BUDGET
+
+    rows = Q["l29_token_budget"](spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    d = load_table(spark, sf_dir, "documents")
+    totals = {
+        r.source: r.n
+        for r in d.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " ")).cast("long")).alias("n"))
+        .collect()
+    }
+    n_docs = {r.source: r.n for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, items in by_src.items():
+        items.sort(key=lambda r: r.pick_order)
+        # contiguous prefix of the pick order
+        assert [r.pick_order for r in items] == list(range(1, len(items) + 1))
+        for r in items:
+            assert r.cum_tok - r.n_tok < TOKEN_BUDGET
+        last = items[-1]
+        if len(items) < n_docs[src]:
+            # budget exhausted: the cut is tight (last admitted doc
+            # crossed or reached the remaining budget)
+            assert last.cum_tok >= TOKEN_BUDGET
+        else:
+            assert totals[src] == last.cum_tok
