@@ -434,3 +434,34 @@ def test_sql_udf_stays_in_codegen(spark, sf_dir):
     # appears directly inside the aggregate, with no Python eval node
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "FLOOR" in plan and "sg_charge" not in plan
+
+
+def test_kmeans_assignment_scan_has_no_join(spark, sf_dir):
+    """The k-means final assignment must be ONE corpus scan evaluating
+    distances against driver-held centroid literals — no join, no
+    exchange, no Python (the MLlib shape). A corpus-side join here
+    would shuffle 100 TB per iteration."""
+    plan = formatted_plan(Q["l28_kmeans_embed"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_token_budget_single_window_exchange(spark, sf_dir):
+    """l29 is one window shuffle on source: exactly one Exchange, one
+    Window covering both the cumsum and pick_order, no Python."""
+    plan = executed_plan(Q["l29_token_budget"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+    assert "Python" not in plan
+
+
+def test_incremental_dedup_window_reuses_join_partitioning(spark, sf_dir):
+    """l30's within-batch window runs on the same hash(h) partitioning
+    as the corpus probe join: the incoming batch is exchanged once,
+    and the second sort (for the window) does not re-shuffle."""
+    plan = executed_plan(Q["l30_incremental_dedup"](spark, sf_dir))
+    assert "Python" not in plan
+    # one exchange for the incoming side, one for the corpus side —
+    # the window must NOT add a third
+    assert plan.count("Exchange hashpartitioning") <= 2
