@@ -610,7 +610,12 @@ def bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(o, li.l_orderkey == o.o_orderkey)
     return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count("*").alias("n_lines"),
+        # decimal sum is exact on both engines; the final DOUBLE cast
+        # aligns the pandas dtype with DuckDB's round()->DOUBLE (a
+        # Decimal-object column stringifies with trailing zeros, the
+        # f5-class driver-hash trap)
         F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
         .alias("revenue"),
     )
 
@@ -619,7 +624,7 @@ def bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j13_bloom_filter_join",
     oracle="""
 SELECT o.o_orderpriority AS priority, count(*) AS n_lines,
-       round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS revenue
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_totalprice > 400000

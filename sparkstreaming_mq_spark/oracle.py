@@ -78,6 +78,21 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str | None:
     bad = array_typed_cols(spark_pdf)
     if bad:
         return f"array-typed output column(s) {bad} would crash the driver canonicalizer"
+    # Pandas dtype KIND must match per column (int family collapsed:
+    # int32-vs-int64 is driver-proven safe). An object-vs-float pairing
+    # (Spark DECIMAL collects as Decimal objects, DuckDB as float64)
+    # stringifies differently at the driver ('123.40' vs '123.4') even
+    # when canon_val's Decimal->float erases it here — the f5-class
+    # trap, caught by the round-4 dtype audit on j13.
+    kind = lambda d: "i" if d.kind in "iu" else d.kind
+    kbad = {
+        c: (str(spark_pdf[c].dtype), str(oracle_pdf[c].dtype))
+        for c in spark_pdf.columns
+        if c in oracle_pdf.columns
+        and kind(spark_pdf[c].dtype) != kind(oracle_pdf[c].dtype)
+    }
+    if kbad:
+        return f"column dtype-kind mismatch (driver stringification risk): {kbad}"
     scols, srows = canon_frame(spark_pdf)
     ocols, orows = canon_frame(oracle_pdf)
     if len(srows) != len(orows):

@@ -176,6 +176,9 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l22_semantic_dedup",       # cluster-scoped embedding dedup (SemDeDup)
     "l23_span_dedup",           # span-level duplicated-window detection
     "l24_hard_negatives",       # contrastive hard-negative mining
+    "l28_kmeans_embed",         # exact-integer Lloyd's corpus clustering
+    "l29_token_budget",         # per-source token-budget greedy selection
+    "l30_incremental_dedup",    # ingest-batch dedup vs standing corpus
     "s3b_schema_merge",         # schema-evolution mergeSchema scan
     "o12_zorder_scan",          # Z-order clustering + 2-D data skipping
     "o13_time_travel",          # manifest-pinned snapshots + compaction

@@ -57,3 +57,23 @@ def test_compare_rejects_int_vs_float_dtypes():
     c = pd.DataFrame({"k": [1, 2], "v": [True, False]})
     d = pd.DataFrame({"k": [1, 2], "v": [1, 0]})
     assert compare(c, d) is not None
+
+
+def test_compare_rejects_decimal_object_vs_float_dtype():
+    """r4 dtype audit: a Spark DECIMAL column collects as object cells
+    (decimal.Decimal) while DuckDB returns float64. canon_val's
+    Decimal->float made them repr-equal locally, but the driver
+    stringifies Decimal('123.40') as '123.40' vs float '123.4' — the
+    f5-class hash trap (found latent in j13). The mirror must reject
+    the dtype-KIND pairing even when values agree."""
+    import decimal
+
+    import pandas as pd
+
+    a = pd.DataFrame({"k": [1, 2], "v": [decimal.Decimal("123.40"), decimal.Decimal("7.10")]})
+    b = pd.DataFrame({"k": [1, 2], "v": [123.4, 7.1]})
+    assert compare(a, b) is not None
+    # int32-vs-int64 stays allowed (driver-proven safe, f1/l4 r03)
+    c = pd.DataFrame({"k": pd.array([1, 2], dtype="int32")})
+    d = pd.DataFrame({"k": pd.array([1, 2], dtype="int64")})
+    assert compare(c, d) is None
