@@ -176,13 +176,14 @@ def read_docs_stream_chunked(
 
 # State-store partition count for local finite replays: each stateful
 # partition pays per-micro-batch store open/commit/checkpoint overhead,
-# which dominates at test scale (measured at sf0.1: 32 partitions x 4
+# which dominates at test scale (r3 ladder at sf0.1: 32 partitions x 4
 # batches spent more time in store maintenance than in data; 8 → 1.87s,
-# 4 → 1.39s, 2 → 1.23s warm for the tumbling agg — 4 keeps real
-# parallelism while shedding most of the per-store overhead). A real
-# cluster sizes this to its parallelism BEFORE the first run (the count
-# is frozen into the checkpoint).
-STREAM_SHUFFLE_PARTITIONS = 4
+# 4 → 1.39s, 2 → 1.23s warm for the tumbling agg; r4 re-measure with
+# noop materialization confirmed 2 beats 4 by ~15-20% on both s1 and
+# t2 with identical results). A real cluster sizes this to its
+# parallelism BEFORE the first run (the count is frozen into the
+# checkpoint) — 2 is the local[32] fixture profile, not a scale claim.
+STREAM_SHUFFLE_PARTITIONS = 2
 
 
 class _stream_partitions:
