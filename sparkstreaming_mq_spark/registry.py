@@ -179,6 +179,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l28_kmeans_embed",         # exact-integer Lloyd's corpus clustering
     "l29_token_budget",         # per-source token-budget greedy selection
     "l30_incremental_dedup",    # ingest-batch dedup vs standing corpus
+    "s14_stream_incremental_dedup",  # its stateful streaming twin
     "s3b_schema_merge",         # schema-evolution mergeSchema scan
     "o12_zorder_scan",          # Z-order clustering + 2-D data skipping
     "o13_time_travel",          # manifest-pinned snapshots + compaction

@@ -1613,3 +1613,97 @@ def s8_python_mq_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("key").alias("min_key"),
         F.max("key").alias("max_key"),
     )
+
+
+# --- S14: streaming incremental dedup (stateful 3-way classify) ---------------
+
+# The streaming form of batch l30: every document on the incoming
+# crawl stream is classified against (a) the standing corpus's digest
+# index — a stateless broadcast probe, like s13 — and (b) what the
+# stream itself has already seen, which needs PER-DIGEST STATE across
+# micro-batches (t5's dedup drops re-occurrences; classification must
+# emit them with a label instead, hence applyInPandasWithState rather
+# than dropDuplicates). Standing corpus = doc_id % S14_CORPUS_MOD != 0,
+# so recrawls of stored pages are exercised too.
+#
+# Scale: state is one bit per distinct streamed digest, keyed and
+# sharded by digest hash; production bounds it with a timeout/TTL
+# (t5b's watermark argument) — at fixture scale NoTimeout keeps the
+# full-replay semantics exact. Append mode, one output row per input
+# row, in-order replay → prefix-complete → full SQL oracle replaying
+# (chunk = doc_id % n_chunks, doc_id) arrival order.
+
+S14_CORPUS_MOD = 5
+S14_CHUNKS = 4
+
+S14_ORACLE = f"""
+WITH corpus AS (
+  SELECT DISTINCT sha256(text) AS h
+  FROM documents WHERE doc_id % {S14_CORPUS_MOD} != 0
+),
+inc AS (
+  SELECT doc_id, sha256(text) AS h, doc_id % {S14_CHUNKS} AS chunk
+  FROM documents
+),
+r AS (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY h ORDER BY chunk, doc_id) AS rn
+  FROM inc
+)
+SELECT r.doc_id, r.h AS digest,
+       CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+            WHEN r.rn = 1 THEN 'new'
+            ELSE 'dup_in_batch' END AS status
+FROM r LEFT JOIN corpus c ON r.h = c.h
+"""
+
+
+@query("s14_stream_incremental_dedup", oracle=S14_ORACLE)
+def s14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup classification on the crawl stream: per
+    micro-batch, each doc is marked 'dup_of_corpus' (digest already in
+    the standing store — stateless broadcast probe), 'new' (first
+    sighting on the stream), or 'dup_in_batch' (the stream saw it in
+    this or an earlier micro-batch — per-digest state store bit)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % S14_CORPUS_MOD != 0)
+        .select(F.sha2("text", 256).alias("digest"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    crawl = read_docs_stream_chunked(spark, sf_dir, n_chunks=S14_CHUNKS).select(
+        "doc_id", F.sha2("text", 256).alias("digest")
+    )
+    probed = crawl.join(F.broadcast(corpus), "digest", "left")
+
+    def classify(key, pdf_iter, state: GroupState):
+        (digest,) = key
+        seen = state.get[0] if state.exists else 0
+        rows: list[tuple] = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("doc_id")
+            for doc_id, in_corpus in zip(pdf["doc_id"], pdf["in_corpus"]):
+                if not pd.isna(in_corpus):
+                    status = "dup_of_corpus"
+                elif seen:
+                    status = "dup_in_batch"
+                else:
+                    status = "new"
+                seen = 1
+                rows.append((int(doc_id), digest, status))
+        state.update((seen,))
+        if rows:
+            yield pd.DataFrame(rows, columns=["doc_id", "digest", "status"])
+
+    out = probed.groupBy("digest").applyInPandasWithState(
+        classify,
+        outputStructType="doc_id long, digest string, status string",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_table(out, "append")

@@ -610,3 +610,37 @@ def test_token_budget_greedy_cut(spark, sf_dir):
             assert last.cum_tok >= TOKEN_BUDGET
         else:
             assert totals[src] == last.cum_tok
+
+
+def test_stream_incremental_dedup_statuses_partition(spark, sf_dir):
+    """Every streamed doc gets exactly one status; 'new' count equals
+    the number of distinct non-corpus digests; a digest never mixes
+    corpus and non-corpus statuses; within a non-corpus digest exactly
+    one doc is 'new' and it is the replay-order-first one."""
+    from sparkstreaming_mq_spark.streaming.queries import S14_CHUNKS, S14_CORPUS_MOD
+
+    rows = Q["s14_stream_incremental_dedup"](spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    assert len(rows) == d.count()
+    corpus_digests = {
+        r.digest
+        for r in d.filter(F.col("doc_id") % S14_CORPUS_MOD != 0)
+        .select(F.sha2("text", 256).alias("digest"))
+        .distinct()
+        .collect()
+    }
+    by_digest = {}
+    for r in rows:
+        by_digest.setdefault(r.digest, []).append(r)
+    n_new = 0
+    for digest, items in by_digest.items():
+        statuses = {r.status for r in items}
+        if digest in corpus_digests:
+            assert statuses == {"dup_of_corpus"}
+        else:
+            news = [r for r in items if r.status == "new"]
+            assert len(news) == 1, f"{digest}: {statuses}"
+            n_new += 1
+            first = min(items, key=lambda r: (r.doc_id % S14_CHUNKS, r.doc_id))
+            assert news[0].doc_id == first.doc_id
+    assert n_new == len(set(by_digest) - corpus_digests)
