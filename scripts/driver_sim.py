@@ -84,6 +84,27 @@ def main() -> None:
             print(f"FAIL  {name}: {err}", flush=True)
 
     print(f"\n== driver-sim: {n_pass} pass, {n_rows} rows-only, {n_fail} fail ==")
+    out_json = os.environ.get("DRIVER_SIM_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf,
+                    "n_slots": n_slots,
+                    "pass": n_pass,
+                    "rows_only": n_rows,
+                    "fail": n_fail,
+                    "failures": failures,
+                    "head_commit": os.popen(
+                        f"git -C {REPO} rev-parse --short HEAD"
+                    ).read().strip(),
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {out_json}")
     if failures:
         print("failures:", failures)
         sys.exit(1)
