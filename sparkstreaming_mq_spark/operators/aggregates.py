@@ -460,9 +460,10 @@ def a4d_approx_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw estimate-tier sketch aggregates: HLL++
     ``approx_count_distinct`` (A4) and KLL-style ``approx_percentile``
     (A5 approx) per return flag. Rows-only by design — these estimators
-    are engine-specific; pytest bounds them against exact values
-    (test_semantics), and the value-exact A4 evidence lives in
-    a4_sketches/a4b via the sparse-exact regime."""
+    are engine-specific; test_semantics.test_a4d_raw_estimates_bounded
+    bounds all three estimates against exact values, and the
+    value-exact A4 evidence lives in a4_sketches/a4b via the
+    sparse-exact regime."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),

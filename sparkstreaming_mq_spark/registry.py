@@ -87,7 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "p1_project_filter_case",   # P1 projection, P2 filter, P3 conditional
     "p4_distinct",              # P4
     "a2_stats_summary",         # A2 global, A3 distinct, A5 percentiles, A9 having
-    "a4_sketches",              # A4 HLL, A5 approx-percentile (rows-only)
+    "a4_sketches",              # A4 HLL (sparse-exact regime -> full oracle)
     "a6_collect",               # A6 collection aggs
     "a7_multidim_agg",          # A7 rollup + cube + grouping sets
     "a8_pivot",                 # A8
@@ -132,12 +132,12 @@ PRIORITY: tuple[str, ...] = (
     "s8_python_mq_sink",        # S8 MQ sink (Python DataSource writer)
     "s9_checkpoint_recovery",   # S6 file sink + S9 checkpoint
     "t2_stream_windows",        # T2 tumbling + T3 sliding
-    "t4_stream_session",        # T4 (rows-only)
+    "t4_stream_session",        # T4 (complete mode -> full oracle since r4)
     "t5_stream_dedup",          # T5
-    "t6_stream_late_data",      # T1 watermark, T6 late data (rows-only)
-    "t7_stateful_sessionize",   # T7 (rows-only)
-    "t8_stream_update_mode",    # T8 output modes (rows-only)
-    "t10_stream_progress",      # T10 (rows-only)
+    "t6_stream_late_data",      # T1 watermark, T6 late data (measured-mechanics oracle)
+    "t7_stateful_sessionize",   # T7 (in-order replay -> full oracle since r4)
+    "t8_stream_update_mode",    # T8 output modes (deterministic history oracle)
+    "t10_stream_progress",      # T10 (pinned chunk-size counters oracle)
     "j9_stream_static_join",    # J9
     "j10_stream_stream_join",   # J10
 )

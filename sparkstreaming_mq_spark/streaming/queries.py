@@ -65,7 +65,7 @@ def s1_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t2_stream_tumbling",
     oracle="""
 SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,
-       round(sum(value), 2) AS total
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY win_start, event_type
 """,
@@ -75,12 +75,17 @@ def t2_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     output mode over a multi-micro-batch replay — equals the batch
     aggregation (stream-batch equivalence)."""
     stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+    # fixed-point cents (f10 pattern): the state store merges partial
+    # sums in state-merge order, DuckDB in scan order — a float sum
+    # rounded at a .005 boundary is a probabilistic cross-engine hash
+    # break; floor(v*100+0.5) BIGINT accumulation is exact on both.
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+        F.count("*").alias("n"), F.sum(cents).alias("total_cents")
     )
     out = run_stream_to_table(agg, "complete")
     return out.select(
-        F.col("window.start").alias("win_start"), "event_type", "n", "total"
+        F.col("window.start").alias("win_start"), "event_type", "n", "total_cents"
     )
 
 
@@ -115,12 +120,13 @@ def t3_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t2_stream_windows",
     oracle="""
 SELECT 'tumbling' AS mode, date_trunc('hour', ts) AS win_start, event_type,
-       count(*) AS n, round(sum(value), 2) AS total
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY win_start, event_type
 UNION ALL
 SELECT 'sliding' AS mode, ws AS win_start, event_type,
-       count(*) AS n, CAST(NULL AS DOUBLE) AS total
+       count(*) AS n, CAST(NULL AS BIGINT) AS total_cents
 FROM (
   SELECT event_type,
          unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
@@ -138,15 +144,17 @@ def t2_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion (stream-batch equivalence), hence the SQL oracle. State
     is keyed by (window × event_type) so it shards with the shuffle."""
     tumb_stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+    # fixed-point cents on the tumbling sum — see t2_stream_tumbling
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     tumb_agg = tumb_stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+        F.count("*").alias("n"), F.sum(cents).alias("total_cents")
     )
     tumb = run_stream_to_table(tumb_agg, "complete").select(
         F.lit("tumbling").alias("mode"),
         F.col("window.start").alias("win_start"),
         "event_type",
         "n",
-        "total",
+        "total_cents",
     )
     slide_stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
     slide_agg = slide_stream.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type").agg(
@@ -157,18 +165,23 @@ def t2_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.start").alias("win_start"),
         "event_type",
         "n",
-        F.lit(None).cast("double").alias("total"),
+        F.lit(None).cast("long").alias("total_cents"),
     )
     return tumb.unionByName(slide)
 
 
 # --- T1 + T6: watermark + late-data drops (append mode; rows-only) -----------
 
+# Chunk count for the out-of-order t6 replay. The oracle's chunk rule,
+# late-filter lag, and final-eviction index are all derived from this
+# one constant so it can never silently diverge from the Spark call.
+T6_CHUNKS = 4
+
 @query(
     "t6_stream_late_data",
-    oracle="""
+    oracle=f"""
 WITH c AS (
-  SELECT ts, CAST(event_id % 4 AS BIGINT) AS chunk,
+  SELECT ts, CAST(event_id % {T6_CHUNKS} AS BIGINT) AS chunk,
          date_trunc('hour', ts) AS win_start,
          date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end
   FROM events
@@ -187,7 +200,7 @@ accepted AS (
 )
 SELECT win_start, count(*) AS n
 FROM accepted
-WHERE win_end <= (SELECT w FROM wm WHERE chunk = 2)
+WHERE win_end <= (SELECT w FROM wm WHERE chunk = {T6_CHUNKS - 2})
 GROUP BY win_start
 """,
 )
@@ -220,7 +233,7 @@ def t6_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk assignment (why the chunker uses id-mod, not xxhash64: the
     assignment must be ANSI-SQL-expressible). The pytest layer keeps
     the coarser invariants (emitted ⊆ batch windows, counts ≤ batch)."""
-    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="hash")
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=T6_CHUNKS, order="hash")
     agg = (
         stream.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour"))
@@ -278,7 +291,7 @@ SELECT user_id,
        min(ts_s) AS sess_start,
        max(ts_s) + INTERVAL 30 MINUTE AS sess_end,
        count(*) AS n_events,
-       round(sum(value), 2) AS total
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM sess
 GROUP BY user_id, sid
 """,
@@ -301,7 +314,13 @@ def t4_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         stream.select("user_id", F.date_trunc("second", "ts").alias("ts_s"), "value")
         .groupBy(F.session_window("ts_s", "30 minutes"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # fixed-point cents: session-store merge order != scan order
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "total_cents"
+            ),
+        )
     )
     out = run_stream_to_table(agg, "complete")
     return out.select(
@@ -309,7 +328,7 @@ def t4_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_window.start").alias("sess_start"),
         F.col("session_window.end").alias("sess_end"),
         "n_events",
-        "total",
+        "total_cents",
     )
 
 
@@ -324,14 +343,20 @@ def t4d_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.select("user_id", F.date_trunc("second", "ts").alias("ts_s"), "value")
         .withWatermark("ts_s", "30 minutes")
         .groupBy(F.session_window("ts_s", "30 minutes"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # fixed-point cents: session-store merge order != scan order
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "total_cents"
+            ),
+        )
     )
     out = run_stream_to_table(agg, "append")
     return out.select(
         "user_id",
         F.col("session_window.start").alias("sess_start"),
         "n_events",
-        "total",
+        "total_cents",
     )
 
 
@@ -341,7 +366,7 @@ def t4d_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j9_stream_static_join",
     oracle="""
 SELECT n.n_name AS nation, e.event_type, count(*) AS n,
-       round(sum(e.value), 2) AS total
+       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events e
 JOIN nation n ON CAST(e.user_id % 25 AS INTEGER) = n.n_nationkey
 GROUP BY nation, e.event_type
@@ -359,7 +384,7 @@ def j9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 25).cast("int") == F.col("n_nationkey"),
     )
     agg = joined.groupBy(F.col("n_name").alias("nation"), "event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+        F.count("*").alias("n"), F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("total_cents")
     )
     return run_stream_to_table(agg, "complete")
 
@@ -441,7 +466,8 @@ def s6_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s7_stream_foreachbatch",
     oracle="""
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY event_type
 """,
@@ -477,7 +503,7 @@ def s7_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn", "__epoch")
     )
     return latest.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+        F.count("*").alias("n"), F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("total_cents")
     )
 
 
@@ -523,7 +549,8 @@ def s2_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s4_json_csv_scan",
     oracle="""
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
        max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events
 GROUP BY event_type
@@ -572,7 +599,9 @@ def s4_json_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = both.filter(F.col("value") == F.col("csv_value"))
     return both.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 2).alias("total"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "total_cents"
+        ),
         F.max(F.get_json_object("props", "$.k").cast("int")).alias("max_k"),
     )
 
@@ -582,7 +611,8 @@ def s4_json_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s4b_orc_scan",
     oracle="""
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY event_type
 """,
@@ -611,7 +641,7 @@ def s4b_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         open(ready, "w").close()
     odf = spark.read.orc(_os.path.join(base, "orc"))
     return odf.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+        F.count("*").alias("n"), F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("total_cents")
     )
 
 
@@ -832,8 +862,12 @@ def t7_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             start, last, n, cents = None, None, 0, 0
         closed: list[tuple] = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts")
+        # Concatenate BEFORE sorting: the iterator yields the group's
+        # micro-batch rows as multiple Arrow chunks once they exceed
+        # arrow.maxRecordsPerBatch, and a per-chunk sort would let `last`
+        # move backward across chunk boundaries at scale (review r4).
+        chunks = list(pdf_iter)
+        for pdf in [pd.concat(chunks).sort_values("ts")] if chunks else []:
             for ts, val in zip(pdf["ts"], pdf["value"]):
                 us = int(ts.value // 1000)  # pandas ns → µs
                 if last is not None and us - last > SESSION_GAP_US:
@@ -907,16 +941,21 @@ def t7b_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     class RunningCounter(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("acc", "n long, total double")
+            self._state = handle.getValueState("acc", "n long, total_cents long")
 
         def handleInputRows(self, key, rows, timerValues):
-            n, total = (self._state.get() or (0, 0.0)) if self._state.exists() else (0, 0.0)
+            import math
+
+            n, cents = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._state.update((n, total))
+                # fixed-point cents: per-row floor(v*100+0.5) then exact
+                # integer adds (a float sum rounded here would be
+                # association-order-sensitive — the repo parity rule)
+                cents += int(sum(math.floor(float(v) * 100 + 0.5) for v in pdf["value"]))
+            self._state.update((n, cents))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total": [round(total, 2)]}
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
             )
 
         def close(self) -> None:
@@ -931,7 +970,7 @@ def t7b_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = stream.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=RunningCounter(),
-        outputStructType="user_id long, n_events long, total double",
+        outputStructType="user_id long, n_events long, total_cents long",
         outputMode="Update",
         timeMode="None",
     )
@@ -1013,7 +1052,7 @@ SELECT user_id,
        min(ts_s) AS sess_start,
        max(ts_s) + INTERVAL 30 MINUTE AS sess_end,
        count(*) AS n_events,
-       round(sum(value), 2) AS total
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM sess
 GROUP BY user_id, sid
 """,
@@ -1035,14 +1074,16 @@ def t4c_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts_s", "30 minutes"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "total_cents"
+            ),
         )
         .select(
             "user_id",
             F.col("session_window.start").alias("sess_start"),
             F.col("session_window.end").alias("sess_end"),
             "n_events",
-            "total",
+            "total_cents",
         )
     )
 
@@ -1191,7 +1232,7 @@ def s10b_stream_merge_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t11_rocksdb_state",
     oracle="""
 SELECT date_trunc('day', ts) AS day_start, event_type, count(*) AS n,
-       round(sum(value), 2) AS total
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY day_start, event_type
 """,
@@ -1215,14 +1256,14 @@ def t11_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
         agg = stream.groupBy(F.window("ts", "1 day"), "event_type").agg(
-            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+            F.count("*").alias("n"), F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("total_cents")
         )
         out = run_stream_to_table(agg, "complete")
         # materialize before restoring the provider conf (the memory
         # sink is already complete after awaitTermination, but keep the
         # read inside the override for clarity)
         return out.select(
-            F.col("window.start").alias("day_start"), "event_type", "n", "total"
+            F.col("window.start").alias("day_start"), "event_type", "n", "total_cents"
         )
     finally:
         if prev is None:
@@ -1684,8 +1725,10 @@ def s14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (digest,) = key
         seen = state.get[0] if state.exists else 0
         rows: list[tuple] = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("doc_id")
+        # concat-then-sort: see t7's sessionize — per-chunk sorts break
+        # global doc_id order once a group's batch spans Arrow chunks
+        chunks = list(pdf_iter)
+        for pdf in [pd.concat(chunks).sort_values("doc_id")] if chunks else []:
             for doc_id, in_corpus in zip(pdf["doc_id"], pdf["in_corpus"]):
                 if not pd.isna(in_corpus):
                     status = "dup_of_corpus"

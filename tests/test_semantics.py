@@ -644,3 +644,26 @@ def test_stream_incremental_dedup_statuses_partition(spark, sf_dir):
             first = min(items, key=lambda r: (r.doc_id % S14_CHUNKS, r.doc_id))
             assert news[0].doc_id == first.doc_id
     assert n_new == len(set(by_digest) - corpus_digests)
+
+
+def test_a4d_raw_estimates_bounded(spark, sf_dir):
+    """a4d's raw HLL++/KLL estimates must track the exact per-flag
+    answers (backing the docstring's claim): distinct orderkeys within
+    5% rel (HLL++ rsd=0.01 gives far tighter in practice), percentiles
+    within 2% rel at accuracy 10000."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: (r.n_orders, r.p50, r.p90)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+        )
+        .collect()
+    }
+    for r in Q["a4d_approx_raw"](spark, sf_dir).collect():
+        n, p50, p90 = exact[r.l_returnflag]
+        assert abs(r.approx_orders - n) <= max(2, 0.05 * n)
+        assert abs(r.p50 - p50) / p50 < 0.02
+        assert abs(r.p90 - p90) / p90 < 0.02
