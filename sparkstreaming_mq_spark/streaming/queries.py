@@ -277,7 +277,7 @@ WITH e AS (
 marked AS (
   SELECT user_id, ts_s, value,
          CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
-                   >= INTERVAL 30 MINUTE
+                   > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM e
 ),
@@ -1038,7 +1038,7 @@ WITH e AS (
 marked AS (
   SELECT user_id, ts_s, value,
          CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
-                   >= INTERVAL 30 MINUTE
+                   > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM e
 ),
@@ -1063,10 +1063,13 @@ def t4c_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming, so this twin gives T4 a full value-hash oracle (the
     streaming t4 is rows-only because watermark flushing is the point
     there). The oracle replays session merging as the classic
-    lag/cumsum rewrite. Timestamps are second-truncated on BOTH sides
-    so gap comparisons never sit within a ulp of the 30-minute
-    boundary. Scale: one shuffle on user_id; session merging is
-    partition-local after that, exactly how it shards on a cluster."""
+    lag/cumsum rewrite with a STRICT > gap test: Spark merges session
+    windows that touch (next event at exactly last + gap stays in the
+    session — found by an sf0.1 off-by-one this oracle's >= missed at
+    smaller SFs). Timestamps are second-truncated on BOTH sides so gap
+    comparisons never sit within a ulp of the 30-minute boundary.
+    Scale: one shuffle on user_id; session merging is partition-local
+    after that, exactly how it shards on a cluster."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("second", "ts").alias("ts_s"), "value"
     )
