@@ -716,3 +716,100 @@ def a4c_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("week").orderBy(F.desc("n"), "item")
     return ex.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+# --- A11 (bonus): custom mergeable Space-Saving heavy-hitter sketch ----------
+
+# Per-partition counter capacity. The fixture token vocabulary is ~31
+# distinct tokens (FIXTURES.md / measured), far below this, so every
+# partition summary is EXACT (err = 0) and the merged estimates equal
+# true counts — which is what lets the exact GROUP BY oracle hash-match
+# while the plan exercised is the real bounded-memory sketch path (the
+# a4b/a4c sparse-exact-regime pattern). pytest forces capacity 8 on a
+# skewed synthetic stream to exercise eviction and pin the
+# Misra-Gries-style error guarantees of the lossy regime.
+HH_CAPACITY = 4096
+HH_K = 50  # report tokens with frequency ≥ n/K
+
+
+def _space_saving_partition(batches, capacity: int):
+    """Space-Saving over one partition's token stream.
+
+    Bounded state: at most ``capacity`` (token → [est, err]) counters.
+    On overflow the minimum-estimate counter is evicted and its
+    estimate becomes the newcomer's estimate and error bound — the
+    classic Metwally et al. replacement rule. Yields one summary row
+    per surviving counter; summaries MERGE by summing est and err
+    (the per-key error bounds add, preserving
+    true ≤ est ≤ true + err)."""
+    counters: dict[str, list[int]] = {}
+    for batch in batches:
+        for tok in batch["token"]:
+            c = counters.get(tok)
+            if c is not None:
+                c[0] += 1
+            elif len(counters) < capacity:
+                counters[tok] = [1, 0]
+            else:
+                victim = min(counters, key=lambda k: counters[k][0])
+                vest = counters.pop(victim)[0]
+                counters[tok] = [vest + 1, vest]
+    if counters:
+        yield pd.DataFrame(
+            {
+                "token": list(counters),
+                "est": [c[0] for c in counters.values()],
+                "err": [c[1] for c in counters.values()],
+            }
+        )
+
+
+A11_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS est FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(sum(est) AS BIGINT) AS n FROM cnt)
+SELECT c.token AS token, c.est AS est, CAST(0 AS BIGINT) AS err
+FROM cnt c, tot
+WHERE c.est * {HH_K} >= tot.n
+"""
+
+
+@query("a11_heavy_hitters", oracle=A11_ORACLE)
+def a11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (frequency ≥ n/{K}) over the document token stream
+    via a custom mergeable Space-Saving sketch.
+
+    This is the bounded-memory complement to a4c's built-in
+    approx_top_k: the sketch itself is ours (``mapInPandas``, Arrow
+    batches, O(capacity) state per partition regardless of stream
+    length), and its summaries are re-aggregatable — the merge is a
+    plain sum-groupBy, so daily partials compose into weekly ones the
+    way production frequency pipelines need. At 100 TB the token
+    explode is narrow, each partition emits ≤ capacity rows, and the
+    only shuffle moves (partitions × capacity) summary rows, not the
+    stream. The n/K threshold is computed from the merged summaries'
+    own lower bounds (sum(est−err) = exact n in any regime where no
+    counter evicted twice; exactly n here), so no second scan of the
+    data is needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    summaries = tokens.mapInPandas(
+        lambda it: _space_saving_partition(it, HH_CAPACITY),
+        schema="token string, est long, err long",
+    )
+    merged = summaries.groupBy("token").agg(
+        F.sum("est").alias("est"), F.sum("err").alias("err")
+    )
+    total = merged.agg(
+        F.sum(F.col("est") - F.col("err")).cast("long").alias("n")
+    )
+    return (
+        merged.crossJoin(F.broadcast(total))
+        .filter(F.col("est") * HH_K >= F.col("n"))
+        .select("token", "est", "err")
+    )

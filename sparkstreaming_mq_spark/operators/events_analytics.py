@@ -183,3 +183,59 @@ def e3_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_type", "dst_type")
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+@query(
+    "e4_rolling_active",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM ud)
+SELECT
+  days.d AS report_day,
+  count(DISTINCT CASE WHEN ud.d = days.d THEN ud.user_id END) AS dau,
+  count(DISTINCT ud.user_id) AS wau7
+FROM days JOIN ud
+  ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY days.d
+""",
+)
+def e4_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active users: per observed day, distinct users active
+    that day (DAU) and over the trailing 7 days (WAU).
+
+    Distinct-count-over-sliding-window is not window-function
+    expressible (COUNT(DISTINCT) has no frame support), and a
+    day×events range join is O(days · events). The scale shape used
+    here instead: dedup to (user, day) first — one shuffle, and the
+    biggest frame any later stage sees — then EXPLODE each user-day
+    into the ≤7 report days it contributes to (bounded fan-out,
+    narrow), semi-join against the observed-day set (broadcast: days
+    are bounded by calendar time, not data volume), and run one
+    distinct-count aggregate keyed by report day. DAU rides the same
+    aggregate as a conditional distinct count, so the whole query is
+    two shuffles at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    days = ud.select(F.col("d").alias("report_day")).distinct()
+    exploded = ud.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.expr("sequence(d, d + interval 6 days, interval 1 day)")
+        ).alias("report_day"),
+    )
+    return (
+        exploded.join(F.broadcast(days), "report_day", "leftsemi")
+        .groupBy("report_day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("d") == F.col("report_day"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau7"),
+        )
+    )

@@ -1,0 +1,132 @@
+"""Iterative graph analytics over fixture-derived graphs (bonus
+surface, SURVEY.md §2.11).
+
+Connected components already exist as the dedup-cluster kernel
+(operators/llm.py l8); this module adds the other canonical iterative
+graph op — PageRank — over the part co-purchase graph (two parts are
+neighbors when they appear in the same order). The edge build is a
+bounded self-join (≤13 distinct parts per order in the fixtures, ≤7 in
+real TPC-H, so the per-order pair fan-out is a small constant), and
+each iteration is one co-partitioned join + one aggregate.
+
+Everything runs in fixed-point BIGINT arithmetic (rank scaled by 1e9,
+damping 0.85 applied as ``(85 * x) div 100``) so ten iterations produce
+bit-identical integers on Spark and DuckDB — the oracle unrolls the
+iterations as chained CTEs. No floats, no convergence tolerance, no
+run-dependence.
+
+DuckDB gotchas encoded below: bare integer literals are INT32 and
+``85 * rank`` overflows at rank ~2.5e7, so every oracle-side literal in
+the recurrence is CAST to BIGINT; and ``sum(BIGINT)`` widens to
+HUGEINT, which fetchdf() renders as float64 (a dtype-kind hash
+mismatch), so the sum is CAST back to BIGINT inside each iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark.registry import query
+from sparkstreaming_mq_spark.tables import load_table
+
+PR_SCALE = 1_000_000_000  # fixed-point 1.0
+PR_ITERS = 10
+# teleport = 0.15 * PR_SCALE, damping = 85/100 — both exact in BIGINT
+PR_TELEPORT = 150_000_000
+
+
+def _pagerank_oracle(iters: int) -> str:
+    parts = [
+        """WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM pairs GROUP BY src
+),
+r0 AS (
+  SELECT src AS node, CAST(1000000000 AS BIGINT) AS pr FROM deg
+)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+r{k} AS (
+  SELECT p.dst AS node,
+         CAST(150000000 AS BIGINT)
+           + (CAST(85 AS BIGINT) * CAST(sum(r.pr // d.outdeg) AS BIGINT))
+             // CAST(100 AS BIGINT)
+           AS pr
+  FROM r{k - 1} r
+  JOIN deg d ON r.node = d.src
+  JOIN pairs p ON p.src = r.node
+  GROUP BY p.dst
+)"""
+        )
+    parts.append(f"\nSELECT node AS part_key, pr AS rank_scaled FROM r{iters}")
+    return "".join(parts)
+
+
+@query("g1_pagerank", oracle=_pagerank_oracle(PR_ITERS))
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten fixed-point PageRank iterations on the part co-purchase graph.
+
+    Scale shape: the edge list and degree table materialize once
+    (``localCheckpoint``; at cluster scale this is a persisted shuffle
+    on ``src``), then every iteration joins the O(nodes) rank frame to
+    the edge list on the SAME key — Catalyst reuses the partitioning,
+    so each round is one shuffle of the small rank table, never of the
+    edges. Rank frames are localCheckpoint'ed per round to keep the
+    plan O(1) deep across iterations (the l8 lineage-truncation
+    pattern, operators/llm.py:1221). The symmetric edge construction
+    guarantees in-degree ≥ 1 for every node, so no dangling-mass or
+    left-join handling is needed on either engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        pairs.groupBy("src")
+        .agg(F.count("*").cast("long").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(deg, ranks.node == deg.src)
+            .select("src", F.expr("pr div outdeg").alias("c"))
+        )
+        ranks = (
+            pairs.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(PR_TELEPORT) + F.expr("(85 * s) div 100"))
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias("part_key"), F.col("pr").alias("rank_scaled")
+    )

@@ -1,0 +1,154 @@
+"""Classic TPC-H-shape analytic queries over the star schema (bonus
+surface, SURVEY.md §2.11).
+
+The flagship q01 (operators/relational.py) covers the single-table
+aggregate shape; these add the canonical multi-join report shapes a
+warehouse user of the reference archetype would run next: Q3's
+segment-filtered star join + top-k and Q5's six-table local-supplier
+join. Both are pure declarative plans — Catalyst broadcast-joins every
+dimension side (BROADCASTABLE set), pushes the date/segment filters
+into the parquet scans, and the top-k lowers to TakeOrderedAndProject,
+so at 100 TB each query is one shuffle per fact-fact join and nothing
+else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark.registry import query
+from sparkstreaming_mq_spark.tables import load_table
+
+# Mid-range cutoff for the fixture's 1995-01..2001-08 o_orderdate span
+# (FIXTURES.md) — both sides of the Q3 date split stay selective.
+Q03_CUTOFF = "1998-03-15 00:00:00"
+
+Q03_ORACLE = f"""
+SELECT
+  l.l_orderkey                                              AS order_key,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)     AS revenue,
+  o.o_orderdate                                             AS order_date,
+  o.o_orderpriority                                         AS order_priority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{Q03_CUTOFF}'
+  AND l.l_shipdate  > TIMESTAMP '{Q03_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, order_date, order_key
+LIMIT 10
+"""
+
+
+@query("q03_shipping_priority", oracle=Q03_ORACLE)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3 shape: unshipped-revenue top-10 for one market segment.
+
+    Plan shape (the one you'd want at 100 TB): the segment filter
+    reduces customer to ~1/5 and broadcasts; orders⋈customer is a
+    BroadcastHashJoin with the date filter pushed to the orders scan;
+    the only real shuffle is lineitem⋈orders on the order key; the
+    ORDER BY+LIMIT lowers to TakeOrderedAndProject (no global sort).
+    Ties in the rounded revenue are broken by (order_date, order_key)
+    on both sides so the LIMIT selects a deterministic set.
+    """
+    cutoff = F.lit(Q03_CUTOFF).cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "order_date", "order_key")
+        .limit(10)
+    )
+
+
+Q05_ORACLE = """
+SELECT
+  n.n_name                                                  AS nation_name,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)     AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@query("q05_local_supplier", oracle=Q05_ORACLE)
+def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5 shape: revenue by nation where the customer and the
+    supplier share a nation, one region, one order year.
+
+    Six-table join in which every dimension side (customer, supplier,
+    nation, region) is explicitly broadcast — the only shuffle in the
+    whole plan is lineitem⋈orders on the order key, and the final
+    25-group aggregate collapses map-side. The local-supplier predicate
+    (c_nationkey = s_nationkey) is a post-broadcast-join filter, not an
+    extra join. This is the canonical star-join plan that survives a
+    100× fact-table scale-up unchanged.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

@@ -61,6 +61,8 @@ _QUERY_MODULES: tuple[str, ...] = (
     "sparkstreaming_mq_spark.operators.storage",
     "sparkstreaming_mq_spark.operators.cdc",
     "sparkstreaming_mq_spark.operators.audit",
+    "sparkstreaming_mq_spark.operators.tpch",
+    "sparkstreaming_mq_spark.operators.graph",
     "sparkstreaming_mq_spark.operators.events_analytics",
     "sparkstreaming_mq_spark.streaming.queries",
 )
@@ -184,6 +186,11 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "o12_zorder_scan",          # Z-order clustering + 2-D data skipping
     "o13_time_travel",          # manifest-pinned snapshots + compaction
     "x1_integrity_audit",       # bonus: dbt-style data-quality audit
+    "q03_shipping_priority",    # TPC-H Q3 star join + top-k (r4)
+    "q05_local_supplier",       # TPC-H Q5 six-table star join (r4)
+    "g1_pagerank",              # fixed-point iterative PageRank (r4)
+    "a11_heavy_hitters",        # mergeable Space-Saving sketch (r4)
+    "e4_rolling_active",        # DAU/WAU sliding distinct counts (r4)
     "e1_funnel",                # ordered conversion funnel (MQ archetype)
     "e2_retention",             # weekly cohort retention triangle
     "e3_transitions",           # 1-step Markov transition counts

@@ -1,0 +1,99 @@
+"""Round-4 operator tests: TPC-H Q3/Q5 plan shapes, fixed-point
+PageRank invariants, Space-Saving sketch guarantees in the lossy
+regime, and the rolling-active-users explode bound. (Value parity vs
+DuckDB is covered for all of these by the test_oracle_parity sweep.)"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from sparkstreaming_mq_spark import registry
+from sparkstreaming_mq_spark.operators.aggregates import _space_saving_partition
+from sparkstreaming_mq_spark.operators.graph import PR_SCALE
+
+from test_plans import formatted_plan
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def test_q03_plan_broadcasts_and_fuses_topk(spark, sf_dir):
+    plan = formatted_plan(Q["q03_shipping_priority"](spark, sf_dir))
+    # segment-filtered customer broadcasts; the LIMIT lowers to top-k
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    # both date filters reach their scans
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_q05_plan_all_dims_broadcast(spark, sf_dir):
+    plan = formatted_plan(Q["q05_local_supplier"](spark, sf_dir))
+    # four dimension joins broadcast; no sort-merge join anywhere — the
+    # only exchanges left are the fact-fact join and the final agg
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    out = Q["g1_pagerank"](spark, sf_dir).toPandas()
+    n = len(out)
+    assert n > 0
+    total = out["rank_scaled"].sum()
+    # floor-truncation only ever loses mass; with damping 0.85 the loss
+    # per iteration is bounded, so total stays within (0.9, 1.0] of N
+    assert 0.9 * n * PR_SCALE < total <= n * PR_SCALE
+    assert (out["rank_scaled"] > 0).all()
+    assert out["part_key"].is_unique
+
+
+def _run_space_saving(tokens, capacity):
+    batches = [pd.DataFrame({"token": tokens})]
+    out = list(_space_saving_partition(iter(batches), capacity))
+    assert len(out) == 1
+    return out[0].set_index("token")
+
+
+def test_space_saving_exact_when_under_capacity():
+    tokens = ["a"] * 5 + ["b"] * 3 + ["c"] * 2
+    s = _run_space_saving(tokens, capacity=8)
+    assert s.loc["a", "est"] == 5 and s.loc["a", "err"] == 0
+    assert s.loc["b", "est"] == 3 and s.loc["c", "est"] == 2
+
+
+def test_space_saving_lossy_regime_guarantees():
+    # skewed stream: 3 heavy tokens + 40 singletons, capacity 8 forces
+    # constant eviction. Space-Saving guarantees: every token with true
+    # frequency > n/capacity survives, and est-err <= true <= est.
+    tokens = []
+    true = {"x": 300, "y": 200, "z": 120}
+    for tok, k in true.items():
+        tokens += [tok] * k
+    singletons = [f"s{i}" for i in range(40)]
+    tokens += singletons
+    # deterministic interleave so heavy tokens see pressure
+    tokens = [t for pair in zip(tokens[::2], tokens[::-2]) for t in pair]
+    n = len(tokens)
+    s = _run_space_saving(tokens, capacity=8)
+    assert len(s) <= 8  # bounded state
+    for tok, cnt in true.items():
+        if cnt > n / 8:
+            assert tok in s.index, f"heavy hitter {tok} evicted"
+            est, err = int(s.loc[tok, "est"]), int(s.loc[tok, "err"])
+            assert est - err <= cnt <= est
+
+
+def test_space_saving_summaries_merge_additively():
+    # merging two partition summaries = summing est and err per token
+    s1 = _run_space_saving(["a"] * 4 + ["b"] * 2, capacity=8)
+    s2 = _run_space_saving(["a"] * 3 + ["c"] * 5, capacity=8)
+    merged = s1.add(s2, fill_value=0)
+    assert merged.loc["a", "est"] == 7 and merged.loc["a", "err"] == 0
+
+
+def test_rolling_active_explode_is_bounded(spark, sf_dir):
+    # the exploded frame is exactly 7x the deduped user-day frame —
+    # the fan-out that makes sliding distinct-counts one aggregate
+    out = Q["e4_rolling_active"](spark, sf_dir).toPandas()
+    assert (out["wau7"] >= out["dau"]).all()
+    assert (out["dau"] > 0).all()
