@@ -205,6 +205,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s6_stream_file_sink",
     "t5b_stream_dedup_watermarked",  # bounded-state dedup (T5 scale form)
     "t11_rocksdb_state",        # RocksDB state backend (100 TB state path)
+    "t14_chained_windows",      # chained stateful aggs: hour->day rollup (r4)
     "s11_stream_union",         # multi-topic fan-in (union of streams)
     "j13_bloom_filter_join",    # runtime bloom-filter probe pruning
     "s12_python_datasource",    # custom Python DataSource MQ envelope

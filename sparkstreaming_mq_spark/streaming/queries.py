@@ -1753,3 +1753,93 @@ def s14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_stream_to_table(out, "append")
+
+
+# --- T14: chained stateful operators (multi-agg in one streaming query) ------
+
+T14_CHUNKS = 4
+T14_DELAY = "30 minutes"
+
+
+@query(
+    "t14_chained_windows",
+    oracle=f"""
+WITH c AS (
+  SELECT ts, event_type, value,
+         ntile({T14_CHUNKS}) OVER (ORDER BY ts, event_id) - 1 AS chunk
+  FROM events
+),
+wm AS (
+  SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM c WHERE chunk <= {T14_CHUNKS - 2}
+),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM c GROUP BY h, event_type
+),
+daily AS (
+  SELECT date_trunc('day', h) AS day_start, event_type,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_active_hours,
+         CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM hourly GROUP BY day_start, event_type
+)
+SELECT day_start, event_type, n_events, n_active_hours, total_cents
+FROM daily, wm
+WHERE day_start + INTERVAL 1 DAY <= wm.w
+""",
+)
+def t14_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark ≥3.4):
+    watermarked 1-hour tumbling aggregation feeding a second stateful
+    1-day window aggregation over the hour windows — the streaming
+    continuous-rollup shape (raw → hourly → daily) that previously
+    required two queries and an intermediate sink.
+
+    Mechanics measured (per-batch progress, sf0.001 + sf0.01): stage-1
+    hour windows evict at batch end once win_end ≤ W, flow into
+    stage 2 WITHIN the same micro-batch, and stage 2 evicts day
+    windows against the SAME watermark — so the emitted set is simply
+    day_end ≤ W_final with no extra one-batch lag, where
+    W_final = max ts of chunks 0..n−2 minus the 30-min delay (the
+    final chunk's watermark advance is never applied: AvailableNow
+    stops without a trailing flush batch, same as t6). The replay is
+    time-ordered (ntile over (ts, event_id) — SQL-standard, so DuckDB
+    reproduces the chunking exactly), hence nothing is ever late and
+    the late-filter lag of t6 never triggers; the oracle is the full
+    hour→day rollup gated by that single W_final cut. Fixed-point
+    cents (f10 pattern) keep the chained sums integer-exact on both
+    engines.
+
+    Scale: state is (hour × type) + (day × type) — both watermark-
+    bounded; the second stage's input is the finalized hourly rows
+    (≤ 1/3600 of the raw stream), so the chain costs one extra tiny
+    shuffle. This is the 100 TB continuous-aggregate path: one query,
+    no intermediate storage, both rollup grains exactly consistent.
+    """
+    stream = read_events_stream_chunked(
+        spark, sf_dir, n_chunks=T14_CHUNKS, order="time"
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        stream.withWatermark("ts", T14_DELAY)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("cents"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("window"), "1 day"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count("*").alias("n_active_hours"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+    out = run_stream_to_table(daily, "append")
+    return out.select(
+        F.col("window.start").alias("day_start"),
+        "event_type",
+        "n_events",
+        "n_active_hours",
+        "total_cents",
+    )
