@@ -239,3 +239,71 @@ def e4_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("wau7"),
         )
     )
+
+
+@query(
+    "e5_sequence_patterns",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT
+  user_id,
+  s AS seq,
+  CAST(length(s) AS BIGINT) AS seq_len,
+  CAST(len(regexp_extract_all(s, 'vcp')) AS BIGINT) AS n_funnels,
+  CAST(coalesce(list_max(list_transform(regexp_extract_all(s, 'e+'),
+                                        x -> length(x))), 0) AS BIGINT)
+    AS longest_error_run,
+  CAST(CASE WHEN s LIKE '%svcp%' THEN 1 ELSE 0 END AS BIGINT) AS has_signup_funnel
+FROM seq
+""",
+)
+def e5_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection over per-user event streams — the
+    MATCH_RECOGNIZE analog (flink/trino expose it as SQL; Spark's
+    idiom is regex over an ordered per-key sequence string).
+
+    Each user's history collapses to a compact symbol string (event
+    initials are unique: c/e/p/s/v) ordered by (ts, event_id) —
+    ``sort_array`` over structs makes collect_list deterministic —
+    then contiguous patterns are counted with engine-portable regexes:
+    strict view→click→purchase funnels, the longest error streak, and
+    a signup-led funnel flag. One shuffle on user_id; the sequence
+    strings are bounded by per-user activity, and the regex scan is
+    codegen'd JVM work, not Python. At 100 TB you'd cap per-user
+    sequence length upstream (the dedup/session layer already bounds
+    hot keys); the plan itself is a single hash aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c")).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("e")), lambda x: x["c"]), ""
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.col("s").alias("seq"),
+        F.length("s").cast("long").alias("seq_len"),
+        F.size(F.regexp_extract_all("s", F.lit("vcp"), 0)).cast("long").alias("n_funnels"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.regexp_extract_all("s", F.lit("e+"), 0), lambda x: F.length(x)
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("longest_error_run"),
+        F.col("s").contains("svcp").cast("long").alias("has_signup_funnel"),
+    )

@@ -194,6 +194,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "e1_funnel",                # ordered conversion funnel (MQ archetype)
     "e2_retention",             # weekly cohort retention triangle
     "e3_transitions",           # 1-step Markov transition counts
+    "e5_sequence_patterns",     # MATCH_RECOGNIZE analog: regex over sequences (r4)
     "l2c_simhash",              # SimHash near-dup
     "l3b_ann_lsh",              # hyperplane-LSH ANN (scale path)
     "l3c_ann_ivf",              # IVF ANN
@@ -207,6 +208,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "t5b_stream_dedup_watermarked",  # bounded-state dedup (T5 scale form)
     "t11_rocksdb_state",        # RocksDB state backend (100 TB state path)
     "t14_chained_windows",      # chained stateful aggs: hour->day rollup (r4)
+    "t15_join_then_window",     # chained stateful: stream join -> window agg (r4)
     "s11_stream_union",         # multi-topic fan-in (union of streams)
     "j13_bloom_filter_join",    # runtime bloom-filter probe pruning
     "s12_python_datasource",    # custom Python DataSource MQ envelope

@@ -1843,3 +1843,100 @@ def t14_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active_hours",
         "total_cents",
     )
+
+
+# --- T15: chained stateful operators II — stream-stream join feeding a window agg
+
+T15_CHUNKS = 4
+T15_DELAY = "4 hours"
+
+
+@query(
+    "t15_join_then_window",
+    oracle=f"""
+WITH c AS (
+  SELECT ts, event_id, user_id, event_type, value,
+         ntile({T15_CHUNKS}) OVER (ORDER BY ts, event_id) - 1 AS chunk
+  FROM events
+),
+wm AS (
+  SELECT least(
+           (SELECT max(ts) FROM c WHERE chunk <= {T15_CHUNKS - 2}
+            AND event_type = 'signup'),
+           (SELECT max(ts) FROM c WHERE chunk <= {T15_CHUNKS - 2}
+            AND event_type = 'purchase')
+         ) - INTERVAL 4 HOUR AS w
+),
+pairs AS (
+  SELECT p.ts AS pts, p.value AS value
+  FROM c s JOIN c p
+    ON s.user_id = p.user_id
+   AND s.event_type = 'signup' AND p.event_type = 'purchase'
+   AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+)
+SELECT date_trunc('day', pts) AS day_start,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM pairs, wm
+WHERE date_trunc('day', pts) + INTERVAL 1 DAY <= wm.w
+GROUP BY day_start
+""",
+)
+def t15_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER chained-stateful pair (t14 is agg→agg): a watermarked
+    stream-stream interval join whose output feeds a second stateful
+    windowed aggregation, in one streaming query — conversion pairs
+    (purchase within 2 h of signup) rolled up to daily counts/revenue.
+
+    Mechanics measured per-batch (sf0.001/0.01/0.1): the inner join
+    emits matches eagerly in the micro-batch where the LATER side
+    arrives (time-ordered replay → the purchase's chunk), so joined
+    rows always reach the aggregation ahead of the watermark — the
+    time-ordered chunking keeps everything on the fresh side of W, and
+    the only cut is the final-state one: day windows emit iff
+    day_end ≤ W_final, where W_final is the MIN over the two sides'
+    per-column maxima through chunk n−2, minus the shared 4 h delay
+    (watermark policy `min` across multiple watermarked inputs;
+    AvailableNow never applies the last chunk's advance — t6/t14).
+    The oracle replays the ntile chunking, both per-side watermark
+    maxima, the batch-equal inner join, and that single cut.
+
+    Scale: join state is bounded by the 2 h interval condition × the
+    4 h delay per user; the day-level agg state is a handful of rows
+    per day. The join shuffle keys both sides on user_id and the
+    rollup reuses the joined stream without re-reading the source —
+    the one-query replacement for a join-job + rollup-job pipeline
+    with an intermediate topic.
+    """
+    base = read_events_stream_chunked(
+        spark, sf_dir, n_chunks=T15_CHUNKS, order="time"
+    )
+    signups = (
+        base.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", T15_DELAY)
+    )
+    purchases = (
+        read_events_stream_chunked(spark, sf_dir, n_chunks=T15_CHUNKS, order="time")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", T15_DELAY)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    daily = joined.groupBy(F.window("p_ts", "1 day")).agg(
+        F.count("*").alias("n_pairs"), F.sum(cents).alias("total_cents")
+    )
+    out = run_stream_to_table(daily, "append")
+    return out.select(
+        F.col("window.start").alias("day_start"), "n_pairs", "total_cents"
+    )
