@@ -813,3 +813,77 @@ def a11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est") * HH_K >= F.col("n"))
         .select("token", "est", "err")
     )
+
+
+# --- A12 (bonus): exact re-aggregatable distinct counts via bitmaps ----------
+
+@query(
+    "a12_bitmap_distinct",
+    oracle="""
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, event_type, user_id FROM events
+),
+daily AS (
+  SELECT day, event_type, count(DISTINCT user_id) AS c
+  FROM d GROUP BY day, event_type
+),
+weekly AS (
+  SELECT date_trunc('week', day) AS week, event_type,
+         count(DISTINCT user_id) AS du
+  FROM d GROUP BY 1, 2
+)
+SELECT w.week AS week, w.event_type AS event_type,
+       CAST(w.du AS BIGINT) AS distinct_users,
+       CAST(sum(daily.c) AS BIGINT) AS sum_daily_distinct
+FROM weekly w
+JOIN daily ON date_trunc('week', daily.day) = w.week
+          AND daily.event_type = w.event_type
+GROUP BY w.week, w.event_type, w.du
+""",
+)
+def a12_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT re-aggregatable distinct counting via bitmap aggregates
+    (Spark 3.5 bitmap_construct_agg / bitmap_or_agg) — the exact twin
+    of a4b's HLL rollup: daily per-type user bitmaps are built once,
+    and every coarser grain (here weekly) is a cheap bitmap OR-merge,
+    never a re-scan of the raw events. ``sum_daily_distinct`` rides
+    along to prove the point the operator exists to make: distinct
+    counts don't sum (sum ≥ merged), bitmaps do merge.
+
+    Scale: ids are segmented into 32768-position buckets
+    (bitmap_bucket_number), so the state per (day, type, bucket) is a
+    fixed 4 KB bitmap regardless of density, the shuffle moves bitmaps
+    (not ids), and the bucket dimension shards giant id domains across
+    executors — this is exactly how warehouse engines do exact
+    distinct at 100 TB when sketches aren't allowed. All counts are
+    integers; the oracle is plain COUNT(DISTINCT) at both grains.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    daily_bm = base.groupBy("day", "event_type", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    daily_cnt = (
+        daily_bm.withColumn("c", F.expr("bitmap_count(bm)"))
+        .groupBy(F.date_trunc("week", "day").alias("week"), "event_type", "day")
+        .agg(F.sum("c").alias("c"))
+        .groupBy("week", "event_type")
+        .agg(F.sum("c").cast("long").alias("sum_daily_distinct"))
+    )
+    weekly_cnt = (
+        daily_bm.groupBy(
+            F.date_trunc("week", "day").alias("week"), "event_type", "bkt"
+        )
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .withColumn("c", F.expr("bitmap_count(bm)"))
+        .groupBy("week", "event_type")
+        .agg(F.sum("c").cast("long").alias("distinct_users"))
+    )
+    return weekly_cnt.join(daily_cnt, ["week", "event_type"]).select(
+        "week", "event_type", "distinct_users", "sum_daily_distinct"
+    )

@@ -18,6 +18,8 @@ genuinely can't be expressed relationally.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -320,4 +322,45 @@ def u7_cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="nationkey long, n_cust long, n_supp long, "
             "max_cust_bal double, min_supp_bal double",
         )
+    )
+
+
+# --- U8: iterator-form pandas UDF (amortized per-partition init) -------------
+
+@query(
+    "u8_pandas_iter_udf",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+         AS n_tokens,
+       CAST(floor((length(text) - length(replace(text, ' ', '')) + 1)
+                  * 1000000 / 4096) AS BIGINT) AS batch_cost_micro
+FROM documents
+""",
+)
+def u8_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (SCALAR_ITER): the extension-point
+    shape for expensive per-worker initialization — a tokenizer, an ONNX
+    session, a compiled regex bank — built ONCE per partition before the
+    batch loop, then amortized across every Arrow batch. u2's plain
+    Series→Series form re-enters Python per batch with no init hook;
+    at 100 TB the iterator form is what makes model-scoring UDFs viable
+    (init cost ÷ rows/partition instead of ÷ rows/batch).
+
+    The "model" here is a deterministic token pricer (integer cost per
+    token at a fixed 4096-token context) so the oracle can replay it:
+    whitespace token count and floor-integer batch cost, both exact.
+    """
+    @pandas_udf("long")
+    def n_tokens_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # expensive init would live here, once per partition:
+        splitter = " "  # stands in for a loaded tokenizer
+        for texts in batches:
+            yield texts.str.count(splitter) + 1
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select("doc_id", n_tokens_iter("text").alias("n_tokens"))
+    return out.withColumn(
+        "batch_cost_micro",
+        F.floor(F.col("n_tokens") * F.lit(1_000_000) / F.lit(4096)).cast("long"),
     )

@@ -217,10 +217,12 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "a8b_unpivot",              # unpivot/melt (inverse of pivot)
     "j14_lateral_topn",         # correlated LATERAL join (decorrelated)
     "a4b_sketch_merge",         # re-aggregatable HLL distinct rollup
+    "a12_bitmap_distinct",      # EXACT re-aggregatable distinct via bitmaps (r4)
     "j10b_stream_outer_join",   # stream-stream LEFT OUTER with watermark eviction
     "s4b_orc_scan",             # third schema-on-read format
     "u5b_map_in_arrow",         # zero-copy Arrow extension point
     "u7_cogroup_apply",         # cogrouped-map applyInPandas
+    "u8_pandas_iter_udf",       # SCALAR_ITER pandas UDF: amortized init (r4)
     "t4b_session_dynamic_gap",  # per-row session gap
     "t2_stream_tumbling",
     "t3_stream_sliding",
