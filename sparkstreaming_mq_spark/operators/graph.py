@@ -34,6 +34,12 @@ PR_SCALE = 1_000_000_000  # fixed-point 1.0
 PR_ITERS = 10
 # teleport = 0.15 * PR_SCALE, damping = 85/100 — both exact in BIGINT
 PR_TELEPORT = 150_000_000
+# Lineage-truncation cadence, measured at sf0.1 (results bit-identical
+# at every setting): every round 18.9s, every 3rd 11.0s, every 5th
+# 9.3s, only-at-end 10.0s — materializing the tiny rank frame each
+# round costs a full job's latency, while a 5-deep lazy chain is free
+# for Catalyst. The l8 trade-off, with the knee measured for this op.
+PR_CKPT_EVERY = 5
 
 
 def _pagerank_oracle(iters: int) -> str:
@@ -81,9 +87,9 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ``src``), then every iteration joins the O(nodes) rank frame to
     the edge list on the SAME key — Catalyst reuses the partitioning,
     so each round is one shuffle of the small rank table, never of the
-    edges. Rank frames are localCheckpoint'ed per round to keep the
-    plan O(1) deep across iterations (the l8 lineage-truncation
-    pattern, operators/llm.py:1221). The symmetric edge construction
+    edges. Rank frames are localCheckpoint'ed every PR_CKPT_EVERY
+    rounds to bound plan depth (the l8 lineage-truncation pattern,
+    operators/llm.py:1221; cadence knee measured, see constant). The symmetric edge construction
     guarantees in-degree ≥ 1 for every node, so no dangling-mass or
     left-join handling is needed on either engine.
     """
@@ -110,7 +116,7 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("pr")
     )
-    for _ in range(PR_ITERS):
+    for it in range(PR_ITERS):
         contrib = (
             ranks.join(deg, ranks.node == deg.src)
             .select("src", F.expr("pr div outdeg").alias("c"))
@@ -125,8 +131,9 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % PR_CKPT_EVERY == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("node").alias("part_key"), F.col("pr").alias("rank_scaled")
     )
