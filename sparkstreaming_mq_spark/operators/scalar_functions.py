@@ -650,3 +650,59 @@ FROM lineitem
 GROUP BY l_returnflag
 """
     )
+
+
+# --- F11 (bonus): blocked fuzzy matching (entity resolution kernel) ----------
+
+F11_MAX_LEV = 3
+
+
+@query(
+    "f11_fuzzy_match",
+    oracle=f"""
+WITH names AS (
+  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts,
+         (string_split(p_name, ' '))[-1] AS blk
+  FROM part GROUP BY p_name
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b
+  ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {F11_MAX_LEV}
+""",
+)
+def f11_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution kernel: fuzzy-match near-identical names with
+    the blocking pattern that makes pairwise edit distance viable at
+    scale — never all-pairs.
+
+    Shape: collapse the fact table to its NAME DICTIONARY first (64
+    distinct names here; name vocabularies grow sublinearly in row
+    count, which is the assumption every production ER blocker makes),
+    block on the head noun, and run levenshtein only within blocks —
+    candidate pairs are O(Σ block²) over a bounded dictionary, and the
+    edit distance itself is JVM codegen (`levenshtein`), not Python.
+    Each matched name pair carries its fact-side row counts, the
+    hook for a downstream canonical-key MERGE. At 100 TB the dictionary
+    build is the only corpus-wide stage (one hash aggregate); the
+    matching cost does not grow with the fact table at all.
+    """
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count("*").cast("long").alias("n_parts")
+    ).withColumn("blk", F.substring_index("name", " ", -1))
+    a = names.select(
+        F.col("name").alias("name_a"), F.col("n_parts").alias("n_parts_a"), "blk"
+    )
+    b = names.select(
+        F.col("name").alias("name_b"), F.col("n_parts").alias("n_parts_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("lev_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("lev_dist") <= F11_MAX_LEV)
+        .select("name_a", "name_b", "lev_dist", "n_parts_a", "n_parts_b")
+    )

@@ -214,6 +214,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s12_python_datasource",    # custom Python DataSource MQ envelope
     "s12b_python_stream_source",  # streaming DataSource with offset WAL
     "f8_variant",               # Spark 4 VariantType payload ETL
+    "f11_fuzzy_match",          # blocked levenshtein entity resolution (r4)
     "a8b_unpivot",              # unpivot/melt (inverse of pivot)
     "j14_lateral_topn",         # correlated LATERAL join (decorrelated)
     "a4b_sketch_merge",         # re-aggregatable HLL distinct rollup
