@@ -887,3 +887,76 @@ def a12_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly_cnt.join(daily_cnt, ["week", "event_type"]).select(
         "week", "event_type", "distinct_users", "sum_daily_distinct"
     )
+
+
+# --- A13 (bonus): time-weighted average (IoT/finance hold-until-next) --------
+
+@query(
+    "a13_time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) AS t_us,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_us
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         CAST(sum(cents * (next_us - t_us)) AS BIGINT) AS weighted_sum,
+         CAST(max(next_us) - min(t_us) AS BIGINT) AS span_us
+  FROM seq WHERE next_us IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, weighted_sum, span_us,
+       (weighted_sum // span_us) * 1000
+         + ((weighted_sum % span_us) * 1000) // span_us AS twa_millicents
+FROM agg
+""",
+)
+def a13_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted average value per user — the hold-until-next
+    semantics of IoT sensor rollups and TWAP finance bars, where a
+    reading is worth the time it stayed current, not one sample.
+
+    One lead() window on (user_id, ts, event_id) pairs each event with
+    its hold duration; the aggregate is then a single grouped sum of
+    cents × microseconds — all BIGINT (cents ~1e4 × span ~2.6e12 µs
+    stays far under int64), so weights, span, and the integer-division
+    average are bit-identical cross-engine. One shuffle on user_id
+    shared by the window and the aggregate; no re-sort, no floats
+    until never.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    return (
+        seq.filter(F.col("next_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * (F.col("next_us") - F.col("t_us")))
+            .cast("long")
+            .alias("weighted_sum"),
+            (F.max("next_us") - F.min("t_us")).cast("long").alias("span_us"),
+        )
+        .withColumn(
+            "twa_millicents",
+            # floor(ws*1000/span) WITHOUT the *1000 overflow (ws peaks
+            # ~2.2e16 at sf0.1; *1000 would pass int64 max): exact
+            # decomposition (ws div span)*1000 + ((ws mod span)*1000)
+            # div span — all terms stay under ~2.6e15, non-negative.
+            F.expr(
+                "(weighted_sum div span_us) * 1000"
+                " + ((weighted_sum % span_us) * 1000) div span_us"
+            ),
+        )
+    )

@@ -288,3 +288,74 @@ def w4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# --- W5 (bonus): conditional-reset running aggregate -------------------------
+
+@query(
+    "w5_reset_running",
+    oracle="""
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS seg
+  FROM events
+)
+SELECT event_id, user_id, seg,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 0 ELSE cents END) OVER (
+         PARTITION BY user_id, seg ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS run_cents
+FROM flagged
+""",
+)
+def w5_reset_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total that RESETS on a condition — value accumulated per
+    user since their last error (the gaps-and-islands / 'reset on
+    event' idiom behind uptime counters, spend-since-incident, streak
+    metrics).
+
+    Two stacked windows over the SAME (user_id, ts, event_id)
+    ordering: the first turns the reset events into segment ids via a
+    cumulative flag count, the second runs the cumulative sum inside
+    (user, segment). Catalyst evaluates both in ONE Window exchange —
+    the partitioning of the second (user_id, seg) is a refinement of
+    the first, so no extra shuffle materializes at any scale. The
+    error row itself starts its segment at 0 (reset-inclusive); cents
+    fixed-point keeps the running sums integer-exact cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w_seg = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        cents.alias("cents"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w_seg)
+        .cast("long")
+        .alias("seg"),
+    )
+    w_run = (
+        Window.partitionBy("user_id", "seg")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "seg",
+        F.sum(F.when(F.col("event_type") == "error", 0).otherwise(F.col("cents")))
+        .over(w_run)
+        .cast("long")
+        .alias("run_cents"),
+    )

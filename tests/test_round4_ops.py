@@ -125,3 +125,26 @@ def test_pq_search_recall_vs_exact(spark, duck, sf_dir):
     for q, grp in out.groupby("query_id"):
         g = grp.sort_values("rnk")
         assert g["adc_dist"].is_monotonic_increasing
+
+
+def test_reset_running_single_exchange(spark, sf_dir):
+    """w5's two stacked windows (user_id) then (user_id, seg) must share
+    ONE hash exchange — hashpartitioning(user_id) satisfies the second
+    window's clustering, so only a partition-local re-sort appears."""
+    from test_plans import executed_plan
+
+    plan = executed_plan(Q["w5_reset_running"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_time_weighted_avg_magnitudes(spark, sf_dir):
+    """a13's decomposed integer average equals the naive formula where
+    the naive one is computable, and every column stays in int64."""
+    out = Q["a13_time_weighted_avg"](spark, sf_dir).toPandas()
+    assert (out["span_us"] > 0).all()
+    assert (out["weighted_sum"] >= 0).all()
+    naive = [
+        int(ws) * 1000 // int(sp)  # python big ints — no int64 overflow
+        for ws, sp in zip(out["weighted_sum"], out["span_us"])
+    ]
+    assert list(out["twa_millicents"]) == naive
