@@ -1,0 +1,143 @@
+"""Measured 10x scale smoke: synthesize a ~sf1 dataset under /tmp by
+key-remapped replication of sf0.1, run the scalable headline operators
+at both scales, and print the wall-clock scaling ratio per query.
+
+This is the empirical check behind every "would this survive 10x?"
+claim in the operator docstrings: a plan whose ratio is ~linear (<=
+~10x on 10x rows on fixed local cores, usually far less while cores
+are underutilized at sf0.1) scales; a superlinear ratio flags a
+quadratic kernel or a collapsed partition.
+
+Replication scheme (i = 0..9):
+  lineitem/orders : order keys shifted by i*KEYSPAN      (joins stay 1:N)
+  customer        : unchanged (dims fixed; fact/dim ratio grows)
+  events          : event_id shifted; ts shifted +i*35 days (longer
+                    timeline, same density -> window/session state grows
+                    in KEY COUNT, not per-key size); user_id shifted for
+                    half the copies (population x5, sequences x2)
+  documents       : doc_id shifted, text salted per copy (dedup groups
+                    keep their within-copy structure instead of
+                    exploding 10x across copies)
+
+Usage: python scripts/scale_smoke.py [n_copies]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark import registry
+from sparkstreaming_mq_spark.session import get_spark
+from sparkstreaming_mq_spark.tables import load_table
+
+SRC = "/root/testdata/sf0.1"
+KEYSPAN = 10_000_000
+
+# queries whose inputs replicate meaningfully (no LSH-family: salted
+# text keeps their pair structure, but their cost story is already
+# covered by the cost-based kernel switch; streaming replays excluded —
+# the chunk cache is keyed to /root/testdata fixtures)
+QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier",
+    "j1_inner_equi",
+    "j8_asof",
+    "w1_rank_offsets",
+    "w5_reset_running",
+    "o1_global_sort",
+    "a12_bitmap_distinct",
+    "a13_time_weighted_avg",
+    "e4_rolling_active",
+    "e5_sequence_patterns",
+    "l1_exact_dedup",
+    "g1_pagerank",
+]
+
+
+def build(spark, out_dir: str, n_copies: int) -> None:
+    done = os.path.join(out_dir, "_READY")
+    if os.path.exists(done):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    copies = spark.range(n_copies).withColumnRenamed("id", "i")
+
+    def rep(name: str, df):
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+    li = load_table(spark, SRC, "lineitem").crossJoin(F.broadcast(copies))
+    rep(
+        "lineitem",
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.col("i") * KEYSPAN).drop("i"),
+    )
+    orders = load_table(spark, SRC, "orders").crossJoin(F.broadcast(copies))
+    rep(
+        "orders",
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.col("i") * KEYSPAN).drop("i"),
+    )
+    ev = load_table(spark, SRC, "events").crossJoin(F.broadcast(copies))
+    rep(
+        "events",
+        ev.withColumn("event_id", F.col("event_id") + F.col("i") * KEYSPAN)
+        .withColumn("ts", F.col("ts") + F.make_interval(days=F.col("i") * F.lit(35)))
+        .withColumn("user_id", F.col("user_id") + (F.col("i") % 5) * KEYSPAN)
+        .drop("i"),
+    )
+    docs = load_table(spark, SRC, "documents").crossJoin(F.broadcast(copies))
+    rep(
+        "documents",
+        docs.withColumn("doc_id", F.col("doc_id") + F.col("i") * KEYSPAN)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" copy"), F.col("i")))
+        .drop("i"),
+    )
+    for dim in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+        rep(dim, load_table(spark, SRC, dim))
+    open(done, "w").close()
+
+
+def main() -> int:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = f"/tmp/sparkgraft_scale_{n_copies}x"
+    registry.load_all()
+    # local-mode default driver heap is 1g — enough for the sf<=0.1
+    # fixtures, OOMs on the 10x build (32 concurrent parquet-write
+    # tasks). This is a per-process setting, so the smoke runs in its
+    # own session with an explicit heap.
+    spark = get_spark(
+        app_name="scale-smoke",
+        shuffle_partitions=64,
+        extra_conf={"spark.driver.memory": "24g"},
+    )
+    t0 = time.time()
+    build(spark, out_dir, n_copies)
+    print(f"build: {time.time() - t0:.1f}s -> {out_dir}")
+
+    results = {}
+    for name in QUERIES:
+        fn = registry.QUERIES[name]
+        times = {}
+        for label, sf_dir in (("sf0.1", SRC), (f"{n_copies}x", out_dir)):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            times[label] = (round(time.time() - t0, 2), n)
+        ratio = times[f"{n_copies}x"][0] / max(times["sf0.1"][0], 1e-9)
+        results[name] = {
+            "sf0.1_s": times["sf0.1"][0],
+            f"{n_copies}x_s": times[f"{n_copies}x"][0],
+            "ratio": round(ratio, 1),
+            "rows_out": times[f"{n_copies}x"][1],
+        }
+        print(f"{name:28s} {times['sf0.1'][0]:7.2f}s -> {times[f'{n_copies}x'][0]:7.2f}s  ({ratio:4.1f}x)  rows={times[f'{n_copies}x'][1]}")
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1108,3 +1108,91 @@ def l29_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("pick_order"),
     )
     return c.filter(F.col("cum_tok") - F.col("n_tok") < TOKEN_BUDGET)
+
+
+# --- L33: cross-source contamination matrix ----------------------------------
+
+L33_NGRAM = 4
+
+
+L33_ORACLE = f"""
+WITH tokd AS (
+  SELECT source, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - {L33_NGRAM} + 2, 1)),
+           i -> array_to_string(toks[i:i + {L33_NGRAM} - 1], ' ')))) AS ng
+  FROM tokd
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_ngrams
+  FROM sh a JOIN sh b ON a.ng = b.ng AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.source_a, s.source_b, s.shared_ngrams,
+       sa.n AS n_a, sb.n AS n_b,
+       s.shared_ngrams * 10000 // (sa.n + sb.n - s.shared_ngrams) AS jaccard_bp
+FROM shared s
+JOIN sizes sa ON sa.source = s.source_a
+JOIN sizes sb ON sb.source = s.source_b
+"""
+
+
+@query("l33_source_overlap", oracle=L33_ORACLE)
+def l33_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the number of distinct {L33_NGRAM}-token shingles they
+    share and the integer-basis-point Jaccard — the diagnostic a
+    curation pipeline runs before mixing sources (is "web" a superset
+    of "forum"? did two crawls ingest the same site?).
+
+    Scale shape: the corpus collapses to DISTINCT (source, shingle)
+    postings first — one shuffle on the shingle, after which every
+    stage is bounded by vocabulary × sources, not by document count.
+    The pair counts come from a postings self-join on the shingle key
+    (the l10 decontamination join turned inward), and the matrix is
+    O(sources²) rows of integers. Jaccard stays in integer basis
+    points (shared×10000 div union) — no float division to diverge.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = (
+        d.select(
+            "source",
+            F.explode(F.array_distinct(_shingles(toks, L33_NGRAM))).alias("ng"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "ng")
+    b = sh.select(F.col("source").alias("source_b"), "ng")
+    shared = (
+        a.join(b, "ng")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_ngrams"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_ngrams",
+            "n_a",
+            "n_b",
+            F.expr(
+                "(shared_ngrams * 10000) div (n_a + n_b - shared_ngrams)"
+            ).alias("jaccard_bp"),
+        )
+    )

@@ -177,6 +177,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l21_unigram_lm",           # corpus-fit unigram LM familiarity filter
     "l22_semantic_dedup",       # cluster-scoped embedding dedup (SemDeDup)
     "l23_span_dedup",           # span-level duplicated-window detection
+    "l33_source_overlap",       # cross-source contamination matrix (r4)
     "l24_hard_negatives",       # contrastive hard-negative mining
     "l28_kmeans_embed",         # exact-integer Lloyd's corpus clustering
     "l29_token_budget",         # per-source token-budget greedy selection
