@@ -58,7 +58,14 @@ QUERIES = [
     "e4_rolling_active",
     "e5_sequence_patterns",
     "l1_exact_dedup",
+    "l4_text_metrics",
+    "a11_heavy_hitters",
     "g1_pagerank",
+    # streaming: the chunked replay source keys its /tmp cache on the
+    # events.parquet fingerprint of WHATEVER dir it gets, so the 10x
+    # events table replays through the same source + chained stateful
+    # pipeline (first run pays the one-off chunk materialization).
+    "t14_chained_windows",
 ]
 
 
