@@ -317,3 +317,70 @@ def o9_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+# --- O16 (bonus): global row numbering WITHOUT a global sort ------------------
+
+O16_PARTS = 8
+
+
+@query(
+    "o16_global_rownum",
+    oracle="""
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS global_rn
+FROM orders
+WHERE o_totalprice > 1000
+""",
+)
+def o16_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable global row numbers over a key WITHOUT
+    `Window.orderBy(key)` — whose empty partitionBy collapses the whole
+    dataset into ONE task (Spark even warns). The scale recipe instead:
+
+    1. range-repartition + partition-local sort on the key — partition
+       p holds a contiguous key range, sorted;
+    2. count rows per partition (a few integers — driver metadata, the
+       zipWithIndex trick lifted to DataFrames);
+    3. global_rn = prefix-offset(p) + row_number within p.
+
+    The result is independent of where the sampled range boundaries
+    land (rank-by-unique-key is partition-invariant), so it hash-
+    matches the single-task oracle while every stage stays parallel.
+    Two passes over the data; at 100 TB this is how sequence ids,
+    pagination cursors, and stable shard offsets actually get built.
+    """
+    from pyspark.sql import Window
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 1000)
+        .select("o_orderkey")
+    )
+    parted = orders.repartitionByRange(O16_PARTS, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    )
+    # materialize ONCE: the offset pass and the numbering pass must see
+    # the same partition assignment (range boundaries are sampled; a
+    # recomputation could legally re-sample), so the partitioned frame
+    # is pinned before both reads — persist/checkpoint at cluster scale
+    with_pid = parted.withColumn("pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    counts = with_pid.groupBy("pid").count().orderBy("pid").collect()
+    offsets = {}
+    running = 0
+    for r in counts:
+        offsets[r["pid"]] = running
+        running += r["count"]
+    offset_col = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("pid"),
+    )
+    w = Window.partitionBy("pid").orderBy("o_orderkey")
+    return with_pid.select(
+        "o_orderkey",
+        (offset_col + F.row_number().over(w)).cast("long").alias("global_rn"),
+    )

@@ -186,6 +186,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s3b_schema_merge",         # schema-evolution mergeSchema scan
     "o12_zorder_scan",          # Z-order clustering + 2-D data skipping
     "o13_time_travel",          # manifest-pinned snapshots + compaction
+    "o16_global_rownum",        # parallel global row numbering (r4)
     "x1_integrity_audit",       # bonus: dbt-style data-quality audit
     "q03_shipping_priority",    # TPC-H Q3 star join + top-k (r4)
     "q05_local_supplier",       # TPC-H Q5 six-table star join (r4)

@@ -148,3 +148,33 @@ def test_time_weighted_avg_magnitudes(spark, sf_dir):
         for ws, sp in zip(out["weighted_sum"], out["span_us"])
     ]
     assert list(out["twa_millicents"]) == naive
+
+
+def test_global_rownum_never_single_partitions(spark, sf_dir):
+    """o16's entire point: no stage may collapse to one task. A naive
+    row_number() OVER (ORDER BY key) shows 'Exchange SinglePartition'
+    in the plan; the parallel recipe must not."""
+    from test_plans import executed_plan
+
+    plan = executed_plan(Q["o16_global_rownum"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
+def test_space_saving_empty_stream():
+    out = list(_space_saving_partition(iter([]), capacity=8))
+    assert out == []
+    out = list(
+        _space_saving_partition(iter([pd.DataFrame({"token": []})]), capacity=8)
+    )
+    assert out == []  # empty batch -> no counters -> no summary row
+
+
+def test_fuzzy_match_symmetric_and_bounded(spark, sf_dir):
+    out = Q["f11_fuzzy_match"](spark, sf_dir).toPandas()
+    # canonical orientation only — no (b, a) twins, no self-pairs
+    assert (out["name_a"] < out["name_b"]).all()
+    assert (out["lev_dist"] >= 1).all() and (out["lev_dist"] <= 3).all()
+    # blocking invariant: matched names share their head noun
+    assert (
+        out["name_a"].str.split(" ").str[-1] == out["name_b"].str.split(" ").str[-1]
+    ).all()
