@@ -211,6 +211,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "t11_rocksdb_state",        # RocksDB state backend (100 TB state path)
     "t14_chained_windows",      # chained stateful aggs: hour->day rollup (r4)
     "t15_join_then_window",     # chained stateful: stream join -> window agg (r4)
+    "t16_union_dedup_window",   # chained stateful: union -> dedup -> agg (r4)
     "s11_stream_union",         # multi-topic fan-in (union of streams)
     "j13_bloom_filter_join",    # runtime bloom-filter probe pruning
     "s12_python_datasource",    # custom Python DataSource MQ envelope

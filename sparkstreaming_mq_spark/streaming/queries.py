@@ -1940,3 +1940,61 @@ def t15_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("day_start"), "n_pairs", "total_cents"
     )
+
+
+# --- T16: chained stateful III — union -> watermarked dedup -> window agg ----
+
+T16_CHUNKS = 4
+
+
+@query(
+    "t16_union_dedup_window",
+    oracle=f"""
+WITH c AS (
+  SELECT ts, event_id,
+         ntile({T16_CHUNKS}) OVER (ORDER BY ts, event_id) - 1 AS chunk
+  FROM events
+),
+wm AS (
+  SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM c WHERE chunk <= {T16_CHUNKS - 2}
+)
+SELECT date_trunc('day', ts) AS day_start, CAST(count(*) AS BIGINT) AS n_events
+FROM c, wm
+WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+GROUP BY day_start
+""",
+)
+def t16_union_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third chained-stateful pair (t14 agg→agg, t15 join→agg):
+    a streaming UNION of two replays of the same topic — the redundant-
+    consumer / at-least-once delivery scenario — piped through
+    ``dropDuplicatesWithinWatermark`` on the message key and then a
+    stateful 1-day window count, all in one query.
+
+    Mechanics (measured): both union branches read the same chunk
+    sequence in lockstep, so each duplicate pair lands in one
+    micro-batch and the dedup state answers it immediately; survivors
+    flow into the aggregation within the same batch and the only cut
+    is the familiar day_end ≤ W_final (max ts through chunk n−2 minus
+    the 30-min delay). The oracle is therefore just DISTINCT events
+    (the fixture's event_ids are unique — exactly-once recovery of an
+    at-least-twice stream) rolled up by day under that cut.
+
+    Scale: dedup state is watermark-bounded (WithinWatermark evicts
+    expired keys), the union is free (no shuffle — both branches feed
+    the same stage), and the agg state is days × 1 row. This is the
+    canonical exactly-once ingest front: dedupe the redundant consumer
+    group, aggregate once, never store the raw duplicates.
+    """
+    s1 = read_events_stream_chunked(spark, sf_dir, n_chunks=T16_CHUNKS, order="time")
+    s2 = read_events_stream_chunked(spark, sf_dir, n_chunks=T16_CHUNKS, order="time")
+    dedup = (
+        s1.union(s2)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    daily = dedup.groupBy(F.window("ts", "1 day")).agg(
+        F.count("*").alias("n_events")
+    )
+    out = run_stream_to_table(daily, "append")
+    return out.select(F.col("window.start").alias("day_start"), "n_events")

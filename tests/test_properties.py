@@ -172,3 +172,40 @@ def test_bm25_score_monotonicity(duck, tf, df_, dl):
     if df_ < 999:
         assert score(tf, df_ + 1, dl) < s
     assert score(tf, df_, dl + 1) < s
+
+
+@given(
+    stream=st.lists(
+        st.sampled_from([f"t{i}" for i in range(12)]), min_size=0, max_size=400
+    ),
+    capacity=st.integers(min_value=2, max_value=8),
+)
+def test_space_saving_bounds_hold_on_any_stream(stream, capacity):
+    """Space-Saving invariants on arbitrary streams (a11): state never
+    exceeds capacity; every estimate brackets the true count
+    (est − err ≤ true ≤ est); no token with true frequency > n/capacity
+    is ever missing from the summary."""
+    import pandas as pd
+
+    from sparkstreaming_mq_spark.operators.aggregates import (
+        _space_saving_partition,
+    )
+
+    out = list(
+        _space_saving_partition(iter([pd.DataFrame({"token": stream})]), capacity)
+    )
+    true = {}
+    for t in stream:
+        true[t] = true.get(t, 0) + 1
+    if not stream:
+        assert out == []
+        return
+    s = out[0].set_index("token")
+    assert len(s) <= capacity
+    n = len(stream)
+    for tok, cnt in true.items():
+        if cnt > n / capacity:
+            assert tok in s.index
+        if tok in s.index:
+            est, err = int(s.loc[tok, "est"]), int(s.loc[tok, "err"])
+            assert est - err <= cnt <= est
