@@ -960,3 +960,70 @@ def a13_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- A14 (bonus): equi-width histogram + CDF ---------------------------------
+
+A14_BUCKETS = 20
+A14_WIDTH = 25_000  # o_totalprice spans ~1k..500k (FIXTURES domain)
+
+
+@query(
+    "a14_histogram",
+    oracle=f"""
+WITH b AS (
+  SELECT least({A14_BUCKETS - 1},
+               CAST(floor(o_totalprice / {A14_WIDTH}.0) AS BIGINT)) AS bucket,
+         o_totalprice,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+h AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS total_cents,
+         min(o_totalprice) AS lo,
+         max(o_totalprice) AS hi
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n, total_cents, lo, hi,
+       CAST(sum(n) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+FROM h
+""",
+)
+def a14_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram + cumulative distribution over order value
+    — the profiling primitive behind data-skew dashboards, pricing
+    bands, and the stats a CBO would collect.
+
+    Bucket assignment is a single floor division against literal
+    bounds (no pre-scan for min/max, no sampled boundaries), so the
+    map side collapses 150k rows to ≤{A14_BUCKETS} groups before the
+    exchange and the CDF window runs over {A14_BUCKETS} rows — cost is
+    scan-bound at any scale. The per-bucket min/max are raw untouched
+    doubles (bitwise-identical cross-engine); counts and fixed-point
+    cent sums are BIGINT. The bucket window over ≤{A14_BUCKETS} rows
+    is the one place a single-partition window is CORRECT — the input
+    is already aggregate-sized metadata, not data.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    bucket = F.least(
+        F.lit(A14_BUCKETS - 1),
+        F.floor(F.col("o_totalprice") / float(A14_WIDTH)).cast("long"),
+    )
+    h = (
+        orders.select(bucket.alias("bucket"), "o_totalprice", cents.alias("cents"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return h.withColumn("cum_n", F.sum("n").over(w).cast("long"))

@@ -223,6 +223,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "a4b_sketch_merge",         # re-aggregatable HLL distinct rollup
     "a12_bitmap_distinct",      # EXACT re-aggregatable distinct via bitmaps (r4)
     "a13_time_weighted_avg",    # hold-until-next TWA, integer-exact (r4)
+    "a14_histogram",            # equi-width histogram + CDF (r4)
     "w5_reset_running",         # conditional-reset running totals (r4)
     "j10b_stream_outer_join",   # stream-stream LEFT OUTER with watermark eviction
     "s4b_orc_scan",             # third schema-on-read format
