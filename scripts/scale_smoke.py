@@ -60,12 +60,17 @@ QUERIES = [
     "l1_exact_dedup",
     "l4_text_metrics",
     "a11_heavy_hitters",
+    "a14_histogram",
+    "o16_global_rownum",
+    "f11_fuzzy_match",
+    "l33_source_overlap",
     "g1_pagerank",
     # streaming: the chunked replay source keys its /tmp cache on the
     # events.parquet fingerprint of WHATEVER dir it gets, so the 10x
     # events table replays through the same source + chained stateful
     # pipeline (first run pays the one-off chunk materialization).
     "t14_chained_windows",
+    "t16_union_dedup_window",
 ]
 
 
