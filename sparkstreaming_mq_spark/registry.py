@@ -226,6 +226,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "a14_histogram",            # equi-width histogram + CDF (r4)
     "w5_reset_running",         # conditional-reset running totals (r4)
     "j10b_stream_outer_join",   # stream-stream LEFT OUTER with watermark eviction
+    "j10c_stream_outer_oracle", # its full-oracle twin (measured null cut, r4)
     "s4b_orc_scan",             # third schema-on-read format
     "u5b_map_in_arrow",         # zero-copy Arrow extension point
     "u7_cogroup_apply",         # cogrouped-map applyInPandas

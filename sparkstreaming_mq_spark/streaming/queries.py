@@ -1998,3 +1998,98 @@ def t16_union_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_table(daily, "append")
     return out.select(F.col("window.start").alias("day_start"), "n_events")
+
+
+# --- J10c: stream-stream LEFT OUTER with measured-mechanics full oracle ------
+
+J10C_CHUNKS = 4
+
+
+@query(
+    "j10c_stream_outer_oracle",
+    oracle=f"""
+WITH c AS (
+  SELECT ts, event_id, user_id, event_type, value,
+         ntile({J10C_CHUNKS}) OVER (ORDER BY ts, event_id) - 1 AS chunk
+  FROM events
+),
+wm AS (
+  SELECT least(
+           (SELECT max(ts) FROM c WHERE chunk <= {J10C_CHUNKS - 2}
+            AND event_type = 'signup'),
+           (SELECT max(ts) FROM c WHERE chunk <= {J10C_CHUNKS - 2}
+            AND event_type = 'purchase')
+         ) - INTERVAL 4 HOUR AS w
+),
+s AS (SELECT user_id, ts AS s_ts FROM c WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts AS p_ts, value FROM c WHERE event_type = 'purchase'),
+matched AS (
+  SELECT s.user_id,
+         date_trunc('second', s.s_ts) AS signup_ts,
+         date_trunc('second', p.p_ts) AS purchase_ts,
+         round(p.value, 4) AS value
+  FROM s JOIN p ON s.user_id = p.user_id
+   AND p.p_ts >= s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 2 HOUR
+),
+nulls AS (
+  SELECT u.user_id,
+         date_trunc('second', u.s_ts) AS signup_ts,
+         CAST(NULL AS TIMESTAMP) AS purchase_ts,
+         CAST(NULL AS DOUBLE) AS value
+  FROM s u, wm
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p WHERE p.user_id = u.user_id
+           AND p.p_ts >= u.s_ts AND p.p_ts <= u.s_ts + INTERVAL 2 HOUR)
+    AND u.s_ts + INTERVAL 2 HOUR < wm.w
+)
+SELECT * FROM matched UNION ALL SELECT * FROM nulls
+""",
+)
+def j10c_stream_outer_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j10b's LEFT OUTER stream-stream join, pinned to a FULL oracle by
+    the t15 measured-mechanics method (j10b itself stays rows-only as
+    the semantics-test demonstrator).
+
+    Measured (sf0.001/0.01/0.1): matched rows are exactly the inner
+    join (emitted eagerly when the later side arrives); a null-padded
+    row emits for an unmatched signup once the watermark proves no
+    match can come — i.e. iff s_ts + 2h (the interval's upper bound)
+    < W_final, the last batch's eviction watermark (min of the two
+    sides' chunk-(n−2) maxima − the 4 h delay). Signups unmatched but
+    still inside their join window at end-of-replay are withheld —
+    at sf0.01 that splits 1,462 emitted nulls from 1,955 unmatched
+    signups, so the oracle's cut is doing real work, not rubber-
+    stamping the batch outer join.
+
+    Scale: identical join plan to j10b — both sides shuffle once on
+    user_id, state bounded by interval × delay per key.
+    """
+    signups = (
+        read_events_stream_chunked(spark, sf_dir, n_chunks=J10C_CHUNKS, order="time")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "4 hours")
+    )
+    purchases = (
+        read_events_stream_chunked(spark, sf_dir, n_chunks=J10C_CHUNKS, order="time")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "4 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+        "left_outer",
+    ).select(
+        "user_id",
+        F.date_trunc("second", "s_ts").alias("signup_ts"),
+        F.date_trunc("second", "p_ts").alias("purchase_ts"),
+        F.round("value", 4).alias("value"),
+    )
+    return run_stream_to_table(joined, "append")
