@@ -41,9 +41,8 @@ SRC = "/root/testdata/sf0.1"
 KEYSPAN = 10_000_000
 
 # queries whose inputs replicate meaningfully (no LSH-family: salted
-# text keeps their pair structure, but their cost story is already
-# covered by the cost-based kernel switch; streaming replays excluded —
-# the chunk cache is keyed to /root/testdata fixtures)
+# text keeps their pair structure, and their cost story is already
+# covered by the cost-based kernel switch)
 QUERIES = [
     "q01_pricing_summary",
     "q03_shipping_priority",

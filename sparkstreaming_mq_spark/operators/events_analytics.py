@@ -218,9 +218,12 @@ def e4_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     two shuffles at any scale.
     """
     ev = load_table(spark, sf_dir, "events")
+    # materialized once: the day set and the explode both derive from
+    # it — without this the events scan + dedup shuffle runs twice
+    # (persist at cluster scale)
     ud = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("d")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     days = ud.select(F.col("d").alias("report_day")).distinct()
     exploded = ud.select(
         "user_id",

@@ -200,7 +200,10 @@ def test_space_saving_bounds_hold_on_any_stream(stream, capacity):
     if not stream:
         assert out == []
         return
-    s = out[0].set_index("token")
+    df = out[0]
+    sentinel = df[df["token"].isna()]
+    assert len(sentinel) == 1 and int(sentinel["est"].iloc[0]) == len(stream)
+    s = df[df["token"].notna()].set_index("token")
     assert len(s) <= capacity
     n = len(stream)
     for tok, cnt in true.items():

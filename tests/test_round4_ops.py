@@ -51,7 +51,11 @@ def _run_space_saving(tokens, capacity):
     batches = [pd.DataFrame({"token": tokens})]
     out = list(_space_saving_partition(iter(batches), capacity))
     assert len(out) == 1
-    return out[0].set_index("token")
+    df = out[0]
+    # sentinel row carries the exact partition length (token is None)
+    sentinel = df[df["token"].isna()]
+    assert len(sentinel) == 1 and int(sentinel["est"].iloc[0]) == len(tokens)
+    return df[df["token"].notna()].set_index("token")
 
 
 def test_space_saving_exact_when_under_capacity():
@@ -92,11 +96,26 @@ def test_space_saving_summaries_merge_additively():
 
 
 def test_rolling_active_explode_is_bounded(spark, sf_dir):
-    # the exploded frame is exactly 7x the deduped user-day frame —
-    # the fan-out that makes sliding distinct-counts one aggregate
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_mq_spark.tables import load_table
+
     out = Q["e4_rolling_active"](spark, sf_dir).toPandas()
     assert (out["wau7"] >= out["dau"]).all()
     assert (out["dau"] > 0).all()
+    # pin the fan-out that makes sliding distinct-counts one aggregate:
+    # the exploded frame is EXACTLY 7x the deduped user-day frame
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+    )
+    exploded = ud.select(
+        F.explode(
+            F.expr("sequence(d, d + interval 6 days, interval 1 day)")
+        ).alias("rd")
+    )
+    assert exploded.count() == 7 * ud.count()
 
 
 def test_pq_search_recall_vs_exact(spark, duck, sf_dir):
@@ -178,3 +197,22 @@ def test_fuzzy_match_symmetric_and_bounded(spark, sf_dir):
     assert (
         out["name_a"].str.split(" ").str[-1] == out["name_b"].str.split(" ").str[-1]
     ).all()
+
+
+def test_space_saving_merged_pigeonhole_survival():
+    """Merged-summary guarantee that DOES hold (pigeonhole): a token
+    with overall frequency > n/capacity survives in at least one
+    partition's summary, so it is present after the sum-merge — even
+    when each partition is deep in the lossy regime. Its merged est
+    undercounts by at most the stream length of the partitions it was
+    evicted from (documented slack), never to zero."""
+    cap = 4
+    part_a = ["h"] * 30 + [f"a{i}" for i in range(40)]
+    part_b = ["h"] * 30 + [f"b{i}" for i in range(40)]
+    sa = _run_space_saving(part_a, cap)
+    sb = _run_space_saving(part_b, cap)
+    merged = sa.add(sb, fill_value=0)
+    n = len(part_a) + len(part_b)
+    assert 60 > n / cap  # 'h' is overall-heavy in the lossy regime
+    assert "h" in merged.index
+    assert merged.loc["h", "est"] > 0
