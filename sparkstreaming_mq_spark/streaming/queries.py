@@ -708,12 +708,51 @@ def t5b_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- T4b: dynamic-gap session windows ------------------------------------------
 
-@query("t4b_session_dynamic_gap")
+@query(
+    "t4b_session_dynamic_gap",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN INTERVAL 1 HOUR
+              ELSE INTERVAL 30 MINUTE END AS gap,
+         ntile(4) OVER (ORDER BY ts, event_id) - 1 AS chunk
+  FROM events
+),
+wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM c WHERE chunk <= 2),
+marked AS (
+  SELECT user_id, ts, gap,
+         CASE WHEN ts > max(ts + gap) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_sess
+  FROM c
+),
+sess AS (
+  SELECT user_id, ts, gap,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       date_trunc('second', min(ts)) AS sess_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess, wm
+GROUP BY user_id, sid, wm.w
+HAVING max(ts + gap) < wm.w
+""",
+)
 def t4b_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a PER-ROW gap (T4's dynamic form):
     purchase events extend sessions for 1 hour, everything else for 30
-    minutes — `session_window(ts, when(...))`. Watermarked append
-    mode; rows-only like t4 (open sessions stay unflushed)."""
+    minutes — `session_window(ts, when(...))`, watermarked append
+    mode. FULL oracle since r4: dynamic-gap merging is the interval-
+    union rewrite (new session iff ts > cumulative max of preceding
+    ts+gap — strict, because Spark merges touching windows), and the
+    emission cut is the measured sess_end < W_final rule shared with
+    t4d (698 of 938 sessions emit at sf0.001, 7,098 of 9,478 at
+    sf0.01 — the withheld tail is real). Session start is second-
+    truncated in the OUTPUT only (assembly runs on raw µs stamps);
+    DuckDB's ns-precision return would otherwise hash-differ."""
     stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
     gap = F.when(F.col("event_type") == "purchase", F.lit("1 hour")).otherwise(
         F.lit("30 minutes")
@@ -725,7 +764,9 @@ def t4b_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_table(agg, "append")
     return out.select(
-        "user_id", F.col("session_window.start").alias("sess_start"), "n_events"
+        "user_id",
+        F.date_trunc("second", F.col("session_window.start")).alias("sess_start"),
+        "n_events",
     )
 
 
