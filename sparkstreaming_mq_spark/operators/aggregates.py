@@ -755,7 +755,16 @@ def _space_saving_partition(batches, capacity: int):
     within an n/capacity slack of the threshold in the lossy regime
     (the property tests pin the per-partition bracket; the merged
     slack bound is documented, not a per-token invariant)."""
+    import heapq
+
+    # (est, token) min-heap with LAZY entries: each increment pushes a
+    # fresh entry; stale ones are skipped at pop time by checking the
+    # live counter. A linear min-scan per eviction would be
+    # O(n*capacity) in exactly the over-capacity regime the sketch
+    # exists for; the heap makes eviction O(log) amortized. Ties break
+    # by token (deterministic, unlike dict-order min).
     counters: dict[str, list[int]] = {}
+    heap: list[tuple[int, str]] = []
     n_items = 0
     for batch in batches:
         for tok in batch["token"]:
@@ -763,12 +772,25 @@ def _space_saving_partition(batches, capacity: int):
             c = counters.get(tok)
             if c is not None:
                 c[0] += 1
+                heapq.heappush(heap, (c[0], tok))
             elif len(counters) < capacity:
                 counters[tok] = [1, 0]
+                heapq.heappush(heap, (1, tok))
             else:
-                victim = min(counters, key=lambda k: counters[k][0])
-                vest = counters.pop(victim)[0]
-                counters[tok] = [vest + 1, vest]
+                while True:
+                    est, t = heap[0]
+                    live = counters.get(t)
+                    if live is not None and live[0] == est:
+                        break
+                    heapq.heappop(heap)  # stale entry
+                victim_est, victim = heapq.heappop(heap)
+                counters.pop(victim)
+                counters[tok] = [victim_est + 1, victim_est]
+                heapq.heappush(heap, (victim_est + 1, tok))
+            if len(heap) > 8 * capacity:
+                # compact: rebuild from live counters only
+                heap = [(c2[0], t2) for t2, c2 in counters.items()]
+                heapq.heapify(heap)
     if n_items:
         yield pd.DataFrame(
             {
@@ -795,7 +817,7 @@ WHERE c.est * {HH_K} >= tot.n
 
 @query("a11_heavy_hitters", oracle=A11_ORACLE)
 def a11_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters (frequency ≥ n/{K}) over the document token stream
+    """Heavy hitters (frequency ≥ n/HH_K, K=50) over the document token stream
     via a custom mergeable Space-Saving sketch.
 
     This is the bounded-memory complement to a4c's built-in
@@ -1016,11 +1038,11 @@ def a14_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bucket assignment is a single floor division against literal
     bounds (no pre-scan for min/max, no sampled boundaries), so the
-    map side collapses 150k rows to ≤{A14_BUCKETS} groups before the
-    exchange and the CDF window runs over {A14_BUCKETS} rows — cost is
+    map side collapses 150k rows to ≤20 groups before the
+    exchange and the CDF window runs over ≤20 rows — cost is
     scan-bound at any scale. The per-bucket min/max are raw untouched
     doubles (bitwise-identical cross-engine); counts and fixed-point
-    cent sums are BIGINT. The bucket window over ≤{A14_BUCKETS} rows
+    cent sums are BIGINT. The bucket window over ≤20 rows
     is the one place a single-partition window is CORRECT — the input
     is already aggregate-sized metadata, not data.
     """

@@ -1145,8 +1145,7 @@ JOIN sizes sb ON sb.source = s.source_b
 @query("l33_source_overlap", oracle=L33_ORACLE)
 def l33_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: for every pair of corpus
-    sources, the number of distinct {L33_NGRAM}-token shingles they
-    share and the integer-basis-point Jaccard — the diagnostic a
+    sources, the number of distinct 4-token shingles they share and the integer-basis-point Jaccard — the diagnostic a
     curation pipeline runs before mixing sources (is "web" a superset
     of "forum"? did two crawls ingest the same site?).
 

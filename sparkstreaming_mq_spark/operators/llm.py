@@ -2230,22 +2230,22 @@ def l31_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k search over the embedding corpus.
 
     Pipeline (one tall integer frame, everything JVM-side):
-    quantize -> per-subspace exact-integer Lloyd's ({PQ_ITERS} rounds,
-    all {PQ_M} sub-codebooks trained in ONE set of grouped aggregates —
+    quantize -> per-subspace exact-integer Lloyd's (PQ_ITERS=2 rounds,
+    all 16 sub-codebooks trained in ONE set of grouped aggregates —
     subspace id is just a grouping column) -> encode every vector to
-    {PQ_M} codes -> per-query LUT of exact subvector-to-centroid
-    distances ({PQ_QUERIES}x{PQ_M}x{PQ_K} rows — bounded metadata) ->
-    ADC scoring as a broadcast join of the corpus codes against the
-    LUT + one (query, vec) sum -> per-query top-{PQ_TOPK}.
+    16 codes -> per-query LUT of exact subvector-to-centroid
+    distances (10x16x32 rows — bounded metadata) -> ADC scoring as a
+    broadcast join of the corpus codes against the LUT + one
+    (query, vec) sum -> per-query top-10.
 
     Scale: the corpus is touched by narrow quantize/encode scans and
-    one code-vs-LUT broadcast join (codes are {PQ_M} ints per doc —
-    the 64x memory compression is the point of PQ); the only wide
+    one code-vs-LUT broadcast join (codes are 16 small ints per doc —
+    the memory compression is the point of PQ); the only wide
     shuffles move (corpus x M) code rows and (queries x corpus)
     partial sums, the latter bounded by the probe set like l3. At
     100 TB you train codebooks on a sample and reuse them; the
     centroid state is K*dim integers — driver metadata, like l28. The
-    exact-integer construction (scale-{KMEANS_SCALE} quantization,
+    exact-integer construction (scale-10000 quantization,
     floor-half-up recenter, lowest-code tie-breaks) makes every stage
     bit-identical to the DuckDB oracle; recall vs the exact l3 scan is
     pinned by pytest, not by the oracle (approximation is the point).

@@ -272,18 +272,19 @@ def t5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t4_stream_session",
     oracle="""
 WITH e AS (
-  SELECT user_id, date_trunc('second', ts) AS ts_s, value FROM events
+  SELECT user_id, date_trunc('second', ts) AS ts_s, value, event_id FROM events
 ),
 marked AS (
-  SELECT user_id, ts_s, value,
-         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+  SELECT user_id, ts_s, value, event_id,
+         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts_s, event_id)
                    > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM e
 ),
 sess AS (
   SELECT user_id, ts_s, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM marked
 )
@@ -336,20 +337,21 @@ def t4_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t4d_stream_session_append",
     oracle="""
 WITH c AS (
-  SELECT user_id, date_trunc('second', ts) AS ts_s, value,
+  SELECT user_id, date_trunc('second', ts) AS ts_s, value, event_id,
          ntile(4) OVER (ORDER BY ts, event_id) - 1 AS chunk
   FROM events
 ),
 wm AS (SELECT max(ts_s) - INTERVAL 30 MINUTE AS w FROM c WHERE chunk <= 2),
 marked AS (
-  SELECT user_id, ts_s, value,
-         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+  SELECT user_id, ts_s, value, event_id,
+         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts_s, event_id)
                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
   FROM c
 ),
 sess AS (
   SELECT user_id, ts_s, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM marked
 )
@@ -720,7 +722,7 @@ WITH c AS (
 ),
 wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM c WHERE chunk <= 2),
 marked AS (
-  SELECT user_id, ts, gap,
+  SELECT user_id, ts, gap, event_id,
          CASE WHEN ts > max(ts + gap) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -729,7 +731,7 @@ marked AS (
 ),
 sess AS (
   SELECT user_id, ts, gap,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM marked
 )
@@ -1109,18 +1111,19 @@ def t10_stream_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t4c_session_batch",
     oracle="""
 WITH e AS (
-  SELECT user_id, date_trunc('second', ts) AS ts_s, value FROM events
+  SELECT user_id, date_trunc('second', ts) AS ts_s, value, event_id FROM events
 ),
 marked AS (
-  SELECT user_id, ts_s, value,
-         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+  SELECT user_id, ts_s, value, event_id,
+         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts_s, event_id)
                    > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM e
 ),
 sess AS (
   SELECT user_id, ts_s, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM marked
 )
