@@ -2323,3 +2323,151 @@ def l31_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PQ_TOPK)
         .select("query_id", "vec_id", "adc_dist", "rnk")
     )
+
+
+# --- L3d: IVF ANN with a full train->assign->probe->score oracle --------------
+
+# Completes the similarity-search evidence ladder: l3 exact scan, l3b
+# hyperplane LSH, l3c IVF (rows-only recall tier), l31 PQ/ADC — and now
+# an IVF variant whose ENTIRE pipeline is exact-integer and therefore
+# cross-engine hash-checkable, built on l28's Lloyd's formulation
+# (same scale, same init, same recenter rule, same tie-breaks).
+IVF_NPROBE = 2
+IVF_QUERIES = 10
+IVF_TOPK = 10
+
+
+def _ivf_oracle() -> str:
+    n = KMEANS_ITERS
+    return f"""
+WITH {_kmeans_sql_iters()},
+asg_fin AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM afin
+  ) WHERE rn = 1
+),
+qcent AS (
+  SELECT comp.vec_id AS query_id, cent{n}.c,
+         CAST(sum((comp.x - cent{n}.ci) * (comp.x - cent{n}.ci)) AS BIGINT) AS d
+  FROM comp JOIN cent{n} USING (i)
+  WHERE comp.vec_id < {IVF_QUERIES}
+  GROUP BY comp.vec_id, cent{n}.c
+),
+probe AS (
+  SELECT query_id, c FROM (
+    SELECT query_id, c, row_number() OVER (PARTITION BY query_id ORDER BY d, c) AS rn
+    FROM qcent
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probe p JOIN asg_fin a ON a.c = p.c
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         CAST(sum((cq.x - cv.x) * (cq.x - cv.x)) AS BIGINT) AS dist
+  FROM cand
+  JOIN comp cq ON cq.vec_id = cand.query_id
+  JOIN comp cv ON cv.vec_id = cand.vec_id AND cv.i = cq.i
+  GROUP BY cand.query_id, cand.vec_id
+)
+SELECT query_id, vec_id, dist, CAST(rn AS BIGINT) AS rnk FROM (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {IVF_TOPK}
+"""
+
+
+@query("l3d_ivf_exact", oracle=_ivf_oracle())
+def l3d_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose whole pipeline carries a value-exact oracle:
+    train the coarse quantizer with l28's exact-integer Lloyd's (same
+    constants), assign every vector to its nearest centroid (the
+    inverted file), probe each query's IVF_NPROBE nearest cells, and
+    score ONLY the vectors in probed cells with exact integer L2 —
+    top-10 per query, ties to the lower vec_id.
+
+    Scale shape: the inverted file is the corpus partitioned by
+    cluster id (at 100 TB: physically partitioned by c, so a probe
+    reads nprobe/K of the data — the entire point of IVF); centroids
+    are K×dim driver metadata; the probe set is bounded like l3/l31,
+    so the scoring join is (queries × probed fraction of corpus),
+    never all-pairs. Recall vs the exact scan is whatever the probed
+    cells contain — measured and pinned in pytest, while the oracle
+    pins that train/assign/probe/score compute EXACTLY what they
+    claim (l3c remains the rows-only demonstrator of the float
+    variant).
+    """
+    qdf = _kmeans_quantized(spark, sf_dir)
+    init = qdf.filter(F.col("vec_id") < KMEANS_K).collect()
+    cents = {int(r["vec_id"]): list(r["q"]) for r in init}
+    for _ in range(KMEANS_ITERS):
+        asg = qdf.select("vec_id", "q", _kmeans_best(cents)["c"].alias("c"))
+        sums = (
+            asg.select("c", F.posexplode("q").alias("i", "x"))
+            .groupBy("c", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_cents: dict[int, list[int]] = {}
+        dim = len(next(iter(cents.values())))
+        for r in sums:
+            vec = new_cents.setdefault(int(r["c"]), [0] * dim)
+            vec[int(r["i"])] = math.floor((2 * r["s"] + r["n"]) / (2.0 * r["n"]))
+        cents = new_cents
+
+    best = _kmeans_best(cents)
+    inverted = qdf.select("vec_id", "q", best["c"].alias("c"))
+
+    # per-query probe list: distances to all K centroids are a handful
+    # of JVM expressions; sort the (d, c) structs and slice nprobe
+    dist_structs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "q",
+                        F.array(*[F.lit(int(v)) for v in vec]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                ).alias("d"),
+                F.lit(int(c)).cast("long").alias("c"),
+            )
+            for c, vec in sorted(cents.items())
+        ]
+    )
+    probes = (
+        qdf.filter(F.col("vec_id") < IVF_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.explode(F.slice(F.array_sort(dist_structs), 1, IVF_NPROBE)).alias("p"),
+        )
+        .select("query_id", "qq", F.col("p.c").alias("c"))
+    )
+    scored = (
+        probes.join(inverted, "c")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with("qq", "q", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("dist"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= IVF_TOPK)
+        .select("query_id", "vec_id", "dist", "rnk")
+    )

@@ -201,6 +201,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "l3b_ann_lsh",              # hyperplane-LSH ANN (scale path)
     "l3c_ann_ivf",              # IVF ANN
     "l31_pq_search",            # product-quantization ADC search (r4)
+    "l3d_ivf_exact",            # IVF ANN, full train/probe/score oracle (r4)
     "a7d_time_hierarchy_rollup",  # continuous-aggregate shape
     "l5b_media_features",
     "l5c_frame_sample",
