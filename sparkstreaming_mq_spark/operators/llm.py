@@ -1028,20 +1028,37 @@ def l3c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.array_min(scored).getField("cid")
 
-    # one Lloyd refinement step: mean of assigned vectors per seed
+    # one Lloyd refinement step: mean of assigned vectors per seed.
+    # Computed over fixed-point BIGINTs (the l28 trick), NOT F.avg —
+    # float-sum accumulation order is partition-dependent, and an
+    # ulp-level centroid wiggle flips borderline assignments between
+    # sessions (surfaced as a recall-floor flake at exactly 14/50 vs
+    # 15/50). Integer sums are order-free, so the refined centroids —
+    # and therefore recall — are bit-stable on any partitioning.
     assigned = base.withColumn("cid", assign(F.col("emb"), centroid_array(cent_rows)))
-    refined_rows = (
+    sums_rows = (
         assigned.groupBy("cid")
         .agg(
-            F.array(
-                *[
-                    F.avg(F.col("emb").getItem(i)).alias(f"d{i}")
-                    for i in range(EMBED_DIM)
-                ]
-            ).alias("centroid")
+            F.count("*").alias("n"),
+            *[
+                F.sum(
+                    F.floor(F.col("emb").getItem(i) * 10000 + F.lit(0.5)).cast("long")
+                ).alias(f"s{i}")
+                for i in range(EMBED_DIM)
+            ],
         )
         .collect()
     )
+    refined_rows = [
+        {
+            "cid": r["cid"],
+            "centroid": [
+                ((2 * r[f"s{i}"] + r["n"]) // (2 * r["n"])) / 10000.0
+                for i in range(EMBED_DIM)
+            ],
+        }
+        for r in sums_rows
+    ]
     cents = centroid_array(refined_rows)
 
     lists = base.withColumn("cid", assign(F.col("emb"), cents))
