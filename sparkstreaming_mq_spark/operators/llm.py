@@ -972,7 +972,8 @@ def l3b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_N_CENTROIDS = 16
 IVF_NPROBE = 6  # fraction of lists probed bounds recall on
 # near-uniform corpora (fixture vectors are near-orthogonal; measured
-# global recall ~0.5 — same regime note as l3b applies)
+# global recall 0.62 at sf0.001 / 0.66 at sf0.01 on r4 data — same
+# regime note as l3b applies)
 
 
 @query("l3c_ann_ivf")
@@ -980,7 +981,7 @@ def l3c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbors: a deterministic coarse
     quantizer (centroids = the embeddings of 16 hash-chosen corpus
     vectors, refined by one Lloyd step) partitions the corpus into
-    inverted lists; each query probes its nprobe=4 nearest lists and
+    inverted lists; each query probes its nprobe=6 nearest lists and
     only those candidates get exact cosine. The complementary
     scale-path to l3b's hyperplane LSH — at 100 TB the assignment is a
     broadcast argmin over the (tiny) centroid table and the probe is a
@@ -2349,9 +2350,9 @@ def l31_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # an IVF variant whose ENTIRE pipeline is exact-integer and therefore
 # cross-engine hash-checkable, built on l28's Lloyd's formulation
 # (same scale, same init, same recenter rule, same tie-breaks).
-IVF_NPROBE = 2
-IVF_QUERIES = 10
-IVF_TOPK = 10
+L3D_IVF_NPROBE = 2
+L3D_IVF_QUERIES = 10
+L3D_IVF_TOPK = 10
 
 
 def _ivf_oracle() -> str:
@@ -2368,14 +2369,14 @@ qcent AS (
   SELECT comp.vec_id AS query_id, cent{n}.c,
          CAST(sum((comp.x - cent{n}.ci) * (comp.x - cent{n}.ci)) AS BIGINT) AS d
   FROM comp JOIN cent{n} USING (i)
-  WHERE comp.vec_id < {IVF_QUERIES}
+  WHERE comp.vec_id < {L3D_IVF_QUERIES}
   GROUP BY comp.vec_id, cent{n}.c
 ),
 probe AS (
   SELECT query_id, c FROM (
     SELECT query_id, c, row_number() OVER (PARTITION BY query_id ORDER BY d, c) AS rn
     FROM qcent
-  ) WHERE rn <= {IVF_NPROBE}
+  ) WHERE rn <= {L3D_IVF_NPROBE}
 ),
 cand AS (
   SELECT p.query_id, a.vec_id
@@ -2394,7 +2395,7 @@ SELECT query_id, vec_id, dist, CAST(rn AS BIGINT) AS rnk FROM (
   SELECT query_id, vec_id, dist,
          row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
   FROM scored
-) WHERE rn <= {IVF_TOPK}
+) WHERE rn <= {L3D_IVF_TOPK}
 """
 
 
@@ -2403,7 +2404,7 @@ def l3d_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN whose whole pipeline carries a value-exact oracle:
     train the coarse quantizer with l28's exact-integer Lloyd's (same
     constants), assign every vector to its nearest centroid (the
-    inverted file), probe each query's IVF_NPROBE nearest cells, and
+    inverted file), probe each query's L3D_IVF_NPROBE nearest cells, and
     score ONLY the vectors in probed cells with exact integer L2 —
     top-10 per query, ties to the lower vec_id.
 
@@ -2459,11 +2460,11 @@ def l3d_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     probes = (
-        qdf.filter(F.col("vec_id") < IVF_QUERIES)
+        qdf.filter(F.col("vec_id") < L3D_IVF_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("qq"),
-            F.explode(F.slice(F.array_sort(dist_structs), 1, IVF_NPROBE)).alias("p"),
+            F.explode(F.slice(F.array_sort(dist_structs), 1, L3D_IVF_NPROBE)).alias("p"),
         )
         .select("query_id", "qq", F.col("p.c").alias("c"))
     )
@@ -2485,6 +2486,6 @@ def l3d_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= IVF_TOPK)
+        .filter(F.col("rnk") <= L3D_IVF_TOPK)
         .select("query_id", "vec_id", "dist", "rnk")
     )

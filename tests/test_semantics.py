@@ -158,14 +158,13 @@ def test_ivf_recall_and_determinism(spark, sf_dir):
     a = {(r.query_id, r.neighbor_id) for r in Q["l3c_ann_ivf"](spark, sf_dir).collect()}
     b = {(r.query_id, r.neighbor_id) for r in Q["l3c_ann_ivf"](spark, sf_dir).collect()}
     assert a == b, "IVF must be deterministic (no RNG anywhere)"
-    # loose floor: near-orthogonal fixture vectors cap any
-    # list-pruning method near the probed fraction, and the exact value
-    # moves with each corpus regeneration (r4 data: 0.28 — measured
-    # AFTER making the Lloyd refinement integer-exact, so the number is
-    # bit-stable per corpus; it previously flickered 14-15/50 across
-    # sessions because float-avg centroids moved by an ulp). The
-    # pinned-quality ANN evidence lives in l3d/l31's recall tests.
-    assert len(exact & a) / len(exact) >= 0.25
+    # floor for nprobe=6 of 16 lists: measured 0.62 (sf0.001) / 0.66
+    # (sf0.01) on r4 data after fixing the l3d module-global collision
+    # that had silently rebound IVF_NPROBE to 2 (the r4 0.28 floor was
+    # measuring the clobbered config, not float flake). Integer-exact
+    # Lloyd refinement keeps the value bit-stable per corpus; it still
+    # moves with corpus regeneration, hence the margin below measured.
+    assert len(exact & a) / len(exact) >= 0.5
 
 
 def test_langid_deterministic(spark, sf_dir):
