@@ -416,9 +416,10 @@ L2B_ORACLE = _jaccard_oracle(JACCARD_THRESHOLD)
 
 
 # Above this corpus size the broadcast nested-loop kernel is no longer
-# safe (the broadcast side must fit executor memory); the operator then
-# switches to LSH banding for blocks + the bitmap kernel as the
-# within-block verifier. The boundary is enforced in code, not comment.
+# SAFE (the broadcast side must fit executor memory) — a hard memory
+# bound, not the cost decision. Below it the choice between the exact
+# kernel and LSH banding is made by ``_neardup_strategy``'s sampled
+# compute estimate (see constants there).
 L2B_MAX_BROADCAST_DOCS = 1_000_000
 
 
@@ -426,18 +427,21 @@ L2B_MAX_BROADCAST_DOCS = 1_000_000
 def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs.
 
-    Bounded corpora (≤ L2B_MAX_BROADCAST_DOCS): blocked broadcast
-    nested-loop — the token-set table broadcasts, every pair in a
-    partition-block is scored with the bitmap/array Jaccard kernel —
-    zero shuffles, pure whole-stage-codegen compute. Measured 8×
-    faster than the token-postings self-join on this corpus (tiny
-    vocabulary → pathological posting lists).
+    When ``_neardup_strategy`` estimates brute force cheaper (dense or
+    small corpora): blocked broadcast nested-loop — the token-set table
+    broadcasts, every pair in a partition-block is scored with the
+    bitmap/array Jaccard kernel — zero shuffles, pure
+    whole-stage-codegen compute. Measured 8× faster than the
+    token-postings self-join on this corpus (tiny vocabulary →
+    pathological posting lists).
 
-    Past the boundary, ``_lsh_candidate_pairs`` provides banded-MinHash
-    blocks and the same kernel verifies within blocks (near-exact:
-    ~0.8% false-negative rate at j=0.8, the documented scale trade).
-    The DuckDB oracle keeps the postings formulation — same semantics,
-    each engine in its best physical shape."""
+    When the sampled cost model says banding is cheaper (low-density
+    corpora past ~10⁴ docs) or the broadcast can't fit
+    (> L2B_MAX_BROADCAST_DOCS), ``_lsh_candidate_pairs`` provides
+    banded-MinHash blocks and the same kernel verifies within blocks
+    (near-exact: ~0.8% false-negative rate at j=0.8, the documented
+    scale trade). The DuckDB oracle keeps the postings formulation —
+    same semantics, each engine in its best physical shape."""
     d = load_table(spark, sf_dir, "documents")
     return _neardup_pairs(d, JACCARD_THRESHOLD, n_docs=table_rowcount(sf_dir, "documents"))
 
@@ -587,16 +591,15 @@ def _jaccard_repr(d: DataFrame):
     return repr_df, jac
 
 
-def _lsh_candidate_pairs(d: DataFrame) -> DataFrame:
-    """Banded-MinHash candidate pairs (doc_a, doc_b), distinct.
+def _band_hashes(d: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) banded-MinHash table — the LSH blocking key.
 
     One explode to token postings; 60 grouped MINs of
     ``xxhash64(token, seed)`` build the signature (single shuffle, no
     UDF, fixed integer seeds → deterministic across partitions); 12
-    band hashes over 5-row slices; explode to (band, band_hash) and
-    self-join → pairs only where a band collides — never an all-pairs
-    product. Shared block generator for l2 (LSH near-dup) and l2b's
-    large-corpus path.
+    band hashes over 5-row slices; explode to (band, band_hash).
+    Shared by ``_lsh_candidate_pairs`` (the blocking join) and the
+    sampled collision estimator in the l2 cost model.
     """
     tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
     sig = tok.groupBy("doc_id").agg(
@@ -606,7 +609,7 @@ def _lsh_candidate_pairs(d: DataFrame) -> DataFrame:
         ]
     )
     rows_per_band = MINHASH_PERMS // LSH_BANDS
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -620,6 +623,16 @@ def _lsh_candidate_pairs(d: DataFrame) -> DataFrame:
             )
         ).alias("band", "bh"),
     )
+
+
+def _lsh_candidate_pairs(d: DataFrame) -> DataFrame:
+    """Banded-MinHash candidate pairs (doc_a, doc_b), distinct.
+
+    Self-join of ``_band_hashes`` on (band, bh) → pairs only where a
+    band collides — never an all-pairs product. Shared block generator
+    for l2 (LSH near-dup) and l2b's large-corpus path.
+    """
+    bands = _band_hashes(d)
     a = bands.alias("a")
     b = bands.alias("b")
     # A pair is emitted once per colliding band; the narrow
@@ -684,20 +697,21 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair detection at j≥0.8, cost-based like every other
     operator in the engine:
 
-    - Corpora past L2B_MAX_BROADCAST_DOCS (the real 100 TB regime):
-      banded MinHash LSH — candidate pairs from ``_lsh_candidate_
-      pairs`` (band collisions only; 5-row bands chosen over 4-row:
-      ~5× fewer false candidates on a dense corpus for a ~0.8%
-      false-negative rate at j=0.8), then exact Jaccard verification
-      on candidates. Never an all-pairs product.
-    - Bounded corpora: the blocked broadcast bitmap kernel, which is
-      EXACT (recall 1.0) and strictly cheaper here — on the dense
-      fixture corpus (24% true-dup density) LSH generates ~27M
-      candidate rows against ~12.5M total pairs, so banding costs
-      more than brute force below the broadcast boundary. Running the
-      pruning strategy where pruning is negative-yield would be the
-      anti-pattern; the boundary is the same code-enforced constant
-      l2b uses.
+    - When ``_neardup_strategy`` estimates banding cheaper (sampled
+      band-bucket histogram; low-density corpora past ~10⁴ docs) or
+      the broadcast can't fit (> L2B_MAX_BROADCAST_DOCS — the real
+      100 TB regime): banded MinHash LSH — candidate pairs from
+      ``_lsh_candidate_pairs`` (band collisions only; 5-row bands
+      chosen over 4-row: ~5× fewer false candidates on a dense corpus
+      for a ~0.8% false-negative rate at j=0.8), then exact Jaccard
+      verification on candidates. Never an all-pairs product.
+    - Otherwise: the blocked broadcast bitmap kernel, which is EXACT
+      (recall 1.0) and strictly cheaper there — on the dense fixture
+      corpus (24% true-dup density) LSH generates ~27M candidate rows
+      against ~12.5M total pairs, so banding costs more than brute
+      force. Running the pruning strategy where pruning is
+      negative-yield would be the anti-pattern; the decision compares
+      estimated pair work, not just a doc-count cliff.
 
     Output contract either way: pairs with exact verified Jaccard
     ≥ 0.8 (the LSH path may miss ~0.8%). Rows-only oracle; pytest
@@ -708,10 +722,76 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _neardup_pairs(d, MINHASH_THRESHOLD, n_docs=table_rowcount(sf_dir, "documents"))
 
 
+# Compute-aware strategy constants (the r4 critique: the single 1M-doc
+# memory cliff made the exact n²/2 kernel the default for every corpus
+# under 1M docs, including low-density ones where it evaluates ~5×10¹¹
+# pairs for a handful of dups — hours of codegen the banded path avoids).
+#
+# Below L2_EXACT_SMALL_DOCS the exact kernel is unconditionally cheaper
+# than even *estimating* the banded cost (n²/2 ≤ 33M codegen pair evals,
+# sub-second), so no sampling job runs — driver fixtures (≤5k docs) keep
+# byte-identical plans and the exact-recall oracle. Between the small
+# bound and the broadcast cliff, a sampled band-collision estimate picks
+# the cheaper plan; past the cliff the broadcast side can't fit executor
+# memory and banding is the only option regardless of cost.
+L2_EXACT_SMALL_DOCS = 8_192
+L2_COST_SAMPLE_DOCS = 1_024
+# Pair-kernel-equivalents charged per doc for building the MinHash
+# signature + band table (60 hash-mins over the token postings plus the
+# band shuffle — dominated by tokens/doc × perms; 200 is deliberately
+# generous so ties break toward the exact kernel, whose recall is 1.0).
+L2_SIG_COST_FACTOR = 200
+
+
+def _estimate_band_collision_rows(d: DataFrame, n_docs: int) -> float:
+    """Estimated band-collision rows (the LSH join's output size, the
+    dominant banded-path cost) from a deterministic sample.
+
+    Samples the ``L2_COST_SAMPLE_DOCS`` docs with smallest
+    xxhash64(doc_id) — TakeOrdered, per-partition top-k, no full sort —
+    builds their band hashes, counts C(cnt, 2) per (band, bh) bucket,
+    and scales by (n/s)² (collision rows are pairwise, and a hash-order
+    sample is uniform). One tiny job over ≤1k docs."""
+    s = min(n_docs, L2_COST_SAMPLE_DOCS)
+    sample = d.select("doc_id", "text").orderBy(F.xxhash64("doc_id")).limit(s)
+    row = (
+        _band_hashes(sample)
+        .groupBy("band", "bh")
+        .count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("c"))
+        .collect()[0]
+    )
+    return float(row["c"] or 0.0) * (n_docs / s) ** 2
+
+
+def _neardup_strategy(d: DataFrame, n_docs: int) -> str:
+    """'exact' (blocked broadcast bitmap kernel) or 'banded' (LSH
+    blocks + exact verify), chosen by estimated compute, not just
+    memory fit:
+
+    - n ≤ L2_EXACT_SMALL_DOCS → exact, unconditionally (cheaper than
+      estimating).
+    - n > L2B_MAX_BROADCAST_DOCS → banded (broadcast cannot fit; a
+      memory bound, not a preference).
+    - otherwise → compare n²/2 exact pair evals against
+      SIG_COST·n + estimated band-collision rows from a sampled
+      band-bucket histogram. Dense corpora (fixture: ~0.7 pair density,
+      where banding emits MORE rows than brute force scores) stay
+      exact; low-density corpora past ~10⁴ docs go banded.
+    """
+    if n_docs > L2B_MAX_BROADCAST_DOCS:
+        return "banded"
+    if n_docs <= L2_EXACT_SMALL_DOCS:
+        return "exact"
+    exact_work = n_docs * n_docs / 2
+    banded_work = L2_SIG_COST_FACTOR * n_docs + _estimate_band_collision_rows(d, n_docs)
+    return "banded" if banded_work < exact_work else "exact"
+
+
 def _neardup_pairs(d: DataFrame, threshold: float, n_docs: int | None = None) -> DataFrame:
     """Cost-based near-dup pair strategy shared by l2/l2b/l9: banded
-    LSH + verify past the broadcast boundary, exact broadcast bitmap
-    kernel below it.
+    LSH + verify when ``_neardup_strategy`` estimates it cheaper (or
+    broadcast can't fit), exact broadcast bitmap kernel otherwise.
 
     ``n_docs``: pre-known corpus size (parquet-footer statistics via
     ``tables.table_rowcount``, or any upper bound). Passing it avoids a
@@ -720,7 +800,7 @@ def _neardup_pairs(d: DataFrame, threshold: float, n_docs: int | None = None) ->
     which is correct at any size."""
     if n_docs is None:
         n_docs = d.count()
-    if n_docs > L2B_MAX_BROADCAST_DOCS:
+    if _neardup_strategy(d, n_docs) == "banded":
         return _verify_pairs(d, _lsh_candidate_pairs(d), threshold, n_docs=n_docs)
     return _broadcast_jaccard_pairs(d, threshold)
 

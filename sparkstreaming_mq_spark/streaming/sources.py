@@ -53,7 +53,100 @@ EVENTS_STREAM_SCHEMA = StructType(
 # version can never feed a replay (a v1→v2 off-by-one-µs bite: the float
 # ns division fix made cached chunks disagree with fresh batch loads).
 # v3: events.ts normalized NTZ→LTZ (fixture regenerated as µs NTZ).
-_CACHE_VERSION = 4
+# v5: parallel chunk builder — identical chunk MEMBERSHIP (exact ntile
+# arithmetic / pmod), but files are written by one partitioned job with
+# deterministic within-chunk (ts, event_id) row order and explicit
+# mtime spacing, replacing the single-task global window + per-chunk
+# coalesce(1) loop.
+_CACHE_VERSION = 5
+
+
+def _write_chunk_files(
+    df_with_chunk: DataFrame, out: str, n_chunks: int, sort_cols: list[str]
+) -> None:
+    """Materialize ``__chunk``-labelled rows as exactly one parquet
+    file per chunk, in ONE parallel job (the old builder looped
+    n_chunks filtered full scans, each coalesce(1)).
+
+    ``repartition(n_chunks, "__chunk")`` co-locates every chunk in a
+    single task (hash collisions merely give one task two chunks — the
+    partitionBy writer still emits one file per chunk value), the
+    partition-local sort pins within-file row order, and the writer
+    runs all chunks concurrently. File mtimes are then set explicitly,
+    spaced 10 s apart in chunk order — the file stream source replays
+    oldest-first, and an explicit clock is robust where write-order
+    mtimes (the old scheme) could collide at ms resolution.
+    """
+    import glob
+    import shutil
+    import time
+
+    tmp = os.path.join(out, "_build")
+    (
+        df_with_chunk.repartition(n_chunks, "__chunk")
+        .sortWithinPartitions(*sort_cols)
+        .write.partitionBy("__chunk")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    base_t = time.time()
+    for k in range(n_chunks):
+        parts = sorted(glob.glob(os.path.join(tmp, f"__chunk={k}", "part-*")))
+        assert len(parts) == 1, (
+            f"chunk {k}: expected exactly one file, got {len(parts)} "
+            f"(empty chunks would change the micro-batch count)"
+        )
+        chunk_dir = os.path.join(out, f"chunk_{k:03d}")
+        os.makedirs(chunk_dir, exist_ok=True)
+        # keep the part-*.parquet convention: the MQReplay Python
+        # DataSource readers glob for it inside each chunk dir
+        dst = os.path.join(chunk_dir, "part-00000.parquet")
+        os.replace(parts[0], dst)
+        os.utime(dst, (base_t + 10 * k, base_t + 10 * k))
+    shutil.rmtree(tmp)
+
+
+def _exact_ntile_chunks(
+    events: DataFrame, n_chunks: int, spark: SparkSession
+) -> DataFrame:
+    """``__chunk`` = ntile(n_chunks) over (ts, event_id) — the exact
+    same chunk membership as ``F.ntile(n).over(Window.orderBy(...))``,
+    WITHOUT that window's empty partitionBy collapsing the corpus into
+    one task. The o16 recipe (operators/setops.py:336): range-partition
+    + partition-local sort, per-partition counts → prefix offsets
+    (driver metadata), global rank = offset + local row_number; then
+    ntile's bucket arithmetic (first N%n buckets take ⌈N/n⌉ rows)
+    reproduced on the exact rank. Every stage parallel; two passes."""
+    from pyspark.sql import Window
+
+    n_parts = max(n_chunks, spark.sparkContext.defaultParallelism)
+    parted = events.repartitionByRange(n_parts, "ts", "event_id")
+    # pin the (sampled) range-partition assignment before the two reads
+    with_pid = parted.withColumn("pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    counts = with_pid.groupBy("pid").count().orderBy("pid").collect()
+    offsets: dict[int, int] = {}
+    total = 0
+    for r in counts:
+        offsets[r["pid"]] = total
+        total += r["count"]
+    offset_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("pid"),
+    )
+    w = Window.partitionBy("pid").orderBy("ts", "event_id")
+    rank = offset_col + F.row_number().over(w)  # exact 1-based global rank
+    small = total // n_chunks
+    n_big = total % n_chunks
+    cut = n_big * (small + 1)
+    chunk = F.when(
+        F.lit(n_big > 0) & (rank <= F.lit(cut)),
+        F.floor((rank - 1) / F.lit(small + 1)),
+    ).otherwise(
+        F.lit(n_big) + F.floor((rank - F.lit(cut) - 1) / F.lit(max(small, 1)))
+    )
+    return with_pid.withColumn("__chunk", chunk.cast("int")).drop("pid")
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,13 +180,8 @@ def chunked_events_dir(
     if n_chunks == 1:
         ranked = events.withColumn("__chunk", F.lit(0))
     elif order == "time":
-        # chunk by ts order: rank rows by ts via ntile for equal chunks
-        from pyspark.sql import Window
-
-        ranked = events.withColumn(
-            "__chunk",
-            F.ntile(n_chunks).over(Window.orderBy("ts", "event_id")) - 1,
-        )
+        # chunk by ts order, exact ntile membership computed in parallel
+        ranked = _exact_ntile_chunks(events, n_chunks, spark)
     else:
         # event_id % n, NOT a hash: same full-time-range interleave per
         # chunk (ids are uncorrelated enough with ts), but expressible
@@ -103,16 +191,7 @@ def chunked_events_dir(
         ranked = events.withColumn(
             "__chunk", F.pmod(F.col("event_id"), F.lit(n_chunks))
         )
-    # write sequentially so file modification times follow chunk order
-    # (the file source picks up files oldest-first)
-    for k in range(n_chunks):
-        (
-            ranked.filter(F.col("__chunk") == k)
-            .drop("__chunk")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(out, f"chunk_{k:03d}"))
-        )
+    _write_chunk_files(ranked, out, n_chunks, ["ts", "event_id"])
     open(done, "w").close()
     return out
 
@@ -157,14 +236,10 @@ def read_docs_stream_chunked(
     done = os.path.join(out, "_READY")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
-        docs = load_table(spark, sf_dir, "documents")
-        for k in range(n_chunks):
-            (
-                docs.filter(F.pmod("doc_id", F.lit(n_chunks)) == k)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(out, f"chunk_{k:03d}"))
-            )
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "__chunk", F.pmod("doc_id", F.lit(n_chunks)).cast("int")
+        )
+        _write_chunk_files(docs, out, n_chunks, ["doc_id"])
         open(done, "w").close()
     return (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)

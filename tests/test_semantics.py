@@ -86,6 +86,35 @@ def test_l2b_guard_switches_to_banded_path(spark, sf_dir, monkeypatch):
     assert strong <= banded
 
 
+def test_neardup_strategy_is_compute_aware(spark, sf_dir, monkeypatch):
+    """The l2/l2b switch must compare estimated pair work, not just the
+    broadcast-memory cliff: a low-density corpus well above the old
+    small-only regime goes banded (n²/2 would be ~10¹⁰ pair evals for
+    near-zero dups), while the dense fixture — where banding emits more
+    rows than brute force scores — stays on the exact kernel even when
+    the small-n shortcut is disabled (i.e. the sampled estimate itself
+    makes the right call, not the shortcut)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_mq_spark.operators import llm
+    from sparkstreaming_mq_spark.tables import load_table
+
+    n_sparse = 150_000
+    sparse = spark.range(n_sparse).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("w%da w%db w%dc w%dd", "id", "id", "id", "id").alias("text"),
+    )
+    assert llm._neardup_strategy(sparse, n_sparse) == "banded"
+
+    dense = load_table(spark, sf_dir, "documents")
+    n_dense = dense.count()
+    assert llm._neardup_strategy(dense, n_dense) == "exact"
+    # disable the small-n shortcut: the sampled estimate alone must
+    # still keep the dense corpus on the exact kernel
+    monkeypatch.setattr(llm, "L2_EXACT_SMALL_DOCS", 0)
+    assert llm._neardup_strategy(dense, n_dense) == "exact"
+
+
 def test_embed_neardup_bucketed_path_subset_of_exact(spark, sf_dir, monkeypatch):
     """l7 is cost-based: force the LSH-bucketed (large-corpus) path and
     check it emits only pairs the exact path confirms."""
