@@ -59,6 +59,26 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def machine_freshness() -> dict:
+    """VM freshness marker (BASELINE.md: identical code measured
+    14.0→17.1→19.1 s as session uptime grew ~50 min) — recorded in the
+    bench artifact so cross-round comparisons can separate uniform
+    VM inflation from a real (concentrated) regression mechanically."""
+    out: dict[str, float] = {}
+    try:
+        with open("/proc/uptime") as f:
+            out["uptime_sec"] = round(float(f.read().split()[0]), 1)
+    except OSError:
+        pass
+    try:
+        out["load_1m"], out["load_5m"], out["load_15m"] = [
+            round(x, 2) for x in os.getloadavg()
+        ]
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="sparkgraft-bench")
@@ -97,6 +117,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": os.path.basename(os.path.normpath(sf_dir)),
+                "machine": machine_freshness(),
             }
         )
     )

@@ -953,6 +953,7 @@ SELECT user_id, weighted_sum, span_us,
        (weighted_sum // span_us) * 1000
          + ((weighted_sum % span_us) * 1000) // span_us AS twa_millicents
 FROM agg
+WHERE span_us > 0
 """,
 )
 def a13_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -998,6 +999,10 @@ def a13_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " + ((weighted_sum % span_us) * 1000) div span_us"
             ),
         )
+        # span_us = 0 (every event of a user on one identical µs) would
+        # divide by zero — both engines happen to yield NULL in parity,
+        # but filtering it is explicit on both sides (ADVICE r4)
+        .filter(F.col("span_us") > 0)
     )
 
 

@@ -1074,16 +1074,23 @@ def l3c_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_d = F.col("embedding").cast("array<double>")
     base = e.select("vec_id", emb_d.alias("emb"))
 
-    # seed centroids: the IVF_N_CENTROIDS vectors with smallest
+    # list count: the measured fixture constant up to ANN_SMALL_N
+    # vectors, ≈√N past it — capped at ANN_LITERAL_MAX_K because this
+    # float demonstrator keeps the literal-expression assignment (the
+    # broadcast-join large-K path is l3d's, where it is oracle-checked)
+    n_cents = ann_k(
+        table_rowcount(sf_dir, "embeddings"), IVF_N_CENTROIDS, cap=ANN_LITERAL_MAX_K
+    )
+    # seed centroids: the n_cents vectors with smallest
     # xxhash64(vec_id) — arbitrary but deterministic and data-dependent
     seeds = (
         base.withColumn("h", F.xxhash64("vec_id"))
         .orderBy("h")
-        .limit(IVF_N_CENTROIDS)
+        .limit(n_cents)
         .withColumn("cid", F.row_number().over(Window.orderBy("h")) - 1)
         .select("cid", F.col("emb").alias("centroid"))
     )
-    cent_rows = seeds.collect()  # tiny: IVF_N_CENTROIDS rows
+    cent_rows = seeds.collect()  # tiny: n_cents rows
 
     def centroid_array(rows):
         return F.array(
@@ -2035,6 +2042,40 @@ KMEANS_ITERS = 2          # re-center rounds; assignments run ITERS+1 times
 KMEANS_SCALE = 10000      # global quantization: q_i = round_half_up(x_i * SCALE)
 
 
+# --- ANN scale parameterization ----------------------------------------------
+# The fixture-regime codebook/centroid counts (KMEANS_K, PQ_K,
+# IVF_N_CENTROIDS) are measured configs that hold for corpora up to
+# ANN_SMALL_N vectors. Past that they follow the standard IVF sizing
+# K ≈ √N (capped), computed by the SAME formula in Spark (``ann_k``)
+# and in each oracle's SQL (``ann_k_sql`` — a CASE over count(*)), so
+# K stays cross-engine deterministic at every corpus size and the
+# oracles remain exact without fixture-frozen structure. Both sides
+# use IEEE-double floor(sqrt(n)) so the boundary rounding is identical.
+ANN_SMALL_N = 4096
+ANN_MAX_K = 4096
+# Past this many centroids an expression-literal argmin (K×dim literals
+# baked into the plan) bloats codegen; assignment switches to a
+# broadcast-join argmin over a centroid DataFrame with the identical
+# (d, c) tie-break.
+ANN_LITERAL_MAX_K = 64
+
+
+def ann_k(n_vecs: int, small_k: int, cap: int = ANN_MAX_K) -> int:
+    """Centroid/codebook count for a corpus of ``n_vecs`` vectors."""
+    if n_vecs <= ANN_SMALL_N:
+        return small_k
+    return min(cap, int(math.floor(math.sqrt(float(n_vecs)))))
+
+
+def ann_k_sql(small_k: int, cap: int = ANN_MAX_K, table: str = "embeddings") -> str:
+    """``ann_k`` as a SQL scalar over the live corpus count."""
+    n = f"(SELECT count(*) FROM {table})"
+    return (
+        f"(CASE WHEN {n} <= {ANN_SMALL_N} THEN {small_k} "
+        f"ELSE LEAST({cap}, CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT)) END)"
+    )
+
+
 def _kmeans_sql_iters() -> str:
     """Unrolled CTE chain: assign -> re-center, KMEANS_ITERS times,
     then the final assignment (exactly what the Spark loop runs)."""
@@ -2049,7 +2090,7 @@ q AS (
 comp AS (
   SELECT vec_id, unnest(range(0, len(q))) AS i, unnest(q) AS x FROM q
 ),
-cent0 AS (SELECT vec_id AS c, i, x AS ci FROM comp WHERE vec_id < {KMEANS_K})"""
+cent0 AS (SELECT vec_id AS c, i, x AS ci FROM comp WHERE vec_id < {ann_k_sql(KMEANS_K)})"""
     ]
     for it in range(KMEANS_ITERS):
         parts.append(f"""
@@ -2120,6 +2161,43 @@ def _kmeans_best(cents: dict[int, list[int]]):
     return F.array_min(F.array(*dist_structs))
 
 
+def _kmeans_assign(qdf: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """(vec_id, q, c, d) nearest-centroid assignment with identical
+    (d, c) tie-break on both paths:
+
+    - ≤ ANN_LITERAL_MAX_K centroids: ``_kmeans_best``'s expression
+      literals — one corpus scan, no join, no exchange (plan-pinned).
+    - larger K (the √N regime past ANN_SMALL_N vectors): broadcast-join
+      argmin — corpus × broadcast centroid table, min(struct(d, c))
+      per vector. Exact integers, so the argmin is order-free and
+      bit-identical to the literal path.
+    """
+    if len(cents) <= ANN_LITERAL_MAX_K:
+        best = _kmeans_best(cents)
+        return qdf.select(
+            "vec_id", "q", best["c"].alias("c"), best["d"].alias("d")
+        )
+    spark = qdf.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(c), [int(v) for v in vec]) for c, vec in sorted(cents.items())],
+        "cid bigint, cvec array<bigint>",
+    )
+    dist = F.aggregate(
+        F.zip_with("q", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        qdf.crossJoin(F.broadcast(cent_df))
+        .select(
+            "vec_id", "q", F.struct(dist.alias("d"), F.col("cid").alias("c")).alias("dc")
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"), F.first("q").alias("q"))
+        .select("vec_id", "q", F.col("m.c").alias("c"), F.col("m.d").alias("d"))
+    )
+
+
 @query("l28_kmeans_embed", oracle=L28_ORACLE)
 def l28_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer Lloyd's k-means over the embedding corpus (K=
@@ -2129,15 +2207,20 @@ def l28_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern, not a corpus collect), then a narrow posexplode +
     (cluster, component) agg whose shuffle is K*dim*partitions rows.
     At 100 TB you would cache/checkpoint the quantized corpus across
-    iterations; the per-iteration plan is unchanged."""
+    iterations; the per-iteration plan is unchanged. K scales ≈√N past
+    the fixture regime (``ann_k``; the oracle computes the same K from
+    count(*)), and past ANN_LITERAL_MAX_K centroids the assignment
+    switches from expression literals to a broadcast-join argmin
+    (``_kmeans_assign``)."""
     qdf = _kmeans_quantized(spark, sf_dir)
+    k = ann_k(table_rowcount(sf_dir, "embeddings"), KMEANS_K)
 
     # init: quantized embeddings of the first K vec_ids (K*dim ints)
-    init = qdf.filter(F.col("vec_id") < KMEANS_K).collect()
+    init = qdf.filter(F.col("vec_id") < k).collect()
     cents = {int(r["vec_id"]): list(r["q"]) for r in init}
 
     for _ in range(KMEANS_ITERS):
-        asg = qdf.select("vec_id", "q", _kmeans_best(cents)["c"].alias("c"))
+        asg = _kmeans_assign(qdf, cents)
         sums = (
             asg.select("c", F.posexplode("q").alias("i", "x"))
             .groupBy("c", "i")
@@ -2150,9 +2233,8 @@ def l28_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec[int(r["i"])] = math.floor((2 * r["s"] + r["n"]) / (2.0 * r["n"]))
         cents = new_cents
 
-    best = _kmeans_best(cents)
-    return qdf.select(
-        "vec_id", best["c"].alias("cluster"), best["d"].alias("dist")
+    return _kmeans_assign(qdf, cents).select(
+        "vec_id", F.col("c").alias("cluster"), F.col("d").alias("dist")
     )
 
 
@@ -2228,7 +2310,8 @@ def l30_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Product quantization is the memory side of billion-scale ANN (the PQ
 # in IVF-PQ): each vector compresses to M sub-space codebook codes
-# (here 4 codes x 2 bits — a 64-dim float vector becomes one byte), and
+# (here PQ_M=16 subspaces × PQ_K=32 codes, 5 bits each — a 64-dim
+# float vector becomes ~10 bytes), and
 # query-time distance is Asymmetric Distance Computation: per query,
 # precompute a (M x K) lookup table of exact query-subvector-to-
 # centroid distances, then every document's approximate distance is a
@@ -2270,7 +2353,7 @@ sc AS (
   FROM comp
 ),
 cent0 AS (
-  SELECT vec_id AS c, s, j, x AS ci FROM sc WHERE vec_id < {PQ_K}
+  SELECT vec_id AS c, s, j, x AS ci FROM sc WHERE vec_id < {ann_k_sql(PQ_K, cap=256)}
 )"""
     ]
     for t in range(PQ_ITERS + 1):
@@ -2369,7 +2452,11 @@ def l31_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    cents = tall.filter(F.col("vec_id") < PQ_K).select(
+    # codes per sub-codebook: the measured fixture constant up to
+    # ANN_SMALL_N vectors, ≈√N past it (capped at the conventional
+    # 256-code byte budget) — the oracle computes the identical K
+    pq_k = ann_k(table_rowcount(sf_dir, "embeddings"), PQ_K, cap=256)
+    cents = tall.filter(F.col("vec_id") < pq_k).select(
         F.col("vec_id").alias("c"), "s", "j", F.col("x").alias("ci")
     )
 
@@ -2433,6 +2520,68 @@ def l31_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 L3D_IVF_NPROBE = 2
 L3D_IVF_QUERIES = 10
 L3D_IVF_TOPK = 10
+
+
+def _probe_cells(
+    qdf: DataFrame, cents: dict[int, list[int]], n_queries: int, nprobe: int
+) -> DataFrame:
+    """(query_id, qq, c) — each query's ``nprobe`` nearest cells,
+    ties to the lower cluster id. Literal-expression array-sort below
+    ANN_LITERAL_MAX_K centroids; at √N-scale K, a broadcast-join +
+    per-query window top-nprobe (the probe set is bounded, so the
+    windowed frame is queries × K rows — driver-trivial either way)."""
+    from pyspark.sql import Window
+
+    q = qdf.filter(F.col("vec_id") < n_queries)
+    if len(cents) <= ANN_LITERAL_MAX_K:
+        dist_structs = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "q",
+                            F.array(*[F.lit(int(v)) for v in vec]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + x,
+                    ).alias("d"),
+                    F.lit(int(c)).cast("long").alias("c"),
+                )
+                for c, vec in sorted(cents.items())
+            ]
+        )
+        return (
+            q.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("q").alias("qq"),
+                F.explode(F.slice(F.array_sort(dist_structs), 1, nprobe)).alias("p"),
+            )
+            .select("query_id", "qq", F.col("p.c").alias("c"))
+        )
+    spark = qdf.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(c), [int(v) for v in vec]) for c, vec in sorted(cents.items())],
+        "cid bigint, cvec array<bigint>",
+    )
+    dist = F.aggregate(
+        F.zip_with("q", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "c")
+    return (
+        q.crossJoin(F.broadcast(cent_df))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("cid").alias("c"),
+            dist.alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qq", "c")
+    )
 
 
 def _ivf_oracle() -> str:
@@ -2500,10 +2649,11 @@ def l3d_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant).
     """
     qdf = _kmeans_quantized(spark, sf_dir)
-    init = qdf.filter(F.col("vec_id") < KMEANS_K).collect()
+    k = ann_k(table_rowcount(sf_dir, "embeddings"), KMEANS_K)
+    init = qdf.filter(F.col("vec_id") < k).collect()
     cents = {int(r["vec_id"]): list(r["q"]) for r in init}
     for _ in range(KMEANS_ITERS):
-        asg = qdf.select("vec_id", "q", _kmeans_best(cents)["c"].alias("c"))
+        asg = _kmeans_assign(qdf, cents)
         sums = (
             asg.select("c", F.posexplode("q").alias("i", "x"))
             .groupBy("c", "i")
@@ -2517,37 +2667,8 @@ def l3d_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec[int(r["i"])] = math.floor((2 * r["s"] + r["n"]) / (2.0 * r["n"]))
         cents = new_cents
 
-    best = _kmeans_best(cents)
-    inverted = qdf.select("vec_id", "q", best["c"].alias("c"))
-
-    # per-query probe list: distances to all K centroids are a handful
-    # of JVM expressions; sort the (d, c) structs and slice nprobe
-    dist_structs = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        "q",
-                        F.array(*[F.lit(int(v)) for v in vec]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda a, x: a + x,
-                ).alias("d"),
-                F.lit(int(c)).cast("long").alias("c"),
-            )
-            for c, vec in sorted(cents.items())
-        ]
-    )
-    probes = (
-        qdf.filter(F.col("vec_id") < L3D_IVF_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("q").alias("qq"),
-            F.explode(F.slice(F.array_sort(dist_structs), 1, L3D_IVF_NPROBE)).alias("p"),
-        )
-        .select("query_id", "qq", F.col("p.c").alias("c"))
-    )
+    inverted = _kmeans_assign(qdf, cents).select("vec_id", "q", "c")
+    probes = _probe_cells(qdf, cents, L3D_IVF_QUERIES, L3D_IVF_NPROBE)
     scored = (
         probes.join(inverted, "c")
         .filter(F.col("vec_id") != F.col("query_id"))

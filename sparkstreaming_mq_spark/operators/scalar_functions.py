@@ -681,7 +681,10 @@ def f11_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: collapse the fact table to its NAME DICTIONARY first (64
     distinct names here; name vocabularies grow sublinearly in row
     count, which is the assumption every production ER blocker makes),
-    block on the head noun, and run levenshtein only within blocks —
+    block on the LAST name token (for TPC-H color-word names the
+    trailing color is the highest-cardinality stable token — a real
+    deployment would pick its own blocking key the same way), and run
+    levenshtein only within blocks —
     candidate pairs are O(Σ block²) over a bounded dictionary, and the
     edit distance itself is JVM codegen (`levenshtein`), not Python.
     Each matched name pair carries its fact-side row counts, the

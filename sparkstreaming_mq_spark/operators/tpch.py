@@ -24,10 +24,41 @@ from sparkstreaming_mq_spark.tables import load_table
 # (FIXTURES.md) — both sides of the Q3 date split stay selective.
 Q03_CUTOFF = "1998-03-15 00:00:00"
 
+# Revenue in exact fixed point (the f10/l3c hazard class, pre-empted):
+# price quantized to cents, discount to basis points — both
+# floor(x*scale + 0.5), identical IEEE ops on both engines — summed as
+# exact integers (DuckDB widens to HUGEINT, still exact), rounded
+# half-up to whole cents with INTEGER division, and only then divided
+# by 100.0 (one deterministic IEEE division; no float accumulation, no
+# round() on an engine-dependent double anywhere).
+REV_SQL = (
+    "CAST((sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))"
+    " + 5000) // 10000 AS BIGINT) / 100.0"
+)
+
+
+def _revenue_units():
+    """Per-line revenue in exact cent·basis-point BIGINT units."""
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    bp = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    return cents * (F.lit(10000) - bp)
+
+
+def _revenue_final():
+    """Integer half-up to whole cents (`div` keeps it in BIGINT — a
+    float quotient would lose exactness past 2^53), then one
+    deterministic double division. Apply after
+    ``.agg(F.sum(_revenue_units()).alias("_rev_units"))``. (A function,
+    not a module constant: building a Column requires an active
+    SparkContext, which doesn't exist at import time.)"""
+    return F.expr("(_rev_units + 5000L) div 10000L") / F.lit(100.0)
+
+
 Q03_ORACLE = f"""
 SELECT
   l.l_orderkey                                              AS order_key,
-  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)     AS revenue,
+  {REV_SQL}                                                 AS revenue,
   o.o_orderdate                                             AS order_date,
   o.o_orderpriority                                         AS order_priority
 FROM customer c
@@ -78,20 +109,18 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("order_date"),
             F.col("o_orderpriority").alias("order_priority"),
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.sum(_revenue_units()).alias("_rev_units"))
+        .withColumn("revenue", _revenue_final())
+        .drop("_rev_units")
         .orderBy(F.desc("revenue"), "order_date", "order_key")
         .limit(10)
     )
 
 
-Q05_ORACLE = """
+Q05_ORACLE = f"""
 SELECT
   n.n_name                                                  AS nation_name,
-  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)     AS revenue
+  {REV_SQL}                                                 AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -146,9 +175,7 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.sum(_revenue_units()).alias("_rev_units"))
+        .withColumn("revenue", _revenue_final())
+        .drop("_rev_units")
     )

@@ -131,3 +131,20 @@ def test_scored_window_is_mostly_oracle_checked():
     # 42 oracle-checked + 8 rows-only-by-nature (sketches, LSH recall,
     # watermark/update-mode semantics, monitors, UDAF)
     assert n_oracle >= 42
+
+
+def test_latest_driver_artifact_matches_priority():
+    """Round-start audit (VERDICT r4 item 8): the newest CORRECTNESS
+    artifact's scored set must equal PRIORITY, in order. If the driver
+    ever widens past 50 this fails — the signal to promote o9 and the
+    tail full-oracle twins (t4c, j10c, s10b) into the window."""
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    arts = sorted(root.glob("CORRECTNESS_r*.json"))
+    if not arts:  # pragma: no cover - fresh clone without artifacts
+        return
+    with open(arts[-1]) as f:
+        latest = json.load(f)
+    assert tuple(latest.keys()) == registry.PRIORITY

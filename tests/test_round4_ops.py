@@ -193,7 +193,7 @@ def test_fuzzy_match_symmetric_and_bounded(spark, sf_dir):
     # canonical orientation only — no (b, a) twins, no self-pairs
     assert (out["name_a"] < out["name_b"]).all()
     assert (out["lev_dist"] >= 1).all() and (out["lev_dist"] <= 3).all()
-    # blocking invariant: matched names share their head noun
+    # blocking invariant: matched names share their last name token
     assert (
         out["name_a"].str.split(" ").str[-1] == out["name_b"].str.split(" ").str[-1]
     ).all()

@@ -700,3 +700,34 @@ def test_a4d_raw_estimates_bounded(spark, sf_dir):
         assert abs(r.approx_orders - n) <= max(2, 0.05 * n)
         assert abs(r.p50 - p50) / p50 < 0.02
         assert abs(r.p90 - p90) / p90 < 0.02
+
+
+def test_ann_k_policy_matches_sql(spark, sf_dir):
+    """ann_k (Spark side) and ann_k_sql (oracle side) must agree at
+    every corpus size — a one-off K disagreement would silently break
+    every k-means/PQ oracle past the fixture regime."""
+    import duckdb
+
+    from sparkstreaming_mq_spark.operators import llm
+
+    for n in (1, 500, 2000, 4096, 4097, 10_000, 1_000_000, 10**9, 17**2 + 1):
+        for small_k, cap in ((4, llm.ANN_MAX_K), (32, 256), (16, llm.ANN_LITERAL_MAX_K)):
+            sql = llm.ann_k_sql(small_k, cap=cap, table=f"(SELECT 1 FROM range({n}))")
+            got = duckdb.sql(f"SELECT {sql}").fetchone()[0]
+            assert got == llm.ann_k(n, small_k, cap=cap), (n, small_k, cap)
+
+
+def test_kmeans_broadcast_assignment_matches_literal(spark, sf_dir, monkeypatch):
+    """The large-K broadcast-join argmin must be bit-identical to the
+    literal-expression path (same exact integers, same (d, c)
+    tie-break): force it on the fixture corpus and compare l28 and l3d
+    row-for-row against the literal plans."""
+    from sparkstreaming_mq_spark.operators import llm
+
+    lit_l28 = {tuple(r) for r in Q["l28_kmeans_embed"](spark, sf_dir).collect()}
+    lit_l3d = {tuple(r) for r in Q["l3d_ivf_exact"](spark, sf_dir).collect()}
+    monkeypatch.setattr(llm, "ANN_LITERAL_MAX_K", 0)
+    bc_l28 = {tuple(r) for r in Q["l28_kmeans_embed"](spark, sf_dir).collect()}
+    bc_l3d = {tuple(r) for r in Q["l3d_ivf_exact"](spark, sf_dir).collect()}
+    assert bc_l28 == lit_l28
+    assert bc_l3d == lit_l3d
