@@ -1071,3 +1071,83 @@ def a14_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return h.withColumn("cum_n", F.sum("n").over(w).cast("long"))
+
+
+# --- A15 (bonus): correlation/regression via exact integer moments -----------
+
+# corr()/covar_samp() on doubles are the worst cross-engine hazard in
+# the function surface: both engines stream different accumulation
+# orders over float sums of PRODUCTS, so the builtin aggregates can
+# never carry a value-exact oracle (and on one engine two runs with
+# different partitioning can differ). The scale-correct exact answer:
+# quantize once, accumulate the five second-order moments as exact
+# integers (Spark DECIMAL(38,0) sums; DuckDB widens BIGINT sums to
+# HUGEINT — both exact and order-free), and evaluate the closed-form
+# correlation / covariance / OLS slope in ONE identical double
+# expression over those exact sums. The float work is O(groups), not
+# O(rows) — bit-stable on any partitioning at any scale.
+
+A15_MOMS = """
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE)                  AS n,
+         CAST(sum(x) AS DOUBLE)                    AS sx,
+         CAST(sum(y) AS DOUBLE)                    AS sy,
+         CAST(sum(x * x) AS DOUBLE)                AS sxx,
+         CAST(sum(y * y) AS DOUBLE)                AS syy,
+         CAST(sum(x * y) AS DOUBLE)                AS sxy
+  FROM (
+    SELECT l_returnflag,
+           CAST(floor(l_quantity + 0.5) AS BIGINT)              AS x,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)   AS y
+    FROM lineitem
+  )
+  GROUP BY l_returnflag
+"""
+
+A15_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       (n * sxy - sx * sy)
+         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+       (sxy - sx * sy / n) / (n - 1)                       AS covar_samp,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx)           AS slope_cents_per_qty
+FROM ({A15_MOMS})
+"""
+
+
+@query("a15_exact_corr", oracle=A15_ORACLE)
+def a15_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation, sample covariance, and OLS slope of
+    (quantity, price-in-cents) per return flag, computed from exact
+    integer moments instead of the builtin float aggregates — see the
+    module comment above for why that is the only oracle-exact (and
+    partition-stable) formulation. One hash aggregate over the fact
+    table; the closed forms are evaluated on the handful of group rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    dec = "decimal(38,0)"
+    moms = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+            F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+            F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return moms.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        ((sxy - sx * sy / n) / (n - F.lit(1))).alias("covar_samp"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope_cents_per_qty"),
+    )

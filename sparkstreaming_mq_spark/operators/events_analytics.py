@@ -310,3 +310,72 @@ def e5_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("longest_error_run"),
         F.col("s").contains("svcp").cast("long").alias("has_signup_funnel"),
     )
+
+
+# --- E6 (bonus): last-touch attribution ---------------------------------------
+
+E6_TOUCH_TYPES = ("click", "view")
+E6_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day attribution window
+
+
+@query(
+    "e6_attribution",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_id, user_id, ts, event_type,
+         max(CASE WHEN event_type IN ('click', 'view')
+                  THEN epoch_us(ts) END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS touch_us
+  FROM events
+)
+SELECT event_id, user_id,
+       date_trunc('second', ts) AS purchase_ts,
+       CASE WHEN touch_us IS NOT NULL
+              AND epoch_us(ts) - touch_us <= {E6_WINDOW_US}
+            THEN epoch_us(ts) - touch_us END AS gap_us,
+       (touch_us IS NOT NULL
+          AND epoch_us(ts) - touch_us <= {E6_WINDOW_US}) AS attributed
+FROM seq
+WHERE event_type = 'purchase'
+""",
+)
+def e6_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent click/view strictly before it (ties at one µs broken
+    by event_id via the ROWS frame), and counts as attributed only
+    when that touch is within the 7-day window — the marketing-
+    analytics workhorse.
+
+    Shape: ONE window over (user_id, ts, event_id) with a conditional
+    max over the preceding frame — the running "latest touch" carries
+    through the partition without a join or self-join, so the plan is
+    one shuffle on user_id regardless of fact size; at 100 TB this is
+    the only formulation that doesn't explode purchase×touch pairs.
+    Full oracle: identical frame semantics in ANSI SQL (epoch_us on
+    both sides; gap emitted as BIGINT µs, never a raw timestamp).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_us = F.max(
+        F.when(
+            F.col("event_type").isin(*E6_TOUCH_TYPES), F.unix_micros("ts")
+        )
+    ).over(w)
+    seq = ev.select(
+        "event_id", "user_id", "ts", "event_type", touch_us.alias("touch_us")
+    )
+    gap = F.unix_micros("ts") - F.col("touch_us")
+    in_window = F.col("touch_us").isNotNull() & (gap <= E6_WINDOW_US)
+    return seq.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", "ts").alias("purchase_ts"),
+        F.when(in_window, gap).alias("gap_us"),
+        in_window.alias("attributed"),
+    )

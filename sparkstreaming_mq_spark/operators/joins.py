@@ -490,12 +490,16 @@ def asof_join(
     probe_ts: str,
     build_ts: str,
     build_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Generic as-of join: for each probe row, attach the latest build row
-    with ``build_ts <= probe_ts`` for the same ``on`` key.
+    """Generic as-of join: for each probe row, attach the nearest build
+    row for the same ``on`` key — the latest with ``build_ts <=
+    probe_ts`` (direction='backward', default) or the earliest with
+    ``build_ts >= probe_ts`` (direction='forward').
 
     Implemented as union + event-time window (``last_value`` of the build
-    attributes over rows up to the current one), not as a range join: one
+    attributes over rows up to the current one; the forward direction
+    just reverses the window's time order), not as a range join: one
     shuffle on ``on``, no candidate-pair explosion — the shape that holds
     at 100 TB. Ties on equal timestamps: build rows sort before probe
     rows (a build row AT the probe timestamp is visible to it).
@@ -510,9 +514,10 @@ def asof_join(
         *[F.col(c) for c in build_cols],
     )
     unioned = probe_tagged.unionByName(build_tagged, allowMissingColumns=True)
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), side.asc())
+        .orderBy(ts_order, side.asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -759,4 +764,67 @@ def j15_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy(F.date_trunc("day", "ts_a").alias("day")).agg(
         F.count("*").alias("n_overlapping_pairs")
+    )
+
+
+# --- J8b (bonus): forward as-of join with tolerance ---------------------------
+
+J8B_TOL_US = 6 * 3600 * 1_000_000  # 6-hour match window
+
+
+@query(
+    "j8b_asof_forward_tolerance",
+    oracle=f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, value, 1 AS side FROM events
+  WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, NULL AS value, 0 AS side FROM events
+  WHERE event_type = 'error'
+),
+seq AS (
+  SELECT user_id, ts, event_id, value, side,
+         min(CASE WHEN side = 0 THEN epoch_us(ts) END) OVER (
+           PARTITION BY user_id ORDER BY ts DESC, side ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS next_err_us
+  FROM tagged
+)
+SELECT user_id, event_id,
+       date_trunc('second', ts) AS purchase_ts,
+       CASE WHEN next_err_us - epoch_us(ts) <= {J8B_TOL_US}
+            THEN next_err_us - epoch_us(ts) END AS err_gap_us,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+FROM seq WHERE side = 1
+""",
+)
+def j8b_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each purchase gets the time to the
+    user's NEXT error event, kept only when it lands within 6 hours —
+    the ops-analytics "did this action precede an incident" probe, and
+    the direction/tolerance half of the as-of family j8 doesn't cover.
+
+    Same scale shape as j8: union + one window on (user_id, time),
+    with the window order simply reversed for the forward direction —
+    one shuffle, no range-join pair explosion, tolerance applied as a
+    post-filter on the carried timestamp. Oracle replays the identical
+    union + reversed-frame min in ANSI SQL; the gap is BIGINT µs and
+    the money column is fixed-point cents (never raw doubles).
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    errors = events.filter(F.col("event_type") == "error").select("user_id", "ts")
+    joined = asof_join(
+        purchases, errors, on="user_id", probe_ts="ts", build_ts="ts",
+        direction="forward",
+    )
+    gap = F.unix_micros("__asof_ts") - F.unix_micros("ts")
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_trunc("second", "ts").alias("purchase_ts"),
+        F.when(gap <= J8B_TOL_US, gap).alias("err_gap_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
     )

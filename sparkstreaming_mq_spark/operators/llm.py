@@ -2690,3 +2690,94 @@ def l3d_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= L3D_IVF_TOPK)
         .select("query_id", "vec_id", "dist", "rnk")
     )
+
+
+# --- L34: incremental near-dup gate against a standing corpus -----------------
+
+# l30 is the incremental EXACT-dedup gate (digest equality); this is
+# its near-dup twin — the crawl-ingest question "is this new document a
+# ≥0.8-Jaccard rewrite of anything we already hold?", answered per
+# incoming doc with the best corpus match. Same deterministic batch
+# split as l30 (doc_id % 5 == 0 is the incoming drop).
+L34_THRESHOLD = 0.8
+L34_BATCH_MOD = 5
+
+L34_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS din, b.doc_id AS dc, count(*) AS i
+  FROM tok a JOIN tok b ON a.token = b.token
+  WHERE a.doc_id % {L34_BATCH_MOD} = 0 AND b.doc_id % {L34_BATCH_MOD} != 0
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT din, dc, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+  FROM inter
+  JOIN sz sa ON sa.doc_id = din
+  JOIN sz sb ON sb.doc_id = dc
+),
+best AS (
+  SELECT din, dc, jac FROM (
+    SELECT din, dc, jac,
+           row_number() OVER (PARTITION BY din ORDER BY jac DESC, dc) AS rn
+    FROM scored WHERE jac >= {L34_THRESHOLD}
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, b.dc AS matched_doc, round(b.jac, 4) AS match_jac,
+       CASE WHEN b.dc IS NOT NULL THEN 'near_dup' ELSE 'novel' END AS status
+FROM (SELECT doc_id FROM documents WHERE doc_id % {L34_BATCH_MOD} = 0) d
+LEFT JOIN best b ON b.din = d.doc_id
+"""
+
+
+@query("l34_incremental_neardup", oracle=L34_ORACLE)
+def l34_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify each incoming-batch document as 'near_dup' (≥0.8 exact
+    Jaccard against SOME standing-corpus doc — reported with the best
+    match and its similarity, ties to the lower corpus id) or 'novel'.
+
+    Batch-vs-corpus is asymmetric all-pairs: the incoming drop streams
+    against the broadcast corpus representation (the l2b bitmap
+    kernel), argmax per incoming doc via one max(struct) aggregate —
+    no pair materialization beyond the kernel scan. At 100 TB the
+    standing side is the persisted MinHash band index and the kernel
+    verifies only band-colliding candidates (``_band_hashes`` /
+    ``_lsh_candidate_pairs`` are exactly that machinery, measured in
+    l2's banded path); the exact kernel here keeps the full-oracle
+    evidence, like l2b below its cost boundary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    repr_df, jac_fn = _jaccard_repr(d)
+    inc = repr_df.filter(F.col("doc_id") % L34_BATCH_MOD == 0).select(
+        F.col("doc_id").alias("din"), F.col("jr").alias("ja")
+    )
+    corp = repr_df.filter(F.col("doc_id") % L34_BATCH_MOD != 0).select(
+        F.col("doc_id").alias("dc"), F.col("jr").alias("jb")
+    )
+    jac = jac_fn(F.col("ja"), F.col("jb"))
+    best = (
+        inc.crossJoin(F.broadcast(corp))
+        .select("din", "dc", jac.alias("jac"))
+        .filter(F.col("jac") >= L34_THRESHOLD)
+        .groupBy("din")
+        .agg(F.max(F.struct(F.col("jac"), (-F.col("dc")).alias("negdc"))).alias("m"))
+        .select(
+            "din",
+            (-F.col("m.negdc")).alias("matched_doc"),
+            F.col("m.jac").alias("best_jac"),
+        )
+    )
+    incoming_ids = d.filter(F.col("doc_id") % L34_BATCH_MOD == 0).select("doc_id")
+    out = incoming_ids.join(best, incoming_ids.doc_id == best.din, "left")
+    return out.select(
+        "doc_id",
+        "matched_doc",
+        F.round("best_jac", 4).alias("match_jac"),
+        F.when(F.col("matched_doc").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("novel"))
+        .alias("status"),
+    )

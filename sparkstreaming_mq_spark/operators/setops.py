@@ -384,3 +384,70 @@ def o16_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (offset_col + F.row_number().over(w)).cast("long").alias("global_rn"),
     )
+
+
+# --- O17 (bonus): deterministic stratified sampling ---------------------------
+
+# o9 demonstrates engine-RNG sampling (rows-only by nature). This is
+# the sampler you actually want on a 100 TB log: a Lehmer/MINSTD hash
+# of the row key decides membership, so the sample is (a) exactly
+# reproducible on any cluster layout, rerun, or engine, (b) per-row
+# stateless — no shuffle, no RNG stream coordination across tasks,
+# (c) expressible in ANSI SQL, which is what gives the SAMPLE family a
+# full value-hash oracle. Per-stratum rates: rare strata kept at a
+# higher rate (the class-imbalance pattern of training-data sampling).
+O17_MINSTD_A = 48271
+O17_MINSTD_M = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+# returnflag -> basis points of rows kept
+O17_RATES = {"A": 1000, "N": 200, "R": 500}
+
+_O17_RATE_SQL = "CASE l_returnflag " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in O17_RATES.items()
+) + " ELSE 0 END"
+
+O17_ORACLE = f"""
+WITH keyed AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS quantity,
+         ((l_orderkey * 8 + l_linenumber) % {O17_MINSTD_M})
+           * {O17_MINSTD_A} % {O17_MINSTD_M} AS u
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_returnflag, quantity, u
+FROM keyed
+WHERE u % 10000 < {_O17_RATE_SQL}
+"""
+
+
+@query("o17_stratified_sample", oracle=O17_ORACLE)
+def o17_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified sample of lineitem: membership is
+    ``minstd(row_key) % 10000 < rate_bp(stratum)`` with per-stratum
+    rates (10% / 2% / 5% by return flag). The MINSTD step keeps every
+    intermediate under 2^31 × 48271 ≈ 10^14, far inside BIGINT, so the
+    arithmetic is exact and identical on any engine — unlike o9's
+    engine-RNG Bernoulli sample, this one carries a full value oracle.
+
+    Scale shape: a stateless per-row predicate on scan — no shuffle,
+    no state, trivially parallel, and the same rows are selected no
+    matter how the corpus is partitioned (the property that makes
+    sampled pipelines debuggable and resumable at 100 TB).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    u = (
+        F.pmod(F.col("l_orderkey") * 8 + F.col("l_linenumber"), F.lit(O17_MINSTD_M))
+        * O17_MINSTD_A
+    ) % O17_MINSTD_M
+    rate = F.lit(0)
+    for flag, bp in O17_RATES.items():
+        rate = F.when(F.col("l_returnflag") == flag, F.lit(bp)).otherwise(rate)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.floor(F.col("l_quantity") + 0.5).cast("long").alias("quantity"),
+            u.cast("long").alias("u"),
+        )
+        .filter(F.col("u") % 10000 < rate)
+    )

@@ -2172,3 +2172,97 @@ def j10c_stream_outer_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
     )
     return run_stream_to_table(joined, "append")
+
+
+# --- S15: dead-letter routing (contract-validated side outputs) ---------------
+
+# The MQ-consumer pattern every production pipeline grows on day two:
+# payloads that violate the ingest contract must not poison the main
+# table OR be dropped — they route to a dead-letter store with a
+# machine-readable reason, while clean records flow on. Contract here:
+# props must carry an integer k with 0 <= k <= 79 (the fixture's k is
+# uniform 0..99, so ~20% of traffic violates — the cut is non-vacuous).
+S15_K_MAX = 79
+
+
+@query(
+    "s15_stream_dead_letter",
+    oracle=f"""
+WITH parsed AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+routed AS (
+  SELECT event_type,
+         CASE WHEN k IS NULL THEN 'dlq'
+              WHEN k > {S15_K_MAX} THEN 'dlq'
+              ELSE 'main' END AS route,
+         CASE WHEN k IS NULL THEN 'missing_k'
+              WHEN k > {S15_K_MAX} THEN 'k_out_of_range'
+              ELSE 'ok' END AS reason,
+         k
+  FROM parsed
+)
+SELECT route, reason, event_type, count(*) AS n,
+       CAST(coalesce(sum(CASE WHEN route = 'main' THEN k END), 0) AS BIGINT)
+         AS sum_k_main
+FROM routed
+GROUP BY route, reason, event_type
+""",
+)
+def s15_stream_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dead-letter routing: each micro-batch is validated
+    against the payload contract and split — clean records append to
+    the main store, violations to the DLQ store WITH their reason —
+    inside one foreachBatch (two idempotent appends per epoch, the
+    same exactly-once-by-epoch discipline as s7). The returned frame
+    re-reads both stores and aggregates per (route, reason,
+    event_type), so the oracle checks that routing lost nothing and
+    mis-routed nothing.
+
+    Scale shape: validation is a per-row codegen projection; each sink
+    write is an append of that batch's partition slice — no shuffle,
+    no state store. At 100 TB the DLQ side is ~contract-violation-rate
+    of traffic and both stores stay partition-parallel; replaying a
+    poisoned batch is a DLQ-side filter, never an ingest stall.
+    """
+    import tempfile
+
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time").select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    main_store = tempfile.mkdtemp(prefix="sparkgraft_s15_main_")
+    dlq_store = tempfile.mkdtemp(prefix="sparkgraft_s15_dlq_")
+
+    reason = (
+        F.when(F.col("k").isNull(), F.lit("missing_k"))
+        .when(F.col("k") > S15_K_MAX, F.lit("k_out_of_range"))
+        .otherwise(F.lit("ok"))
+    )
+
+    def route(batch_df: DataFrame, epoch_id: int) -> None:
+        tagged = batch_df.withColumn("reason", reason).withColumn(
+            "__epoch", F.lit(epoch_id)
+        )
+        tagged.filter(F.col("reason") == "ok").write.mode("append").parquet(main_store)
+        tagged.filter(F.col("reason") != "ok").write.mode("append").parquet(dlq_store)
+
+    run_stream_foreach_batch(stream, route)
+
+    main = (
+        spark.read.parquet(main_store)
+        .withColumn("route", F.lit("main"))
+    )
+    dlq = spark.read.parquet(dlq_store).withColumn("route", F.lit("dlq"))
+    both = main.unionByName(dlq)
+    return both.groupBy("route", "reason", "event_type").agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("route") == "main", F.col("k"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("sum_k_main"),
+    )

@@ -1,0 +1,102 @@
+"""Semantics of the round-5 additions: deterministic stratified
+sampling (o17), exact-moment correlation (a15), attribution (e6),
+forward as-of with tolerance (j8b), incremental near-dup gate (l34),
+streaming dead-letter routing (s15)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark import registry
+from sparkstreaming_mq_spark.tables import load_table
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def test_o17_stratified_rates_and_determinism(spark, sf_dir):
+    from sparkstreaming_mq_spark.operators.setops import O17_RATES
+
+    li = load_table(spark, sf_dir, "lineitem")
+    totals = {r["l_returnflag"]: r["n"] for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()}
+    a = Q["o17_stratified_sample"](spark, sf_dir).toPandas()
+    b = Q["o17_stratified_sample"](spark, sf_dir).toPandas()
+    assert a.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True).equals(
+        b.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    ), "hash sampling must be exactly reproducible"
+    got = a.groupby("l_returnflag").size().to_dict()
+    for flag, bp in O17_RATES.items():
+        frac = got.get(flag, 0) / totals[flag]
+        # MINSTD is uniform enough for ±60% relative at fixture sizes
+        assert abs(frac - bp / 10000) < max(0.6 * bp / 10000, 0.01), (flag, frac)
+
+
+def test_a15_matches_builtin_corr(spark, sf_dir):
+    """The exact-moment correlation must agree with Spark's float corr
+    to float precision (the point is determinism, not a different
+    statistic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    builtin = {
+        r["l_returnflag"]: r["c"]
+        for r in li.select(
+            "l_returnflag",
+            F.col("l_quantity").alias("x"),
+            (F.floor(F.col("l_extendedprice") * 100 + 0.5)).alias("y"),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.corr("x", "y").alias("c"))
+        .collect()
+    }
+    for r in Q["a15_exact_corr"](spark, sf_dir).collect():
+        assert abs(r["corr_qty_price"] - builtin[r["l_returnflag"]]) < 1e-6
+        assert -1.0 <= r["corr_qty_price"] <= 1.0
+
+
+def test_e6_attribution_semantics(spark, sf_dir):
+    out = Q["e6_attribution"](spark, sf_dir).toPandas()
+    n_purchases = (
+        load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    assert len(out) == n_purchases, "every purchase gets a row"
+    attributed = out[out["attributed"]]
+    assert (attributed["gap_us"] > 0).all(), "touch must be strictly before"
+    assert (attributed["gap_us"] <= 7 * 24 * 3600 * 1_000_000).all()
+    assert out.loc[~out["attributed"], "gap_us"].isna().all()
+
+
+def test_j8b_forward_gap_semantics(spark, sf_dir):
+    out = Q["j8b_asof_forward_tolerance"](spark, sf_dir).toPandas()
+    matched = out[out["err_gap_us"].notna()]
+    assert (matched["err_gap_us"] >= 0).all(), "forward as-of must look ahead"
+    assert (matched["err_gap_us"] <= 6 * 3600 * 1_000_000).all()
+
+
+def test_l34_agrees_with_pairwise_truth(spark, sf_dir):
+    """near_dup/novel classification must agree with the exact l2
+    pairs restricted to (incoming, corpus): an incoming doc is
+    near_dup iff some >=0.8 cross-split pair touches it."""
+    pairs = Q["l2_minhash_lsh"](spark, sf_dir).collect()  # exact kernel at fixture size
+    cross_matched = set()
+    for r in pairs:
+        a, b = r["doc_a"], r["doc_b"]
+        if a % 5 == 0 and b % 5 != 0:
+            cross_matched.add(a)
+        if b % 5 == 0 and a % 5 != 0:
+            cross_matched.add(b)
+    out = Q["l34_incremental_neardup"](spark, sf_dir).toPandas()
+    got_dup = set(out.loc[out["status"] == "near_dup", "doc_id"])
+    assert got_dup == cross_matched
+    # the reported best match is itself a corpus doc above threshold
+    dup_rows = out[out["status"] == "near_dup"]
+    assert (dup_rows["match_jac"] >= 0.8).all()
+    assert (dup_rows["matched_doc"] % 5 != 0).all()
+    assert out.loc[out["status"] == "novel", "matched_doc"].isna().all()
+
+
+def test_s15_routing_loses_nothing(spark, sf_dir):
+    out = Q["s15_stream_dead_letter"](spark, sf_dir).toPandas()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out["n"].sum() == n_events, "routing must partition the stream"
+    assert set(out["route"]) == {"main", "dlq"}
+    assert set(out.loc[out["route"] == "dlq", "reason"]) <= {"missing_k", "k_out_of_range"}
+    assert (out.loc[out["route"] == "main", "reason"] == "ok").all()
