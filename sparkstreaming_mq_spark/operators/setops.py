@@ -451,3 +451,143 @@ def o17_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("u") % 10000 < rate)
     )
+
+
+def exact_ntile(df: DataFrame, n: int, order_cols: list[str]) -> DataFrame:
+    """``__tile`` = ntile(n) over ``order_cols`` — bit-identical bucket
+    membership to ``F.ntile(n).over(Window.orderBy(*order_cols))``
+    WITHOUT that window's empty partitionBy collapsing the dataset
+    into one task. The o16 recipe generalized: range-partition +
+    partition-local sort, per-partition counts → prefix offsets
+    (driver metadata), exact global rank = offset + local row_number,
+    then ntile's bucket arithmetic (first N%n buckets take ⌈N/n⌉
+    rows) on that rank. Two passes, every stage parallel. Used by the
+    streaming replay chunker and the equi-depth histogram (a16)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_parts = max(n, spark.sparkContext.defaultParallelism)
+    parted = df.repartitionByRange(n_parts, *order_cols)
+    with_pid = parted.withColumn("pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    counts = with_pid.groupBy("pid").count().orderBy("pid").collect()
+    offsets: dict[int, int] = {}
+    total = 0
+    for r in counts:
+        offsets[r["pid"]] = total
+        total += r["count"]
+    offset_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("pid"),
+    )
+    w = Window.partitionBy("pid").orderBy(*order_cols)
+    rank = offset_col + F.row_number().over(w)
+    small = total // n
+    n_big = total % n
+    cut = n_big * (small + 1)
+    tile = F.when(
+        F.lit(n_big > 0) & (rank <= F.lit(cut)),
+        F.floor((rank - 1) / F.lit(small + 1)),
+    ).otherwise(
+        F.lit(n_big) + F.floor((rank - F.lit(cut) - 1) / F.lit(max(small, 1)))
+    )
+    return with_pid.withColumn("__tile", tile.cast("int")).drop("pid")
+
+
+# --- A16 (bonus, registered here beside its machinery): equi-depth histogram --
+
+A16_BINS = 20
+
+
+@query(
+    "a16_equidepth_histogram",
+    oracle=f"""
+WITH binned AS (
+  SELECT NTILE({A16_BINS}) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS bin,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT bin, count(*) AS n_orders,
+       min(cents) AS min_cents, max(cents) AS max_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM binned GROUP BY bin
+""",
+)
+def a16_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (quantile-bin) histogram of order totals: 20 bins of
+    equal row count with exact per-bin stats — the feature-binning /
+    data-profiling complement to a14's equi-width histogram.
+
+    The oracle is the textbook single-task NTILE window; the engine
+    computes the IDENTICAL bucket membership with ``exact_ntile`` —
+    range-partition + prefix-offset rank + ntile arithmetic — so every
+    stage is parallel (the same machinery that de-single-tasked the
+    streaming replay chunker, value-proven here by the cross-engine
+    hash). Stats are fixed-point cents; ties split deterministically
+    by o_orderkey on both sides."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    binned = exact_ntile(orders, A16_BINS, ["o_totalprice", "o_orderkey"])
+    return (
+        binned.groupBy(F.col("__tile").alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+# --- O18 (bonus): shuffle-skew profiler ---------------------------------------
+
+@query(
+    "o18_skew_profile",
+    oracle="""
+WITH k AS (
+  SELECT l_orderkey AS key, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+)
+SELECT 'lineitem.l_orderkey' AS key_col,
+       count(*) AS n_keys,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+       round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+       round(max(cnt) * count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS skew_ratio
+FROM k
+""",
+)
+def o18_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew profiler: the distribution of per-key row
+    counts for a prospective shuffle key — n_keys, max, p50/p99, and
+    max/mean skew ratio (the number AQE's skew-join threshold and any
+    manual salting decision is based on). Two-level aggregate: the
+    per-key count collapses map-side (one shuffle on the key — exactly
+    the shuffle being profiled, so cost ≈ the join it derisks), then a
+    single-row stats pass over the key histogram. This is the
+    operational tool you run BEFORE the 100 TB join, not after it
+    spills."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(F.count("*").alias("cnt"))
+    pct = F.percentile("cnt", F.array(F.lit(0.5), F.lit(0.99)))
+    return k.agg(
+        F.lit("lineitem.l_orderkey").alias("key_col"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        pct.alias("pcts"),
+    ).select(
+        "key_col",
+        "n_keys",
+        "max_cnt",
+        "n_rows",
+        F.round(F.col("pcts")[0], 4).alias("p50_cnt"),
+        F.round(F.col("pcts")[1], 4).alias("p99_cnt"),
+        F.round(
+            F.col("max_cnt") * F.col("n_keys") / F.col("n_rows").cast("double"), 4
+        ).alias("skew_ratio"),
+    )

@@ -112,41 +112,16 @@ def _exact_ntile_chunks(
     """``__chunk`` = ntile(n_chunks) over (ts, event_id) — the exact
     same chunk membership as ``F.ntile(n).over(Window.orderBy(...))``,
     WITHOUT that window's empty partitionBy collapsing the corpus into
-    one task. The o16 recipe (operators/setops.py:336): range-partition
-    + partition-local sort, per-partition counts → prefix offsets
-    (driver metadata), global rank = offset + local row_number; then
-    ntile's bucket arithmetic (first N%n buckets take ⌈N/n⌉ rows)
-    reproduced on the exact rank. Every stage parallel; two passes."""
-    from pyspark.sql import Window
+    one task. Delegates to the generalized ``exact_ntile``
+    (operators/setops.py — the o16 prefix-offset recipe, also the
+    engine of the a16 equi-depth histogram where the membership parity
+    is cross-engine hash-proven)."""
+    from sparkstreaming_mq_spark.operators.setops import exact_ntile
 
-    n_parts = max(n_chunks, spark.sparkContext.defaultParallelism)
-    parted = events.repartitionByRange(n_parts, "ts", "event_id")
-    # pin the (sampled) range-partition assignment before the two reads
-    with_pid = parted.withColumn("pid", F.spark_partition_id()).localCheckpoint(
-        eager=True
+    return (
+        exact_ntile(events, n_chunks, ["ts", "event_id"])
+        .withColumnRenamed("__tile", "__chunk")
     )
-    counts = with_pid.groupBy("pid").count().orderBy("pid").collect()
-    offsets: dict[int, int] = {}
-    total = 0
-    for r in counts:
-        offsets[r["pid"]] = total
-        total += r["count"]
-    offset_col = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("pid"),
-    )
-    w = Window.partitionBy("pid").orderBy("ts", "event_id")
-    rank = offset_col + F.row_number().over(w)  # exact 1-based global rank
-    small = total // n_chunks
-    n_big = total % n_chunks
-    cut = n_big * (small + 1)
-    chunk = F.when(
-        F.lit(n_big > 0) & (rank <= F.lit(cut)),
-        F.floor((rank - 1) / F.lit(small + 1)),
-    ).otherwise(
-        F.lit(n_big) + F.floor((rank - F.lit(cut) - 1) / F.lit(max(small, 1)))
-    )
-    return with_pid.withColumn("__chunk", chunk.cast("int")).drop("pid")
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -483,3 +483,46 @@ def test_replay_chunk_builder_has_no_single_task_stage(spark, sf_dir):
     assert "SinglePartition" not in plan, plan[:1200]
     # membership window runs partitioned by pid, never unpartitioned
     assert "Window" not in plan or "pid" in plan
+
+
+def test_o17_sample_is_scan_local(spark, sf_dir):
+    """Deterministic sampling must be a stateless scan-side predicate:
+    no Exchange anywhere in the plan (the property that makes it free
+    at 100 TB)."""
+    plan = executed_plan(Q["o17_stratified_sample"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_e6_attribution_single_exchange(spark, sf_dir):
+    """Attribution is ONE window over user_id: one hash exchange, no
+    join (a self-join formulation would explode purchase×touch)."""
+    plan = executed_plan(Q["e6_attribution"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_j8b_forward_asof_single_exchange(spark, sf_dir):
+    """Forward as-of keeps j8's shape: union + one window exchange on
+    user_id, no range join / nested loop."""
+    plan = executed_plan(Q["j8b_asof_forward_tolerance"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "NestedLoop" not in plan
+
+
+def test_a15_exact_corr_two_phase(spark, sf_dir):
+    """Exact-moment corr is one two-phase hash aggregate: partial
+    sums map-side, one exchange on the group key, closed forms on the
+    final rows — no Expand, no second shuffle."""
+    plan = executed_plan(Q["a15_exact_corr"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") == 2
+
+
+def test_l34_corpus_side_broadcasts(spark, sf_dir):
+    """The incremental near-dup kernel streams the incoming batch
+    against a BROADCAST corpus representation — the probe side never
+    shuffles for the match."""
+    plan = executed_plan(Q["l34_incremental_neardup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

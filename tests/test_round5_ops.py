@@ -100,3 +100,24 @@ def test_s15_routing_loses_nothing(spark, sf_dir):
     assert set(out["route"]) == {"main", "dlq"}
     assert set(out.loc[out["route"] == "dlq", "reason"]) <= {"missing_k", "k_out_of_range"}
     assert (out.loc[out["route"] == "main", "reason"] == "ok").all()
+
+
+def test_a16_bins_are_equal_depth_and_ordered(spark, sf_dir):
+    out = Q["a16_equidepth_histogram"](spark, sf_dir).toPandas().sort_values("bin")
+    n = load_table(spark, sf_dir, "orders").count()
+    assert out["n_orders"].sum() == n
+    assert out["n_orders"].max() - out["n_orders"].min() <= 1, "equi-depth"
+    # bins are contiguous, non-overlapping price ranges
+    maxes = out["max_cents"].tolist()
+    mins = out["min_cents"].tolist()
+    for prev_max, nxt_min in zip(maxes, mins[1:]):
+        assert prev_max <= nxt_min
+
+
+def test_o18_skew_stats_consistent(spark, sf_dir):
+    r = Q["o18_skew_profile"](spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    assert r["n_rows"] == li.count()
+    assert r["n_keys"] == li.select("l_orderkey").distinct().count()
+    assert r["p50_cnt"] <= r["p99_cnt"] <= r["max_cnt"]
+    assert r["skew_ratio"] >= 1.0
