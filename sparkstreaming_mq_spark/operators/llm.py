@@ -2781,3 +2781,75 @@ def l34_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("novel"))
         .alias("status"),
     )
+
+
+# --- L35: embedding normalization / matryoshka truncation probe ---------------
+
+# Matryoshka-style retrieval keeps a PREFIX of each embedding and
+# hopes the energy lives there; this operator measures it exactly.
+# Everything follows the l28 exactness recipe: quantize once at
+# KMEANS_SCALE, integer squared sums (order-free on any partitioning;
+# DuckDB widens to HUGEINT), and the only float ops are identical
+# IEEE expressions over those exact integers — so the whole probe,
+# including the unit-norm head component, is value-hash checkable.
+L35_HEAD_DIMS = 16
+
+L35_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+comp AS (
+  SELECT vec_id, unnest(range(0, len(qv))) AS i, unnest(qv) AS x FROM q
+)
+SELECT vec_id,
+       CAST(sum(x * x) AS BIGINT) AS norm_sq,
+       CAST(sum(CASE WHEN i < {L35_HEAD_DIMS} THEN x * x ELSE 0 END) AS BIGINT)
+         AS head_sq,
+       CAST(sum(CASE WHEN i < {L35_HEAD_DIMS} THEN x * x ELSE 0 END) AS DOUBLE)
+         / CAST(sum(x * x) AS DOUBLE) AS retained,
+       CAST(floor(max(CASE WHEN i = 0 THEN x END)
+                    / sqrt(CAST(sum(x * x) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS unit0_fp
+FROM comp GROUP BY vec_id
+"""
+
+
+@query("l35_matryoshka_probe", oracle=L35_ORACLE)
+def l35_matryoshka_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector matryoshka truncation quality: exact squared norms of
+    the full embedding and its first-16-dim head, the retained-energy
+    ratio, and the unit-normalized first component in 1e-6 fixed
+    point. One narrow scan, all higher-order array functions — no
+    explode, no shuffle beyond none at all (per-row projection), no
+    Python. The decision input for "can this corpus serve retrieval
+    from 16 of 64 dims" at any scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * KMEANS_SCALE + F.lit(0.5)).cast("long"),
+    )
+    sumsq = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    out = e.select(
+        "vec_id",
+        sumsq(qv).alias("norm_sq"),
+        sumsq(F.slice(qv, 1, L35_HEAD_DIMS)).alias("head_sq"),
+        F.element_at(qv, 1).alias("x0"),
+    )
+    return out.select(
+        "vec_id",
+        "norm_sq",
+        "head_sq",
+        (F.col("head_sq").cast("double") / F.col("norm_sq").cast("double")).alias(
+            "retained"
+        ),
+        F.floor(
+            F.col("x0") / F.sqrt(F.col("norm_sq").cast("double")) * 1000000 + 0.5
+        )
+        .cast("long")
+        .alias("unit0_fp"),
+    )

@@ -2266,3 +2266,86 @@ def s15_stream_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_k_main"),
     )
+
+
+# --- T17: streaming last-touch attribution (stateful, batch-equivalent) -------
+
+@query(
+    "t17_stream_attribution",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_id, user_id, ts, event_type,
+         max(CASE WHEN event_type IN ('click', 'view')
+                  THEN epoch_us(ts) END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS touch_us
+  FROM events
+)
+SELECT event_id, user_id,
+       date_trunc('second', ts) AS purchase_ts,
+       CASE WHEN touch_us IS NOT NULL
+              AND epoch_us(ts) - touch_us <= {7 * 24 * 3600 * 1_000_000}
+            THEN epoch_us(ts) - touch_us END AS gap_us,
+       (touch_us IS NOT NULL
+          AND epoch_us(ts) - touch_us <= {7 * 24 * 3600 * 1_000_000}) AS attributed
+FROM seq
+WHERE event_type = 'purchase'
+""",
+)
+def t17_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e6's last-touch attribution as a STREAMING stateful operator:
+    per-user "latest qualifying touch" carried across micro-batches in
+    ``applyInPandasWithState`` (one long per user — the smallest
+    possible state), purchases emitted as they arrive. With the
+    pinned time-ordered replay, every event preceding a purchase in
+    (ts, event_id) order is in an earlier batch or sorted earlier
+    within its batch, so the emitted set is EXACTLY the batch window
+    semantics — the oracle is e6's, unchanged: a live demonstration of
+    the stream/batch equivalence the operator pair claims.
+
+    Scale: state is 8 bytes/user vs t7's session struct; emission is
+    append-mode per arriving purchase, so latency is per-batch, not
+    end-of-stream. The touch-window filter stays JVM-side."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+
+    def attribute(key, pdf_iter, state: GroupState):
+        (uid,) = key
+        touch = state.get[0] if state.exists else -1
+        out: list[tuple] = []
+        chunks = list(pdf_iter)
+        for pdf in [pd.concat(chunks).sort_values(["ts", "event_id"])] if chunks else []:
+            for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+                us = int(ts.value // 1000)  # pandas ns -> µs
+                if etype == "purchase":
+                    out.append((int(eid), uid, us, touch if touch >= 0 else None))
+                elif etype in ("click", "view"):
+                    touch = us
+        state.update((touch,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_id", "user_id", "purchase_us", "touch_us"]
+            )
+
+    raw = stream.groupBy("user_id").applyInPandasWithState(
+        attribute,
+        outputStructType="event_id long, user_id long, purchase_us long, touch_us long",
+        stateStructType="touch long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = run_stream_to_table(raw, "append")
+    gap = F.col("purchase_us") - F.col("touch_us")
+    in_window = F.col("touch_us").isNotNull() & (gap <= 7 * 24 * 3600 * 1_000_000)
+    return res.select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", F.timestamp_micros("purchase_us")).alias("purchase_ts"),
+        F.when(in_window, gap).alias("gap_us"),
+        in_window.alias("attributed"),
+    )

@@ -121,3 +121,24 @@ def test_o18_skew_stats_consistent(spark, sf_dir):
     assert r["n_keys"] == li.select("l_orderkey").distinct().count()
     assert r["p50_cnt"] <= r["p99_cnt"] <= r["max_cnt"]
     assert r["skew_ratio"] >= 1.0
+
+
+def test_t17_stream_equals_batch_attribution(spark, sf_dir):
+    """The streaming stateful attribution must emit exactly the batch
+    window result — the stream/batch equivalence t17 claims."""
+    batch = {
+        (r["event_id"], r["gap_us"], r["attributed"])
+        for r in Q["e6_attribution"](spark, sf_dir).collect()
+    }
+    stream = {
+        (r["event_id"], r["gap_us"], r["attributed"])
+        for r in Q["t17_stream_attribution"](spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_l35_retained_energy_bounds(spark, sf_dir):
+    out = Q["l35_matryoshka_probe"](spark, sf_dir).toPandas()
+    assert ((out["retained"] > 0) & (out["retained"] <= 1)).all()
+    assert (out["head_sq"] <= out["norm_sq"]).all()
+    assert (out["unit0_fp"].abs() <= 1_000_000).all(), "unit component in [-1, 1]"
