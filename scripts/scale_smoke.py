@@ -70,6 +70,17 @@ QUERIES = [
     # pipeline (first run pays the one-off chunk materialization).
     "t14_chained_windows",
     "t16_union_dedup_window",
+    # ANN family: embeddings replicate 10x (20k vecs), which crosses
+    # ANN_SMALL_N — K jumps to floor(sqrt(N)) = 141 and the >64-centroid
+    # broadcast-join assignment/probe paths run in anger instead of the
+    # fixture's literal-expression paths. Probe cost per query is
+    # nprobe/K of the corpus (~1.4% at 10x vs 12.5% at 1x): the whole
+    # point of the sqrt(N) parameterization, timed here.
+    "l3_cosine_topk",
+    "l28_kmeans_embed",
+    "l3d_ivf_exact",
+    "l31_pq_search",
+    "l35_matryoshka_probe",
 ]
 
 
@@ -108,14 +119,30 @@ def build(spark, out_dir: str, n_copies: int) -> None:
         .withColumn("text", F.concat(F.col("text"), F.lit(" copy"), F.col("i")))
         .drop("i"),
     )
-    for dim in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+    # embeddings replicate too (vec_id shifted by a SMALL span so the
+    # first-K-vec_ids k-means init stays a mixed sample, vectors
+    # perturbed per copy so copies aren't degenerate duplicates)
+    emb = load_table(spark, SRC, "embeddings").crossJoin(F.broadcast(copies))
+    rep(
+        "embeddings",
+        emb.withColumn("vec_id", F.col("vec_id") * n_copies + F.col("i"))
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x, j: (x + (F.col("i") * 0.003) * F.when(j == F.col("i") % 64, 1.0).otherwise(0.0)).cast("float"),
+            ),
+        )
+        .drop("i"),
+    )
+    for dim in ("region", "nation", "customer", "supplier", "part"):
         rep(dim, load_table(spark, SRC, dim))
     open(done, "w").close()
 
 
 def main() -> int:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_dir = f"/tmp/sparkgraft_scale_{n_copies}x"
+    out_dir = f"/tmp/sparkgraft_scale_{n_copies}x_v2"  # v2: embeddings replicated
     registry.load_all()
     # local-mode default driver heap is 1g — enough for the sf<=0.1
     # fixtures, OOMs on the 10x build (32 concurrent parquet-write

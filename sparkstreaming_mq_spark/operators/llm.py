@@ -2076,9 +2076,38 @@ def ann_k_sql(small_k: int, cap: int = ANN_MAX_K, table: str = "embeddings") -> 
     )
 
 
+# Training-sample bound: with K ≈ √N, running Lloyd iterations over the
+# FULL corpus costs N×K ≈ N^1.5 per pass — measured superlinear in the
+# 10× smoke (l28 hit 31×). Real systems train the quantizer on a
+# sample; here the sample is the first TRAIN_N vec_ids (deterministic
+# AND SQL-expressible, so the oracles stay value-exact), sized at
+# ANN_TRAIN_FACTOR vectors per centroid. Below ANN_SMALL_N the sample
+# is the whole corpus — fixture behavior unchanged. Only the final
+# inverted-file assignment touches all N rows (inherent: every vector
+# must be assigned once), and that pass is scan-local (see
+# ``_kmeans_assign``).
+ANN_TRAIN_FACTOR = 32
+
+
+def ann_train_n(n_vecs: int, k: int) -> int:
+    if n_vecs <= ANN_SMALL_N:
+        return n_vecs
+    return min(n_vecs, ANN_TRAIN_FACTOR * k)
+
+
+def ann_train_n_sql(small_k: int, cap: int = ANN_MAX_K, table: str = "embeddings") -> str:
+    n = f"(SELECT count(*) FROM {table})"
+    return (
+        f"(CASE WHEN {n} <= {ANN_SMALL_N} THEN {n} "
+        f"ELSE LEAST({n}, {ANN_TRAIN_FACTOR} * {ann_k_sql(small_k, cap, table)}) END)"
+    )
+
+
 def _kmeans_sql_iters() -> str:
-    """Unrolled CTE chain: assign -> re-center, KMEANS_ITERS times,
-    then the final assignment (exactly what the Spark loop runs)."""
+    """Unrolled CTE chain: assign -> re-center over the deterministic
+    training sample (comp_t: vec_id < train_n — the whole corpus in
+    the fixture regime), KMEANS_ITERS times, then the final assignment
+    over ALL vectors (exactly what the Spark loop runs)."""
     parts = [
         f"""
 q AS (
@@ -2090,14 +2119,17 @@ q AS (
 comp AS (
   SELECT vec_id, unnest(range(0, len(q))) AS i, unnest(q) AS x FROM q
 ),
+comp_t AS (
+  SELECT * FROM comp WHERE vec_id < {ann_train_n_sql(KMEANS_K)}
+),
 cent0 AS (SELECT vec_id AS c, i, x AS ci FROM comp WHERE vec_id < {ann_k_sql(KMEANS_K)})"""
     ]
     for it in range(KMEANS_ITERS):
         parts.append(f"""
 a{it} AS (
-  SELECT comp.vec_id, cent{it}.c,
-         CAST(sum((comp.x - cent{it}.ci) * (comp.x - cent{it}.ci)) AS BIGINT) AS d
-  FROM comp JOIN cent{it} USING (i) GROUP BY comp.vec_id, cent{it}.c
+  SELECT comp_t.vec_id, cent{it}.c,
+         CAST(sum((comp_t.x - cent{it}.ci) * (comp_t.x - cent{it}.ci)) AS BIGINT) AS d
+  FROM comp_t JOIN cent{it} USING (i) GROUP BY comp_t.vec_id, cent{it}.c
 ),
 asg{it} AS (
   SELECT vec_id, c FROM (
@@ -2108,7 +2140,7 @@ asg{it} AS (
 cent{it + 1} AS (
   SELECT c, i,
          CAST(floor((2 * sum(x) + count(*)) / (2.0 * count(*))) AS BIGINT) AS ci
-  FROM asg{it} JOIN comp USING (vec_id) GROUP BY c, i
+  FROM asg{it} JOIN comp_t USING (vec_id) GROUP BY c, i
 )""")
     parts.append(f"""
 afin AS (
@@ -2161,40 +2193,91 @@ def _kmeans_best(cents: dict[int, list[int]]):
     return F.array_min(F.array(*dist_structs))
 
 
+def _centroid_row(qdf: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """ONE-row DataFrame holding the whole centroid table as an
+    array<struct<cid, cvec>> column. Cross-joined broadcast, it gives
+    every scan row the centroid array as a plain column — so argmin /
+    probe expressions stay scan-local at ANY K, instead of either
+    baking K×dim literals into codegen (breaks past a few hundred
+    centroids) or materializing N×K rows through a join+groupBy
+    (measured 31× on the 10× smoke)."""
+    spark = qdf.sparkSession
+    payload = [
+        {"cid": int(c), "cvec": [int(v) for v in vec]}
+        for c, vec in sorted(cents.items())
+    ]
+    return spark.createDataFrame(
+        [(payload,)], "cents array<struct<cid: bigint, cvec: array<bigint>>>"
+    )
+
+
+def _cent_dist_structs(cents_col):
+    """array<struct<d, cid>> of exact distances from column ``q`` to
+    every centroid in the ``cents`` array column — all in-row JVM
+    higher-order functions."""
+    dist = lambda cv: F.aggregate(  # noqa: E731
+        F.zip_with("q", cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return F.transform(
+        cents_col,
+        lambda e: F.struct(
+            dist(e.getField("cvec")).alias("d"), e.getField("cid").alias("c")
+        ),
+    )
+
+
 def _kmeans_assign(qdf: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
     """(vec_id, q, c, d) nearest-centroid assignment with identical
     (d, c) tie-break on both paths:
 
     - ≤ ANN_LITERAL_MAX_K centroids: ``_kmeans_best``'s expression
-      literals — one corpus scan, no join, no exchange (plan-pinned).
-    - larger K (the √N regime past ANN_SMALL_N vectors): broadcast-join
-      argmin — corpus × broadcast centroid table, min(struct(d, c))
-      per vector. Exact integers, so the argmin is order-free and
-      bit-identical to the literal path.
+      literals — one corpus scan, no join, no exchange (plan-pinned),
+      and at fixture K the interpreted lambda cost is noise.
+    - larger K (the √N regime past ANN_SMALL_N vectors): a vectorized
+      Arrow ``mapInPandas`` kernel — N×K×dim dense distance work is
+      exactly the case where Catalyst's higher-order-function lambdas
+      (interpreted, measured ~3M steps/s: 55 s for 20k×141 vectors)
+      lose to batched integer numpy (~100× faster), and a join+groupBy
+      formulation shuffles N×K rows. All math stays int64 (diffs ≤
+      2·10⁴ squared ×64 dims ≪ 2⁶³), argmin over cid-sorted centroids
+      takes the first minimum — byte-identical results to the literal
+      path, pinned by test.
     """
     if len(cents) <= ANN_LITERAL_MAX_K:
         best = _kmeans_best(cents)
         return qdf.select(
             "vec_id", "q", best["c"].alias("c"), best["d"].alias("d")
         )
-    spark = qdf.sparkSession
-    cent_df = spark.createDataFrame(
-        [(int(c), [int(v) for v in vec]) for c, vec in sorted(cents.items())],
-        "cid bigint, cvec array<bigint>",
-    )
-    dist = F.aggregate(
-        F.zip_with("q", "cvec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    return (
-        qdf.crossJoin(F.broadcast(cent_df))
-        .select(
-            "vec_id", "q", F.struct(dist.alias("d"), F.col("cid").alias("c")).alias("dc")
-        )
-        .groupBy("vec_id")
-        .agg(F.min("dc").alias("m"), F.first("q").alias("q"))
-        .select("vec_id", "q", F.col("m.c").alias("c"), F.col("m.d").alias("d"))
+    import numpy as np
+
+    cent_ids = np.array(sorted(cents), dtype=np.int64)
+    C = np.array([cents[int(c)] for c in cent_ids], dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
+
+    def assign_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["q"].tolist(), dtype=np.int64)
+            # ||q-c||² = ||q||² - 2 q·c + ||c||², all exact int64
+            # (q·c ≤ 64·10⁸ per entry — far inside the integer range)
+            D = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + c2[None, :]
+            amin = D.argmin(axis=1)  # first min → lowest cid (C sorted)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "q": pdf["q"],
+                    "c": cent_ids[amin],
+                    "d": D[np.arange(len(D)), amin],
+                }
+            )
+
+    return qdf.mapInPandas(
+        assign_batches, "vec_id long, q array<bigint>, c long, d long"
     )
 
 
@@ -2213,14 +2296,21 @@ def l28_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     switches from expression literals to a broadcast-join argmin
     (``_kmeans_assign``)."""
     qdf = _kmeans_quantized(spark, sf_dir)
-    k = ann_k(table_rowcount(sf_dir, "embeddings"), KMEANS_K)
+    n_vecs = table_rowcount(sf_dir, "embeddings")
+    k = ann_k(n_vecs, KMEANS_K)
+    # Lloyd iterations run over the deterministic training sample
+    # (whole corpus in the fixture regime): with K ≈ √N, full-corpus
+    # training is N^1.5 per pass — the sample caps it at
+    # (TRAIN_FACTOR·K)×K per pass; only the single final assignment
+    # touches all N rows.
+    qdf_t = qdf.filter(F.col("vec_id") < ann_train_n(n_vecs, k))
 
     # init: quantized embeddings of the first K vec_ids (K*dim ints)
     init = qdf.filter(F.col("vec_id") < k).collect()
     cents = {int(r["vec_id"]): list(r["q"]) for r in init}
 
     for _ in range(KMEANS_ITERS):
-        asg = _kmeans_assign(qdf, cents)
+        asg = _kmeans_assign(qdf_t, cents)
         sums = (
             asg.select("c", F.posexplode("q").alias("i", "x"))
             .groupBy("c", "i")
@@ -2352,17 +2442,23 @@ sc AS (
          CAST(i % {PQ_SUBDIM} AS BIGINT) AS j, x
   FROM comp
 ),
+sc_t AS (
+  SELECT * FROM sc WHERE vec_id < {ann_train_n_sql(PQ_K, cap=256)}
+),
 cent0 AS (
   SELECT vec_id AS c, s, j, x AS ci FROM sc WHERE vec_id < {ann_k_sql(PQ_K, cap=256)}
 )"""
     ]
     for t in range(PQ_ITERS + 1):
+        # training assignments (t < ITERS) run over the deterministic
+        # sample; the final t == ITERS pass is the full-corpus encode
+        src = "sc_t" if t < PQ_ITERS else "sc"
         parts.append(f""",
 a{t} AS (
-  SELECT sc.vec_id, sc.s, cent{t}.c,
-         CAST(sum((sc.x - cent{t}.ci) * (sc.x - cent{t}.ci)) AS BIGINT) AS d
-  FROM sc JOIN cent{t} ON sc.s = cent{t}.s AND sc.j = cent{t}.j
-  GROUP BY sc.vec_id, sc.s, cent{t}.c
+  SELECT {src}.vec_id, {src}.s, cent{t}.c,
+         CAST(sum(({src}.x - cent{t}.ci) * ({src}.x - cent{t}.ci)) AS BIGINT) AS d
+  FROM {src} JOIN cent{t} ON {src}.s = cent{t}.s AND {src}.j = cent{t}.j
+  GROUP BY {src}.vec_id, {src}.s, cent{t}.c
 ),
 asg{t} AS (
   SELECT vec_id, s, c FROM (
@@ -2374,10 +2470,10 @@ asg{t} AS (
         if t < PQ_ITERS:
             parts.append(f""",
 cent{t + 1} AS (
-  SELECT asg{t}.c, sc.s, sc.j,
-         CAST(floor((2 * sum(sc.x) + count(*)) / (2.0 * count(*))) AS BIGINT) AS ci
-  FROM asg{t} JOIN sc ON asg{t}.vec_id = sc.vec_id AND asg{t}.s = sc.s
-  GROUP BY asg{t}.c, sc.s, sc.j
+  SELECT asg{t}.c, sc_t.s, sc_t.j,
+         CAST(floor((2 * sum(sc_t.x) + count(*)) / (2.0 * count(*))) AS BIGINT) AS ci
+  FROM asg{t} JOIN sc_t ON asg{t}.vec_id = sc_t.vec_id AND asg{t}.s = sc_t.s
+  GROUP BY asg{t}.c, sc_t.s, sc_t.j
 )""")
     parts.append(f""",
 lut AS (
@@ -2404,6 +2500,156 @@ SELECT query_id, vec_id, adc AS adc_dist, CAST(rn AS BIGINT) AS rnk FROM (
   FROM scored
 ) WHERE rn <= {PQ_TOPK}
 """
+
+
+def _pq_search_vectorized(
+    spark: SparkSession, sf_dir: str, n_vecs: int, pq_k: int
+) -> DataFrame:
+    """l31's large-K path: per-subspace train/encode as vectorized
+    Arrow/numpy kernels instead of tall-frame joins. The join form
+    materializes N×M×K rows per pass (measured 4.5× at the 10× smoke
+    even after sample-training); the kernel does the same exact int64
+    arithmetic batched — argmin over cid-sorted codebooks reproduces
+    the (d, c) tie-break, recenter uses the identical
+    floor((2·sum+n)/(2n)), so results (and the oracle) are unchanged.
+    Codebooks are per-subspace (cid, vec) pairs because recenter drops
+    emptied codes independently per subspace, exactly like the SQL's
+    cent{t+1} grouping."""
+    import numpy as np
+
+    qdf = _kmeans_quantized(spark, sf_dir)
+    train_n = ann_train_n(n_vecs, pq_k)
+    qdf_t = qdf.filter(F.col("vec_id") < train_n)
+
+    init = qdf.filter(F.col("vec_id") < pq_k).collect()
+    vecs = {int(r["vec_id"]): list(r["q"]) for r in init}
+    cids0 = np.array(sorted(vecs), dtype=np.int64)
+    codebooks = [
+        (
+            cids0,
+            np.array(
+                [vecs[int(c)][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM] for c in cids0],
+                dtype=np.int64,
+            ),
+        )
+        for s in range(PQ_M)
+    ]
+
+    def subspace_argmin(Qs: "np.ndarray", cb: "np.ndarray") -> "np.ndarray":
+        # ||q-c||² expanded — exact int64; first min = lowest cid index
+        d = (Qs * Qs).sum(1)[:, None] - 2 * (Qs @ cb.T) + (cb * cb).sum(1)[None, :]
+        return d.argmin(1), d
+
+    def make_train(books):
+        def fn(it):
+            import pandas as pd
+
+            sums = [np.zeros_like(cb) for _, cb in books]
+            counts = [np.zeros(len(cb), dtype=np.int64) for _, cb in books]
+            seen = False
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                seen = True
+                Q = np.array(pdf["q"].tolist(), dtype=np.int64).reshape(
+                    len(pdf), PQ_M, PQ_SUBDIM
+                )
+                for s, (_, cb) in enumerate(books):
+                    a, _ = subspace_argmin(Q[:, s, :], cb)
+                    np.add.at(sums[s], a, Q[:, s, :])
+                    np.add.at(counts[s], a, 1)
+            if seen:
+                rows = []
+                for s, (cids_s, _) in enumerate(books):
+                    for idx in np.nonzero(counts[s])[0]:
+                        for j in range(PQ_SUBDIM):
+                            rows.append(
+                                (s, int(cids_s[idx]), j,
+                                 int(sums[s][idx][j]), int(counts[s][idx]))
+                            )
+                yield pd.DataFrame(rows, columns=["s", "c", "j", "sx", "n"])
+
+        return fn
+
+    for _ in range(PQ_ITERS):
+        partials = qdf_t.mapInPandas(
+            make_train(codebooks), "s long, c long, j long, sx long, n long"
+        )
+        agg = (
+            partials.groupBy("s", "c", "j")
+            .agg(F.sum("sx").alias("sx"), F.sum("n").alias("n"))
+            .collect()
+        )
+        per_s: dict[int, dict[int, list[int]]] = {}
+        for r in agg:
+            vec = per_s.setdefault(int(r["s"]), {}).setdefault(
+                int(r["c"]), [0] * PQ_SUBDIM
+            )
+            vec[int(r["j"])] = math.floor((2 * r["sx"] + r["n"]) / (2.0 * r["n"]))
+        codebooks = [
+            (
+                np.array(sorted(per_s.get(s, {})), dtype=np.int64),
+                np.array(
+                    [per_s[s][int(c)] for c in sorted(per_s.get(s, {}))],
+                    dtype=np.int64,
+                ).reshape(-1, PQ_SUBDIM),
+            )
+            for s in range(PQ_M)
+        ]
+
+    final_books = codebooks
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["q"].tolist(), dtype=np.int64).reshape(
+                len(pdf), PQ_M, PQ_SUBDIM
+            )
+            out_c = np.empty((len(pdf), PQ_M), dtype=np.int64)
+            for s, (cids_s, cb) in enumerate(final_books):
+                a, _ = subspace_argmin(Q[:, s, :], cb)
+                out_c[:, s] = cids_s[a]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), PQ_M),
+                    "s": np.tile(np.arange(PQ_M, dtype=np.int64), len(pdf)),
+                    "c": out_c.reshape(-1),
+                }
+            )
+
+    codes = qdf.mapInPandas(encode, "vec_id long, s long, c long")
+
+    # per-query LUT: queries are a bounded probe set — exact distances
+    # to every code, computed driver-side (10 × M × K integers)
+    q_rows = qdf.filter(F.col("vec_id") < PQ_QUERIES).collect()
+    lut_rows = []
+    for r in q_rows:
+        qv = np.array(r["q"], dtype=np.int64).reshape(PQ_M, PQ_SUBDIM)
+        for s, (cids_s, cb) in enumerate(final_books):
+            d = ((qv[s][None, :] - cb) ** 2).sum(1)
+            for idx, c in enumerate(cids_s):
+                lut_rows.append((int(r["vec_id"]), s, int(c), int(d[idx])))
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, s long, c long, pd long"
+    )
+
+    from pyspark.sql import Window
+
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "c"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .select("query_id", "vec_id", "adc_dist", "rnk")
+    )
 
 
 @query("l31_pq_search", oracle=L31_ORACLE)
@@ -2433,6 +2679,18 @@ def l31_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # codes per sub-codebook: the measured fixture constant up to
+    # ANN_SMALL_N vectors, ≈√N past it (capped at the conventional
+    # 256-code byte budget) — the oracle computes the identical K.
+    # Training runs over the deterministic sample (whole corpus in the
+    # fixture regime); only the final encode touches all N vectors.
+    # Past the fixture regime the tall-frame joins below give way to
+    # the vectorized per-subspace kernel (identical results).
+    n_vecs = table_rowcount(sf_dir, "embeddings")
+    pq_k = ann_k(n_vecs, PQ_K, cap=256)
+    if pq_k > ANN_LITERAL_MAX_K:
+        return _pq_search_vectorized(spark, sf_dir, n_vecs, pq_k)
+
     e = load_table(spark, sf_dir, "embeddings")
     tall = (
         e.select(
@@ -2452,17 +2710,14 @@ def l31_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    # codes per sub-codebook: the measured fixture constant up to
-    # ANN_SMALL_N vectors, ≈√N past it (capped at the conventional
-    # 256-code byte budget) — the oracle computes the identical K
-    pq_k = ann_k(table_rowcount(sf_dir, "embeddings"), PQ_K, cap=256)
+    tall_t = tall.filter(F.col("vec_id") < ann_train_n(n_vecs, pq_k))
     cents = tall.filter(F.col("vec_id") < pq_k).select(
         F.col("vec_id").alias("c"), "s", "j", F.col("x").alias("ci")
     )
 
-    def assign(cent: DataFrame) -> DataFrame:
+    def assign(cent: DataFrame, src: DataFrame) -> DataFrame:
         d = (
-            tall.join(F.broadcast(cent), ["s", "j"])
+            src.join(F.broadcast(cent), ["s", "j"])
             .groupBy("vec_id", "s", "c")
             .agg(F.sum((F.col("x") - F.col("ci")) * (F.col("x") - F.col("ci"))).alias("d"))
         )
@@ -2473,9 +2728,9 @@ def l31_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for _ in range(PQ_ITERS):
-        asg = assign(cents)
+        asg = assign(cents, tall_t)
         cents = (
-            asg.join(tall, ["vec_id", "s"])
+            asg.join(tall_t, ["vec_id", "s"])
             .groupBy("c", "s", "j")
             .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
             .select(
@@ -2488,7 +2743,7 @@ def l31_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    codes = assign(cents)
+    codes = assign(cents, tall)
 
     lut = (
         tall.filter(F.col("vec_id") < PQ_QUERIES)
@@ -2527,11 +2782,9 @@ def _probe_cells(
 ) -> DataFrame:
     """(query_id, qq, c) — each query's ``nprobe`` nearest cells,
     ties to the lower cluster id. Literal-expression array-sort below
-    ANN_LITERAL_MAX_K centroids; at √N-scale K, a broadcast-join +
-    per-query window top-nprobe (the probe set is bounded, so the
-    windowed frame is queries × K rows — driver-trivial either way)."""
-    from pyspark.sql import Window
-
+    ANN_LITERAL_MAX_K centroids; at √N-scale K the identical sort/slice
+    expressions run over the one-row broadcast centroid array column
+    instead of literals — scan-local either way."""
     q = qdf.filter(F.col("vec_id") < n_queries)
     if len(cents) <= ANN_LITERAL_MAX_K:
         dist_structs = F.array(
@@ -2559,28 +2812,16 @@ def _probe_cells(
             )
             .select("query_id", "qq", F.col("p.c").alias("c"))
         )
-    spark = qdf.sparkSession
-    cent_df = spark.createDataFrame(
-        [(int(c), [int(v) for v in vec]) for c, vec in sorted(cents.items())],
-        "cid bigint, cvec array<bigint>",
-    )
-    dist = F.aggregate(
-        F.zip_with("q", "cvec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    w = Window.partitionBy("query_id").orderBy("d", "c")
     return (
-        q.crossJoin(F.broadcast(cent_df))
+        q.crossJoin(F.broadcast(_centroid_row(qdf, cents)))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("qq"),
-            F.col("cid").alias("c"),
-            dist.alias("d"),
+            F.explode(
+                F.slice(F.array_sort(_cent_dist_structs(F.col("cents"))), 1, nprobe)
+            ).alias("p"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qq", "c")
+        .select("query_id", "qq", F.col("p.c").alias("c"))
     )
 
 
@@ -2649,11 +2890,15 @@ def l3d_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant).
     """
     qdf = _kmeans_quantized(spark, sf_dir)
-    k = ann_k(table_rowcount(sf_dir, "embeddings"), KMEANS_K)
+    n_vecs = table_rowcount(sf_dir, "embeddings")
+    k = ann_k(n_vecs, KMEANS_K)
+    # train on the deterministic sample (see l28) — only the inverted-
+    # file build and scoring touch the full corpus
+    qdf_t = qdf.filter(F.col("vec_id") < ann_train_n(n_vecs, k))
     init = qdf.filter(F.col("vec_id") < k).collect()
     cents = {int(r["vec_id"]): list(r["q"]) for r in init}
     for _ in range(KMEANS_ITERS):
-        asg = _kmeans_assign(qdf, cents)
+        asg = _kmeans_assign(qdf_t, cents)
         sums = (
             asg.select("c", F.posexplode("q").alias("i", "x"))
             .groupBy("c", "i")

@@ -70,9 +70,20 @@ def table_rowcount(sf_dir: str, name: str) -> int:
     regenerated fixture never serves a stale count)."""
     key = f"{cache_key(sf_dir, name)}_{name}"
     if key not in _ROWCOUNT_CACHE:
+        import glob
+
         import pyarrow.parquet as pq
 
-        _ROWCOUNT_CACHE[key] = pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):
+            # multi-file dataset (e.g. the scale-smoke's Spark writes):
+            # still footer-only — sum the part-file metadata
+            _ROWCOUNT_CACHE[key] = sum(
+                pq.ParquetFile(p).metadata.num_rows
+                for p in glob.glob(os.path.join(path, "*.parquet"))
+            )
+        else:
+            _ROWCOUNT_CACHE[key] = pq.ParquetFile(path).metadata.num_rows
     return _ROWCOUNT_CACHE[key]
 
 
