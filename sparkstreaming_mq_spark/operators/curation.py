@@ -1167,12 +1167,26 @@ def l33_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
-    a = sh.select(F.col("source").alias("source_a"), "ng")
-    b = sh.select(F.col("source").alias("source_b"), "ng")
+    # pair generation: per-shingle source SET (bounded by the source
+    # count, a handful) exploded to ordered pairs IN-ROW — one grouped
+    # aggregate on ng, no postings self-join (the join formulation
+    # scanned + shuffled the postings twice; measured 6.3× at the 10×
+    # smoke, ~2× of which was this)
+    srcs = F.col("srcs")
+    pair_structs = F.flatten(
+        F.transform(
+            srcs,
+            lambda x, i: F.transform(
+                F.slice(srcs, i + 2, F.size(srcs)),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
     shared = (
-        a.join(b, "ng")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        sh.groupBy("ng")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
         .agg(F.count("*").cast("long").alias("shared_ngrams"))
     )
     return (

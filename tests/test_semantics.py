@@ -715,6 +715,10 @@ def test_ann_k_policy_matches_sql(spark, sf_dir):
             sql = llm.ann_k_sql(small_k, cap=cap, table=f"(SELECT 1 FROM range({n}))")
             got = duckdb.sql(f"SELECT {sql}").fetchone()[0]
             assert got == llm.ann_k(n, small_k, cap=cap), (n, small_k, cap)
+            tsql = llm.ann_train_n_sql(small_k, cap=cap, table=f"(SELECT 1 FROM range({n}))")
+            tgot = duckdb.sql(f"SELECT {tsql}").fetchone()[0]
+            k = llm.ann_k(n, small_k, cap=cap)
+            assert tgot == llm.ann_train_n(n, k), (n, small_k, cap)
 
 
 def test_kmeans_broadcast_assignment_matches_literal(spark, sf_dir, monkeypatch):
