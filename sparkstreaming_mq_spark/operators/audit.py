@@ -146,3 +146,81 @@ def x2_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, total_price double, null_priorities long, nonpositive_prices long",
     )
+
+
+# --- X3: exact z-score anomaly detection --------------------------------------
+
+# Outlier flagging is usually float-fragile (mean/stddev accumulate in
+# partition order), so it gets the a15 treatment: group moments as
+# exact integer sums, and the 3-sigma test rewritten to a pure-integer
+# comparison — (x-mu)^2 > 9*sigma^2  <=>  (n*x - S)^2 > 9*(n*Q - S^2)
+# with S = sum(cents), Q = sum(cents^2). Widened to DECIMAL(38)/
+# HUGEINT before squaring: at 10^10 rows (n*x - S)^2 reaches ~10^28,
+# past int64 but comfortably inside both engines' 38-digit exact
+# types. Bit-stable on any partitioning at any scale.
+
+X3_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT)                        AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS s,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS q
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents,
+       CASE WHEN CAST(floor(e.value * 100 + 0.5) AS HUGEINT) * m.n > m.s
+            THEN 'high' ELSE 'low' END AS side
+FROM events e JOIN m ON e.event_type = m.event_type
+WHERE (CAST(floor(e.value * 100 + 0.5) AS HUGEINT) * m.n - m.s)
+        * (CAST(floor(e.value * 100 + 0.5) AS HUGEINT) * m.n - m.s)
+      > 9 * (m.n * m.q - m.s * m.s)
+"""
+
+
+@query("x3_zscore_anomalies", oracle=X3_ORACLE)
+def x3_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value sits more than 3 sigma from their type's
+    mean, flagged high/low — the data-quality outlier sweep, in the
+    only formulation that is partition-stable and cross-engine exact
+    (see the module comment: the sigma test is one integer
+    comparison over exact moments; no float mean/stddev anywhere).
+
+    Plan: one grouped moment aggregate (map-side collapse to
+    #event_types rows), broadcast back onto the scan, per-row integer
+    predicate — two scans total, zero wide shuffles of the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    dec = "decimal(38,0)"
+    m = (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast(dec).alias("n"),
+            F.sum(F.col("cents").cast(dec)).alias("s"),
+            F.sum((F.col("cents") * F.col("cents")).cast(dec)).alias("q"),
+        )
+    )
+    e = ev.select("event_id", "event_type", cents.alias("cents"))
+    joined = e.join(F.broadcast(m), "event_type")
+    dev = F.col("cents").cast(dec) * F.col("n") - F.col("s")
+    # simplified to 9*(n*q - s*s) on BOTH sides: the unsimplified
+    # 9*n*(...)/n form would pass 10^38 decimal digits near 10^10 rows
+    thresh = F.lit(9).cast(dec) * (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    )
+    return (
+        joined.filter(dev * dev > thresh)
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            F.when(
+                F.col("cents").cast(dec) * F.col("n") > F.col("s"), F.lit("high")
+            )
+            .otherwise(F.lit("low"))
+            .alias("side"),
+        )
+    )

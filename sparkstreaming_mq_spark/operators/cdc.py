@@ -214,3 +214,72 @@ def m3_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ds").cast("double").alias("sum_price"),
         )
     )
+
+
+# --- M4: GDPR erasure (right-to-be-forgotten batch) ---------------------------
+
+# The compliance twin of the MERGE family: given an erasure list, purge
+# every event of those subjects and PROVE it — per-type counts of
+# total/erased/kept rows, erased-subject cardinality, and a residual
+# check that no kept row references an erased subject. The erasure set
+# here is deterministic (user_id % 97 == 0) so the oracle replays it;
+# production swaps in a requests table on the same anti-join.
+M4_ERASE_MOD = 97
+
+
+@query(
+    "m4_gdpr_erasure",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN user_id % {M4_ERASE_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_erased,
+       CAST(sum(CASE WHEN user_id % {M4_ERASE_MOD} != 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       count(DISTINCT CASE WHEN user_id % {M4_ERASE_MOD} = 0 THEN user_id END)
+         AS subjects_erased,
+       CAST(count(CASE WHEN user_id % {M4_ERASE_MOD} != 0
+                        AND user_id % {M4_ERASE_MOD} = 0 THEN 1 END) AS BIGINT)
+         AS residual_leaks
+FROM events
+GROUP BY event_type
+""",
+)
+def m4_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure audit for a right-to-be-forgotten batch: the kept corpus
+    is events anti-joined against the erasure subjects (one broadcast
+    anti-join — the erasure list is always tiny next to the corpus),
+    and the audit report proves the purge: per-type totals, erased and
+    kept counts that must sum back to the total, distinct subjects
+    erased, and a residual-leak counter over the KEPT side that the
+    oracle pins at zero. Scale: the fact table is scanned once for the
+    report and once for the purge write; nothing shuffles except the
+    per-type aggregate's collapsed partials."""
+    ev = load_table(spark, sf_dir, "events")
+    erase = (
+        ev.filter(F.col("user_id") % M4_ERASE_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    kept = ev.join(F.broadcast(erase), "user_id", "left_anti")
+    erased_mark = F.col("user_id") % M4_ERASE_MOD == 0
+    report = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(erased_mark, 1).otherwise(0)).cast("long").alias("n_erased"),
+        F.sum(F.when(~erased_mark, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.countDistinct(F.when(erased_mark, F.col("user_id"))).alias("subjects_erased"),
+    )
+    leaks = kept.filter(erased_mark).groupBy("event_type").agg(
+        F.count("*").alias("residual_leaks")
+    )
+    return (
+        report.join(leaks, "event_type", "left")
+        .select(
+            "event_type",
+            "n_total",
+            "n_erased",
+            "n_kept",
+            "subjects_erased",
+            F.coalesce("residual_leaks", F.lit(0)).cast("long").alias("residual_leaks"),
+        )
+    )

@@ -142,3 +142,31 @@ def test_l35_retained_energy_bounds(spark, sf_dir):
     assert ((out["retained"] > 0) & (out["retained"] <= 1)).all()
     assert (out["head_sq"] <= out["norm_sq"]).all()
     assert (out["unit0_fp"].abs() <= 1_000_000).all(), "unit component in [-1, 1]"
+
+
+def test_x3_anomalies_match_float_zscore(spark, sf_dir):
+    """The integer 3-sigma test must agree with the float z-score on
+    non-boundary rows (it IS the same predicate, computed exactly)."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.floor(F.col("value") * 100 + 0.5).alias("cents")
+    ).toPandas()
+    flagged = {r["event_id"] for r in Q["x3_zscore_anomalies"](spark, sf_dir).collect()}
+    for etype, grp in ev.groupby("event_type"):
+        mu = grp["cents"].mean()
+        sd = grp["cents"].std(ddof=0)
+        for _, row in grp.iterrows():
+            z = abs(row["cents"] - mu) / sd if sd else 0.0
+            if z > 3.0001:
+                assert row["event_id"] in flagged, (etype, row["event_id"], z)
+            elif z < 2.9999:
+                assert row["event_id"] not in flagged, (etype, row["event_id"], z)
+
+
+def test_m4_erasure_audit_consistent(spark, sf_dir):
+    out = Q["m4_gdpr_erasure"](spark, sf_dir).toPandas()
+    assert (out["n_erased"] + out["n_kept"] == out["n_total"]).all()
+    assert (out["residual_leaks"] == 0).all(), "kept side must hold no erased subject"
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out["n_total"].sum() == n_events
