@@ -212,3 +212,61 @@ def test_space_saving_bounds_hold_on_any_stream(stream, capacity):
         if tok in s.index:
             est, err = int(s.loc[tok, "est"]), int(s.loc[tok, "err"])
             assert est - err <= cnt <= est
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_rows=st.integers(min_value=1, max_value=200),
+    n_tiles=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_exact_ntile_matches_window_ntile(spark, n_rows, n_tiles, seed):
+    """setops.exact_ntile must be bit-identical to the single-task
+    F.ntile window for any (N, n) — including N < n, exact multiples,
+    and duplicate order keys (broken by the unique second column)."""
+    from pyspark.sql import Window
+
+    from sparkstreaming_mq_spark.operators.setops import exact_ntile
+
+    rows = [((i * 2654435761 + seed) % 97, i) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "v long, uid long")
+    got = {
+        (r["uid"], r["__tile"])
+        for r in exact_ntile(df, n_tiles, ["v", "uid"]).collect()
+    }
+    want = {
+        (r["uid"], r["t"])
+        for r in df.withColumn(
+            "t", F.ntile(n_tiles).over(Window.orderBy("v", "uid")) - 1
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    probe=st.lists(ROW, min_size=1, max_size=12),
+    build=st.lists(ROW, min_size=0, max_size=12),
+)
+def test_forward_asof_matches_reference(spark, probe, build):
+    """direction='forward': __asof_ts must be the MIN build ts >= probe
+    ts within the key (ties at the probe timestamp count)."""
+    probe_df = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(probe)], "k long, ts long, rid long"
+    )
+    build_df = (
+        spark.createDataFrame(build, "k long, ts long")
+        if build
+        else spark.createDataFrame([], "k long, ts long")
+    )
+    out = {
+        r["rid"]: r["__asof_ts"]
+        for r in asof_join(
+            probe_df, build_df, on="k", probe_ts="ts", build_ts="ts",
+            direction="forward",
+        ).collect()
+    }
+    for rid, (k, t) in enumerate(probe):
+        eligible = [bt for bk, bt in build if bk == k and bt >= t]
+        want = min(eligible) if eligible else None
+        assert out[rid] == want, (rid, k, t, eligible)
