@@ -170,3 +170,39 @@ def test_m4_erasure_audit_consistent(spark, sf_dir):
     assert (out["residual_leaks"] == 0).all(), "kept side must hold no erased subject"
     n_events = load_table(spark, sf_dir, "events").count()
     assert out["n_total"].sum() == n_events
+
+
+def test_g2_triangle_counts_match_naive(spark, sf_dir):
+    """Degree-oriented counting must equal the naive u<v wedge count
+    computed independently in Python on the same induced subgraph."""
+    from itertools import combinations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.filter(F.col("l_partkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order: dict[int, set[int]] = {}
+    for r in items:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            edges.add((u, v))
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want: dict[int, int] = {}
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            if w > v:  # u < v < w counts each triangle once
+                for node in (u, v, w):
+                    want[node] = want.get(node, 0) + 1
+    got = {
+        r["part_key"]: r["n_triangles"]
+        for r in Q["g2_triangle_count"](spark, sf_dir).collect()
+    }
+    assert got == want
