@@ -3098,3 +3098,63 @@ def l35_matryoshka_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("unit0_fp"),
     )
+
+
+# --- L36: quality-weighted deterministic sampling -----------------------------
+
+# Curation pipelines rarely sample uniformly — they keep high-quality
+# documents at a higher rate. This composes the l4b quality signals
+# with o17's MINSTD-hash membership: per-doc keep rate in basis points
+# derived from integer quality features, membership decided by the
+# deterministic per-row hash — so the weighted sample is exactly
+# reproducible on any partitioning AND full-oracle checkable (both the
+# rate arithmetic and the hash are pure integer SQL).
+L36_M = 2_147_483_647
+L36_A = 48271
+
+L36_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+         (doc_id % {L36_M}) * {L36_A} % {L36_M} AS u
+  FROM documents
+),
+rated AS (
+  SELECT doc_id, n_tokens, u,
+         LEAST(CAST(9000 AS BIGINT), (n_uniq * 20000) // (n_tokens * 3)) AS rate_bp
+  FROM scored
+)
+SELECT doc_id, n_tokens, rate_bp, u
+FROM rated WHERE u % 10000 < rate_bp
+"""
+
+
+@query("l36_weighted_sample", oracle=L36_ORACLE)
+def l36_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sample: each document's keep rate is an
+    integer function of its uniqueness ratio (capped at 90%), and
+    membership is the MINSTD hash of its id — deterministic,
+    partitioning-invariant, one stateless scan, no shuffle. The shape
+    of every production "sample the good stuff harder" curation pass,
+    with a full value oracle where an RNG sampler can never have one."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    u = (F.pmod(F.col("doc_id"), F.lit(L36_M)) * L36_A) % L36_M
+    scored = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_uniq"),
+        u.cast("long").alias("u"),
+    ).withColumn(
+        "rate_bp",
+        F.least(
+            F.lit(9000).cast("long"),
+            F.expr("(n_uniq * 20000) div (n_tokens * 3)"),
+        ),
+    )
+    return scored.filter(F.col("u") % 10000 < F.col("rate_bp")).select(
+        "doc_id", "n_tokens", "rate_bp", "u"
+    )

@@ -206,3 +206,15 @@ def test_g2_triangle_counts_match_naive(spark, sf_dir):
         for r in Q["g2_triangle_count"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_l36_weighted_sample_is_quality_biased(spark, sf_dir):
+    out = Q["l36_weighted_sample"](spark, sf_dir).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = Q["l36_weighted_sample"](spark, sf_dir).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b), "weighted hash sample must be reproducible"
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert 0 < len(out) < n_docs
+    assert (out["rate_bp"] <= 9000).all() and (out["rate_bp"] > 0).all()
+    # membership respects the per-row rate by construction; spot-check
+    assert ((out["u"] % 10000) < out["rate_bp"]).all()
