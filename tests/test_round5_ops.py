@@ -147,8 +147,6 @@ def test_l35_retained_energy_bounds(spark, sf_dir):
 def test_x3_anomalies_match_float_zscore(spark, sf_dir):
     """The integer 3-sigma test must agree with the float z-score on
     non-boundary rows (it IS the same predicate, computed exactly)."""
-    import math
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", F.floor(F.col("value") * 100 + 0.5).alias("cents")
     ).toPandas()
