@@ -3158,3 +3158,56 @@ def l36_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("u") % 10000 < F.col("rate_bp")).select(
         "doc_id", "n_tokens", "rate_bp", "u"
     )
+
+
+# --- L37: leakage-free train/test split ---------------------------------------
+
+# Random train/test splits leak: a near-duplicate of a training doc in
+# the test set inflates every eval. The leakage-free split assigns
+# whole NEAR-DUP CLUSTERS (l8's connected components) to a side, so no
+# ≥0.8-Jaccard pair can ever cross the boundary; the side is chosen by
+# the deterministic MINSTD hash of the cluster id (≈10% test), making
+# the split reproducible on any cluster layout AND full-oracle
+# checkable (the oracle rebuilds the same components via the recursive
+# transitive closure and applies the same hash).
+L37_TEST_BP = 1000  # basis points of clusters routed to test
+
+L37_ORACLE = f"""
+WITH RECURSIVE src AS (SELECT doc_id, text FROM documents),
+{{closure}}
+SELECT doc_id, cluster_id,
+       CASE WHEN ((cluster_id % {{m}}) * {{a}} % {{m}}) % 10000 < {L37_TEST_BP}
+            THEN 'test' ELSE 'train' END AS split
+FROM cc
+"""
+
+
+@query(
+    "l37_leakage_free_split",
+    oracle=L37_ORACLE.format(
+        closure=_cc_pairs_and_closure_sql("src", MINHASH_THRESHOLD),
+        m=2_147_483_647,
+        a=48271,
+    ),
+)
+def l37_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split with a no-leakage guarantee: every document
+    carries its near-dup cluster id (min-label connected components
+    over the exact ≥0.8-Jaccard pair graph — l8's machinery), and the
+    whole cluster goes to 'test' iff MINSTD(cluster_id) lands in the
+    10% band. Pytest proves the guarantee directly: no verified
+    near-dup pair crosses the split. Scale shape = l8's (iterative
+    label propagation, pairs from the cost-based l2 strategy) plus one
+    stateless hash expression — nothing new shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = l2_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _min_label_propagation(d, pairs)
+    m, a = 2_147_483_647, 48271
+    u = (F.pmod(F.col("label"), F.lit(m)) * a) % m
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.when(u % 10000 < L37_TEST_BP, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

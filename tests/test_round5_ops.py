@@ -231,3 +231,22 @@ def test_o19_diff_classifies_all_statuses(spark, sf_dir):
         F.col("doc_id") % 7 == 0
     ).count()
     assert len(out) == n_docs
+
+
+def test_l37_split_has_no_cross_split_neardups(spark, sf_dir):
+    """The guarantee itself: no verified >=0.8 near-dup pair may cross
+    the train/test boundary, and the test fraction is in a sane band."""
+    out = Q["l37_leakage_free_split"](spark, sf_dir).toPandas()
+    side = dict(zip(out["doc_id"], out["split"]))
+    pairs = Q["l2_minhash_lsh"](spark, sf_dir).collect()
+    crossers = [
+        (r["doc_a"], r["doc_b"])
+        for r in pairs
+        if side[r["doc_a"]] != side[r["doc_b"]]
+    ]
+    assert not crossers, f"near-dup pairs cross the split: {crossers[:5]}"
+    # whole clusters move together
+    grp = out.groupby("cluster_id")["split"].nunique()
+    assert (grp == 1).all()
+    frac = (out["split"] == "test").mean()
+    assert 0.005 < frac < 0.6, frac  # clustered split: high variance at fixture size
