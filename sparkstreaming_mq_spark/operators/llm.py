@@ -435,15 +435,19 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-postings self-join on this corpus (tiny vocabulary →
     pathological posting lists).
 
-    When the sampled cost model says banding is cheaper (low-density
-    corpora past ~10⁴ docs) or the broadcast can't fit
-    (> L2B_MAX_BROADCAST_DOCS), ``_lsh_candidate_pairs`` provides
-    banded-MinHash blocks and the same kernel verifies within blocks
-    (near-exact: ~0.8% false-negative rate at j=0.8, the documented
-    scale trade). The DuckDB oracle keeps the postings formulation —
-    same semantics, each engine in its best physical shape."""
+    Carries a FULL value-hash oracle, so ``exact_required=True``: the
+    exact kernel runs unconditionally below the broadcast memory cliff
+    (L2B_MAX_BROADCAST_DOCS) — the cost model never flips this query to
+    the ~0.8%-false-negative banded path on a low-density fixture. Past
+    the cliff (no oracle runs at that size) ``_lsh_candidate_pairs``
+    provides banded-MinHash blocks and the same kernel verifies within
+    blocks — the documented scale trade. The DuckDB oracle keeps the
+    postings formulation — same semantics, each engine in its best
+    physical shape."""
     d = load_table(spark, sf_dir, "documents")
-    return _neardup_pairs(d, JACCARD_THRESHOLD, n_docs=table_rowcount(sf_dir, "documents"))
+    return _neardup_pairs(
+        d, JACCARD_THRESHOLD, n_docs=table_rowcount(sf_dir, "documents"), exact_required=True
+    )
 
 
 def _broadcast_jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
@@ -694,32 +698,33 @@ def _verify_pairs(
 
 @query("l2_minhash_lsh", oracle=_jaccard_oracle(MINHASH_THRESHOLD))
 def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pair detection at j≥0.8, cost-based like every other
-    operator in the engine:
+    """Near-dup pair detection at j≥0.8.
 
-    - When ``_neardup_strategy`` estimates banding cheaper (sampled
-      band-bucket histogram; low-density corpora past ~10⁴ docs) or
-      the broadcast can't fit (> L2B_MAX_BROADCAST_DOCS — the real
-      100 TB regime): banded MinHash LSH — candidate pairs from
-      ``_lsh_candidate_pairs`` (band collisions only; 5-row bands
-      chosen over 4-row: ~5× fewer false candidates on a dense corpus
-      for a ~0.8% false-negative rate at j=0.8), then exact Jaccard
-      verification on candidates. Never an all-pairs product.
-    - Otherwise: the blocked broadcast bitmap kernel, which is EXACT
-      (recall 1.0) and strictly cheaper there — on the dense fixture
-      corpus (24% true-dup density) LSH generates ~27M candidate rows
-      against ~12.5M total pairs, so banding costs more than brute
-      force. Running the pruning strategy where pruning is
-      negative-yield would be the anti-pattern; the decision compares
-      estimated pair work, not just a doc-count cliff.
+    Carries a FULL value-hash oracle (and l8/l37 build their cluster
+    graphs from these pairs), so ``exact_required=True``: below the
+    broadcast memory cliff (L2B_MAX_BROADCAST_DOCS) the blocked
+    broadcast bitmap kernel runs unconditionally — EXACT (recall 1.0),
+    and on the dense fixture corpus (24% true-dup density) also the
+    cheaper plan (LSH would generate ~27M candidate rows against
+    ~12.5M total pairs). The data-dependent ``_neardup_strategy`` cost
+    switch still serves callers without exact oracles; letting it pick
+    the ~0.8%-false-negative banded path under a full oracle was the
+    r5-advice hazard this flag closes.
 
-    Output contract either way: pairs with exact verified Jaccard
-    ≥ 0.8 (the LSH path may miss ~0.8%). Rows-only oracle; pytest
+    Past the cliff — the real 100 TB regime, where a corpus-sized
+    broadcast is an executor OOM and no oracle is runnable — banded
+    MinHash LSH takes over: candidate pairs from
+    ``_lsh_candidate_pairs`` (band collisions only; 5-row bands chosen
+    over 4-row: ~5× fewer false candidates on a dense corpus for a
+    ~0.8% false-negative rate at j=0.8), then exact Jaccard
+    verification on candidates. Never an all-pairs product. Pytest
     forces the banded path explicitly and checks its recall against
     the exact kernel.
     """
     d = load_table(spark, sf_dir, "documents")
-    return _neardup_pairs(d, MINHASH_THRESHOLD, n_docs=table_rowcount(sf_dir, "documents"))
+    return _neardup_pairs(
+        d, MINHASH_THRESHOLD, n_docs=table_rowcount(sf_dir, "documents"), exact_required=True
+    )
 
 
 # Compute-aware strategy constants (the r4 critique: the single 1M-doc
@@ -788,18 +793,37 @@ def _neardup_strategy(d: DataFrame, n_docs: int) -> str:
     return "banded" if banded_work < exact_work else "exact"
 
 
-def _neardup_pairs(d: DataFrame, threshold: float, n_docs: int | None = None) -> DataFrame:
-    """Cost-based near-dup pair strategy shared by l2/l2b/l9: banded
-    LSH + verify when ``_neardup_strategy`` estimates it cheaper (or
-    broadcast can't fit), exact broadcast bitmap kernel otherwise.
+def _neardup_pairs(
+    d: DataFrame,
+    threshold: float,
+    n_docs: int | None = None,
+    exact_required: bool = False,
+) -> DataFrame:
+    """Cost-based near-dup pair strategy shared by l2/l2b/l9/l37:
+    banded LSH + verify when ``_neardup_strategy`` estimates it cheaper
+    (or broadcast can't fit), exact broadcast bitmap kernel otherwise.
 
     ``n_docs``: pre-known corpus size (parquet-footer statistics via
     ``tables.table_rowcount``, or any upper bound). Passing it avoids a
     full ``d.count()`` scan per invocation just to pick the strategy —
     an upper bound is safe: it can only push toward the banded path,
-    which is correct at any size."""
+    which is correct at any size.
+
+    ``exact_required``: set by every caller whose result feeds a FULL
+    value-hash oracle (l2/l2b and, via their pairs, l8/l9/l37). The
+    banded path's ~0.8% false-negative rate is a fine scale trade but
+    silently fails an exact DuckDB oracle, and the cost model's choice
+    is data-dependent — a future driver fixture with 8k–1M low-density
+    docs would flip to banded and hash-mismatch. With the flag, the
+    exact kernel is used unconditionally below the broadcast memory
+    cliff (``L2B_MAX_BROADCAST_DOCS``); past the cliff exact is
+    physically impossible (broadcast OOM) and the banded path runs —
+    at that scale no oracle is runnable anyway, and the recall caveat
+    is the documented contract."""
     if n_docs is None:
         n_docs = d.count()
+    if exact_required and n_docs <= L2B_MAX_BROADCAST_DOCS:
+        return _broadcast_jaccard_pairs(d, threshold)
     if _neardup_strategy(d, n_docs) == "banded":
         return _verify_pairs(d, _lsh_candidate_pairs(d), threshold, n_docs=n_docs)
     return _broadcast_jaccard_pairs(d, threshold)
@@ -1274,15 +1298,56 @@ CC_MAX_ITERS = 20
 CC_CHECKPOINT_EVERY = 3  # lineage-truncation cadence for the label frame
 
 
+# Unrolled label-propagation rounds in the connected-components
+# oracles. Measured (r6, DuckDB at sf0.1's 2.97M-pair graph): the
+# min-label fixpoint lands after 4 effective rounds at every gate sf;
+# with the pointer-jump term each round covers label distances that
+# grow exponentially (≥2^(rounds-1)), so 8 rounds cover diameter ≥128
+# — a 30× margin over the measured depth. If a future fixture ever
+# exceeded it, the oracle diverges from Spark's true fixpoint and the
+# gate fails LOUDLY (hash mismatch) — never silently.
+CC_ORACLE_ROUNDS = 8
+
+
 def _cc_pairs_and_closure_sql(src: str, threshold: float) -> str:
     """DuckDB CTE block: exact token-Jaccard pairs at ``threshold``
-    among docs in CTE ``src`` (doc_id, text), then the transitive
-    closure as a recursive CTE. Yields ``cc(doc_id, cluster_id)`` with
-    cluster_id = min reachable doc_id — exactly the fixpoint of the
-    Spark side's min-label propagation. Valid as an oracle because at
-    the gate's scale the Spark pair generation takes the exact kernel
-    path (recall 1.0), so both sides cluster the identical pair graph.
-    (The enclosing query must start WITH RECURSIVE.)"""
+    among docs in CTE ``src`` (doc_id, text), then connected
+    components as CC_ORACLE_ROUNDS unrolled min-label-propagation
+    rounds with pointer jumping. Yields ``cc(doc_id, cluster_id)``
+    with cluster_id = min reachable doc_id — exactly the fixpoint of
+    the Spark side's min-label propagation.
+
+    The r5 formulation materialized the full per-doc transitive
+    closure as a recursive CTE — Σ component_size² reach rows, each
+    recursion step joining them against the 5.9M directed edges: that
+    one CTE blew a 70-minute full-registry sweep at sf0.1. Each
+    unrolled round here is ONE bounded edge join + one tiny
+    label-to-label pointer jump (l(l(d)) — halves the remaining label
+    depth per round), converging to the identical fixpoint in ~2 s
+    where the closure ran for tens of minutes (measured, r6).
+
+    Valid as an oracle because at the gate's scale the Spark pair
+    generation takes the exact kernel path (recall 1.0), so both
+    sides cluster the identical pair graph."""
+    rounds = []
+    for k in range(1, CC_ORACLE_ROUNDS + 1):
+        # AS MATERIALIZED is load-bearing: each round references the
+        # previous one 3× (self, pointer jump, neighbor min) — left to
+        # DuckDB's default CTE inlining the plan tree grows 3^rounds
+        # copies of the pair build (observed: "Too many open files")
+        rounds.append(
+            f""",
+l{k} AS MATERIALIZED (
+  SELECT d.doc_id,
+         least(d.label, j.label, coalesce(nm.nmin, d.label)) AS label
+  FROM l{k - 1} d
+  JOIN l{k - 1} j ON j.doc_id = d.label
+  LEFT JOIN (SELECT e.s AS doc_id, min(l.label) AS nmin
+             FROM edges e JOIN l{k - 1} l ON l.doc_id = e.t
+             GROUP BY e.s) nm
+    ON nm.doc_id = d.doc_id
+)"""
+        )
     return f"""
 tok AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token FROM {src}
@@ -1299,19 +1364,15 @@ pairs AS (
   JOIN sz sb ON sb.doc_id = doc_b
   WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
 ),
-edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM pairs
           UNION ALL SELECT doc_b, doc_a FROM pairs),
-reach(doc_id, r) AS (
-  SELECT doc_id, doc_id FROM {src}
-  UNION
-  SELECT reach.doc_id, edges.t FROM reach JOIN edges ON reach.r = edges.s
-),
-cc AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+l0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM {src}){"".join(rounds)},
+cc AS (SELECT doc_id, label AS cluster_id FROM l{CC_ORACLE_ROUNDS})
 """
 
 
 L8_ORACLE = f"""
-WITH RECURSIVE src AS (SELECT doc_id, text FROM documents),
+WITH src AS (SELECT doc_id, text FROM documents),
 {_cc_pairs_and_closure_sql("src", MINHASH_THRESHOLD)}
 SELECT doc_id, cluster_id, CAST(doc_id = cluster_id AS INTEGER) AS keep FROM cc
 """
@@ -1377,8 +1438,8 @@ def l8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster, not a pair list).
 
     The iterative Spark side converges to label = min reachable
-    doc_id; the oracle reproduces those labels non-iteratively as a
-    recursive-CTE transitive closure over the same exact pair graph
+    doc_id; the oracle reproduces those labels as bounded unrolled
+    pointer-jumping propagation rounds over the same exact pair graph
     (see ``_cc_pairs_and_closure_sql``). pytest asserts the fixpoint
     property (one more propagation step changes nothing) and that
     every pair's endpoints share a cluster."""
@@ -1396,7 +1457,7 @@ def l8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- L9: end-to-end corpus dedup pipeline -------------------------------------
 
 L9_ORACLE = f"""
-WITH RECURSIVE scored AS (
+WITH scored AS (
   SELECT doc_id, text,
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
                              ' +', ' ', 'g')) AS norm_text,
@@ -1446,8 +1507,8 @@ def l9_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same scored operator the engine exposes standalone; the
     pipeline adds only narrow projections and left-anti joins between
     stages (no new shuffle shapes). The oracle replays all three
-    stages in SQL, reproducing the iterative near-dup stage as a
-    recursive-CTE closure (see ``_cc_pairs_and_closure_sql``); pytest
+    stages in SQL, reproducing the iterative near-dup stage with the
+    same bounded-round propagation (``_cc_pairs_and_closure_sql``); pytest
     asserts the stages partition the corpus and that no two kept docs
     share a verified near-dup pair."""
     d = load_table(spark, sf_dir, "documents")
@@ -1476,14 +1537,17 @@ def l9_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = quality_ok.join(keepers, "doc_id", "left_semi").select("doc_id", "text")
 
-    # near-dup clustering among survivors (cost-based: banded LSH +
-    # verify past the broadcast boundary, exact kernel below it).
+    # near-dup clustering among survivors. exact_required: l9 carries a
+    # full value-hash oracle, so the exact kernel is forced below the
+    # broadcast cliff (banded LSH only past it, where no oracle runs).
     # Footer count of the unfiltered table is an upper bound on the
-    # survivor count — safe for the strategy switch (can only err
-    # toward the banded path, correct at any size) and avoids a
-    # count() scan of the filtered frame.
+    # survivor count — safe for the cliff check and avoids a count()
+    # scan of the filtered frame.
     pairs = _neardup_pairs(
-        survivors, MINHASH_THRESHOLD, n_docs=table_rowcount(sf_dir, "documents")
+        survivors,
+        MINHASH_THRESHOLD,
+        n_docs=table_rowcount(sf_dir, "documents"),
+        exact_required=True,
     )
     labels = _min_label_propagation(survivors, pairs.select("doc_a", "doc_b"))
     final = labels.select(
@@ -3168,12 +3232,12 @@ def l36_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ≥0.8-Jaccard pair can ever cross the boundary; the side is chosen by
 # the deterministic MINSTD hash of the cluster id (≈10% test), making
 # the split reproducible on any cluster layout AND full-oracle
-# checkable (the oracle rebuilds the same components via the recursive
-# transitive closure and applies the same hash).
+# checkable (the oracle rebuilds the same components via the bounded
+# pointer-jumping propagation and applies the same hash).
 L37_TEST_BP = 1000  # basis points of clusters routed to test
 
 L37_ORACLE = f"""
-WITH RECURSIVE src AS (SELECT doc_id, text FROM documents),
+WITH src AS (SELECT doc_id, text FROM documents),
 {{closure}}
 SELECT doc_id, cluster_id,
        CASE WHEN ((cluster_id % {{m}}) * {{a}} % {{m}}) % 10000 < {L37_TEST_BP}

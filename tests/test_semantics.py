@@ -115,6 +115,40 @@ def test_neardup_strategy_is_compute_aware(spark, sf_dir, monkeypatch):
     assert llm._neardup_strategy(dense, n_dense) == "exact"
 
 
+def test_exact_required_skips_banded_path_below_cliff(spark, monkeypatch):
+    """Full-oracle callers (l2/l2b/l9, and l8/l37 through their pairs)
+    pass exact_required=True: below the broadcast cliff the exact
+    kernel must run even when the cost model would pick the banded
+    (~0.8% false-negative) path — the r5-advice hazard. Routing is
+    pinned by making the banded entry point explode."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_mq_spark.operators import llm
+
+    n = 150_000  # sparse corpus: the cost model picks 'banded' here
+    sparse = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("w%da w%db w%dc w%dd", "id", "id", "id", "id").alias("text"),
+    )
+    assert llm._neardup_strategy(sparse, n) == "banded"
+
+    def boom(*a, **k):
+        raise AssertionError("banded path taken despite exact_required")
+
+    monkeypatch.setattr(llm, "_lsh_candidate_pairs", boom)
+    # plan construction routes through the exact kernel — no banding
+    out = llm._neardup_pairs(sparse, 0.8, n_docs=n, exact_required=True)
+    assert set(out.columns) == {"doc_a", "doc_b", "jac"}
+    # past the memory cliff exact is impossible: banded is reached
+    monkeypatch.setattr(llm, "L2B_MAX_BROADCAST_DOCS", 0)
+    try:
+        llm._neardup_pairs(sparse, 0.8, n_docs=n, exact_required=True)
+    except AssertionError as e:
+        assert "banded path taken" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("cliff-crossing corpus did not route to banded")
+
+
 def test_embed_neardup_bucketed_path_subset_of_exact(spark, sf_dir, monkeypatch):
     """l7 is cost-based: force the LSH-bucketed (large-corpus) path and
     check it emits only pairs the exact path confirms."""
