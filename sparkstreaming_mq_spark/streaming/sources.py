@@ -58,7 +58,11 @@ EVENTS_STREAM_SCHEMA = StructType(
 # deterministic within-chunk (ts, event_id) row order and explicit
 # mtime spacing, replacing the single-task global window + per-chunk
 # coalesce(1) loop.
-_CACHE_VERSION = 5
+# v6: within-chunk sort now leads with __chunk so the dynamic-partition
+# writer's own partition-column sort can't reorder equal-key rows via
+# spill-merge instability; same logical order on this data, but the
+# plan changed, so cached chunks must rebuild.
+_CACHE_VERSION = 6
 
 
 def _write_chunk_files(
@@ -72,7 +76,16 @@ def _write_chunk_files(
     single task (hash collisions merely give one task two chunks — the
     partitionBy writer still emits one file per chunk value), the
     partition-local sort pins within-file row order, and the writer
-    runs all chunks concurrently. File mtimes are then set explicitly,
+    runs all chunks concurrently. The sort leads with ``__chunk``: the
+    dynamic-partition writer requires its output sorted by the
+    partition column and would otherwise insert its OWN sort on top,
+    leaving the ``sort_cols`` order to survive only via sorter
+    stability — which spill-merge at scale does not guarantee.
+    Sorting (``__chunk``, *sort_cols) satisfies the writer's
+    requirement in the child plan itself, so the within-file order is
+    plan-guaranteed (replay order feeds the microbatch-mechanics
+    oracles: t6/t8/t10, full-replay dedup).
+    File mtimes are then set explicitly,
     spaced 10 s apart in chunk order — the file stream source replays
     oldest-first, and an explicit clock is robust where write-order
     mtimes (the old scheme) could collide at ms resolution.
@@ -84,7 +97,7 @@ def _write_chunk_files(
     tmp = os.path.join(out, "_build")
     (
         df_with_chunk.repartition(n_chunks, "__chunk")
-        .sortWithinPartitions(*sort_cols)
+        .sortWithinPartitions("__chunk", *sort_cols)
         .write.partitionBy("__chunk")
         .mode("overwrite")
         .parquet(tmp)
