@@ -550,15 +550,32 @@ def a16_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH k AS (
   SELECT l_orderkey AS key, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_cnt,
+         CAST(sum(cnt) AS BIGINT) AS n_rows
+  FROM k
+),
+h AS (SELECT cnt, CAST(count(*) AS BIGINT) AS freq FROM k GROUP BY cnt),
+c AS (SELECT cnt, CAST(sum(freq) OVER (ORDER BY cnt) AS BIGINT) AS cum FROM h),
+a AS (
+  SELECT
+    min(CASE WHEN cum >= (50*(n_keys-1))//100 + 1 THEN cnt END) AS lo50,
+    min(CASE WHEN cum >= (50*(n_keys-1))//100 + 2 THEN cnt END) AS hi50,
+    min(CASE WHEN cum >= (99*(n_keys-1))//100 + 1 THEN cnt END) AS lo99,
+    min(CASE WHEN cum >= (99*(n_keys-1))//100 + 2 THEN cnt END) AS hi99
+  FROM c, s
 )
 SELECT 'lineitem.l_orderkey' AS key_col,
-       count(*) AS n_keys,
-       CAST(max(cnt) AS BIGINT) AS max_cnt,
-       CAST(sum(cnt) AS BIGINT) AS n_rows,
-       round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
-       round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
-       round(max(cnt) * count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS skew_ratio
-FROM k
+       s.n_keys, s.max_cnt, s.n_rows,
+       CAST(lo50*100 + ((50*(n_keys-1)) % 100) * (coalesce(hi50, lo50) - lo50)
+            AS DOUBLE)/100 AS p50_cnt,
+       CAST(lo99*100 + ((99*(n_keys-1)) % 100) * (coalesce(hi99, lo99) - lo99)
+            AS DOUBLE)/100 AS p99_cnt,
+       CAST((max_cnt*n_keys*20000 + n_rows)//(2*n_rows) AS DOUBLE)/10000
+         AS skew_ratio
+FROM a, s
 """,
 )
 def o18_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,24 +587,67 @@ def o18_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle being profiled, so cost ≈ the join it derisks), then a
     single-row stats pass over the key histogram. This is the
     operational tool you run BEFORE the 100 TB join, not after it
-    spills."""
+    spills.
+
+    Percentiles follow the r5 advice: NEVER round independently
+    interpolated doubles (Spark percentile vs DuckDB quantile_cont can
+    differ by 1 ulp, and round() half-up vs half-even diverges ties).
+    Per-key counts are integers, so the p=k/100 linear interpolation
+    lo + (rem/100)*(hi-lo) is EXACT in 1/100 units — both engines
+    compute the order statistics lo/hi from a cumulative count
+    histogram and the same BIGINT arithmetic, then divide the
+    identical integer by 100.0 (identical IEEE operands → identical
+    double, no rounding step). skew_ratio likewise: half-up fixed-point
+    at 4 decimals via (20000·max·keys + rows) div (2·rows) — exact
+    rational rounding in BIGINTs. The count histogram has one row per
+    distinct per-key count (single digits here), so the window/cross
+    joins are driver-trivial at any scale."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     k = li.groupBy(F.col("l_orderkey").alias("key")).agg(F.count("*").alias("cnt"))
-    pct = F.percentile("cnt", F.array(F.lit(0.5), F.lit(0.99)))
-    return k.agg(
-        F.lit("lineitem.l_orderkey").alias("key_col"),
+    stats = k.agg(
         F.count("*").alias("n_keys"),
         F.max("cnt").cast("long").alias("max_cnt"),
         F.sum("cnt").cast("long").alias("n_rows"),
-        pct.alias("pcts"),
-    ).select(
-        "key_col",
+    )
+    # tiny frame: one row per DISTINCT per-key count (≤ max lines/order)
+    h = k.groupBy("cnt").agg(F.count("*").alias("freq"))
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = h.withColumn("cum", F.sum("freq").over(w))
+    j = c.crossJoin(F.broadcast(stats))
+
+    def _lo_hi(p_num: int) -> tuple:
+        idx = F.expr(f"({p_num}*(n_keys-1)) div 100")
+        lo = F.min(F.when(F.col("cum") >= idx + 1, F.col("cnt")))
+        hi = F.min(F.when(F.col("cum") >= idx + 2, F.col("cnt")))
+        return lo, hi
+
+    lo50, hi50 = _lo_hi(50)
+    lo99, hi99 = _lo_hi(99)
+    agg = j.agg(
+        F.max("n_keys").alias("n_keys"),
+        F.max("max_cnt").alias("max_cnt"),
+        F.max("n_rows").alias("n_rows"),
+        lo50.alias("lo50"),
+        hi50.alias("hi50"),
+        lo99.alias("lo99"),
+        hi99.alias("hi99"),
+    )
+
+    def _pcts(p_num: int, lo: str, hi: str):
+        rem = F.expr(f"({p_num}*(n_keys-1)) % 100")
+        c100 = F.col(lo) * 100 + rem * (F.coalesce(F.col(hi), F.col(lo)) - F.col(lo))
+        return (c100 / F.lit(100.0)).alias(f"p{p_num}_cnt")
+
+    return agg.select(
+        F.lit("lineitem.l_orderkey").alias("key_col"),
         "n_keys",
         "max_cnt",
         "n_rows",
-        F.round(F.col("pcts")[0], 4).alias("p50_cnt"),
-        F.round(F.col("pcts")[1], 4).alias("p99_cnt"),
-        F.round(
-            F.col("max_cnt") * F.col("n_keys") / F.col("n_rows").cast("double"), 4
+        _pcts(50, "lo50", "hi50"),
+        _pcts(99, "lo99", "hi99"),
+        (
+            F.expr("(max_cnt*n_keys*20000 + n_rows) div (2*n_rows)") / F.lit(10000.0)
         ).alias("skew_ratio"),
     )
