@@ -73,8 +73,16 @@ GROUP BY win_start, event_type
 def t2_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event type, complete
     output mode over a multi-micro-batch replay — equals the batch
-    aggregation (stream-batch equivalence)."""
-    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+    aggregation (stream-batch equivalence).
+
+    n_chunks=2 (r6, measured): the complete-mode result is
+    chunk-count independent, and per-micro-batch fixed overhead
+    (state-store open/commit + memory-sink rewrite) dominates at
+    bench scale — warm sf0.1 medians: 4 chunks 2.3 s, 2 chunks 1.05 s,
+    with cross-batch state merge still exercised. Queries whose
+    oracles ENCODE chunk mechanics (t6/t8/t10/t14/t15/t16) keep their
+    own pinned counts."""
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=2, order="time")
     # fixed-point cents (f10 pattern): the state store merges partial
     # sums in state-merge order, DuckDB in scan order — a float sum
     # rounded at a .005 boundary is a probabilistic cross-engine hash
@@ -2213,13 +2221,16 @@ GROUP BY route, reason, event_type
 )
 def s15_stream_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dead-letter routing: each micro-batch is validated
-    against the payload contract and split — clean records append to
-    the main store, violations to the DLQ store WITH their reason —
-    inside one foreachBatch (two idempotent appends per epoch, the
-    same exactly-once-by-epoch discipline as s7). The returned frame
-    re-reads both stores and aggregates per (route, reason,
-    event_type), so the oracle checks that routing lost nothing and
-    mis-routed nothing.
+    against the payload contract and split — clean records to the main
+    store, violations to the DLQ store WITH their reason — inside one
+    foreachBatch. Each epoch writes to an epoch-keyed subdirectory
+    with mode=overwrite, so a RETRIED epoch replaces its own output
+    instead of duplicating rows (true exactly-once-by-epoch; the r5
+    advice caught the earlier flat append, which was only
+    exactly-once absent retries). The returned frame re-reads both
+    stores (the ``__epoch=N`` dirs surface as a partition column) and
+    aggregates per (route, reason, event_type), so the oracle checks
+    that routing lost nothing and mis-routed nothing.
 
     Scale shape: validation is a per-row codegen projection; each sink
     write is an append of that batch's partition slice — no shuffle,
@@ -2244,11 +2255,18 @@ def s15_stream_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def route(batch_df: DataFrame, epoch_id: int) -> None:
-        tagged = batch_df.withColumn("reason", reason).withColumn(
-            "__epoch", F.lit(epoch_id)
+        import os as _os
+
+        tagged = batch_df.withColumn("reason", reason)
+        # epoch-keyed dir + overwrite: a retried epoch replaces its own
+        # prior (possibly partial) output — idempotent, like s7's
+        # epoch-compacted upsert log but enforced at the storage layout
+        tagged.filter(F.col("reason") == "ok").write.mode("overwrite").parquet(
+            _os.path.join(main_store, f"__epoch={epoch_id}")
         )
-        tagged.filter(F.col("reason") == "ok").write.mode("append").parquet(main_store)
-        tagged.filter(F.col("reason") != "ok").write.mode("append").parquet(dlq_store)
+        tagged.filter(F.col("reason") != "ok").write.mode("overwrite").parquet(
+            _os.path.join(dlq_store, f"__epoch={epoch_id}")
+        )
 
     run_stream_foreach_batch(stream, route)
 
