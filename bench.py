@@ -51,7 +51,11 @@ HEADLINE = [
     "t2_stream_tumbling",
 ]
 
-N_RUNS = 2  # timed runs (median) for fast queries
+# timed runs (median) for fast queries. 3 since r6 (verdict item: a
+# median of 2 is just the midpoint of two samples — under the
+# documented VM-freshness drift a true median of 3 is the honest
+# per-query number; costs ~15 s total).
+N_RUNS = 3
 SLOW_CUTOFF_S = 30.0  # a first run past this skips warmup-amortized reruns
 
 

@@ -133,6 +133,37 @@ def test_scored_window_is_mostly_oracle_checked():
     assert n_oracle >= 42
 
 
+def test_tail_priority_head_order_pinned():
+    """VERDICT r5 item 7: if a future driver scores >50 slots, the
+    first tail names must be distinct-evidence first — o9 (the one
+    SURVEY row outside the window), then bonus families — not
+    single-family twins of already-scored slots. Freeze the head so a
+    refactor can't silently reorder it."""
+    expected_head = (
+        "o9_sample",
+        "l9_dedup_pipeline",
+        "o10_bucketed_join",
+        "o11_partitioned_prune",
+        "m1_merge_upsert",
+        "m2_scd2_history",
+        "m3_incremental_agg",
+        "s10b_stream_merge_equiv",
+        "s10_stream_merge_upsert",
+        "t4c_session_batch",
+        "j11_salted_skew_join",
+        "j12_star_join",
+        "l7_embed_neardup",
+        "l8_dedup_clusters",
+        "l10_decontaminate",
+        "l11_repetition",
+        "l12_pii_scrub",
+        "l13_chunk_tokens",
+        "l14_hash_sample",
+        "l15_pack_sequences",
+    )
+    assert registry.TAIL_PRIORITY[: len(expected_head)] == expected_head
+
+
 def test_latest_driver_artifact_matches_priority():
     """Round-start audit (VERDICT r4 item 8): the newest CORRECTNESS
     artifact's scored set must equal PRIORITY, in order. If the driver
