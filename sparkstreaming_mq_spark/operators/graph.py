@@ -78,21 +78,25 @@ r{k} AS (
     return "".join(parts)
 
 
-@query("g1_pagerank", oracle=_pagerank_oracle(PR_ITERS))
-def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ten fixed-point PageRank iterations on the part co-purchase graph.
+# Broadcast bound for the per-iteration rank frame (16 bytes/node): up
+# to this many vertices the rank table broadcasts and each iteration
+# touches the edge list with ZERO shuffle of edge rows. Past it (the
+# true web-graph regime) the co-partitioned path runs: edges live in a
+# src-bucketed table (one-time write), so per iteration only the
+# O(nodes) rank frame shuffles into the bucket layout — edge rows
+# never cross the wire after the initial bucketing.
+G1_BROADCAST_MAX_NODES = 5_000_000
+G1_EDGE_BUCKETS = 16
 
-    Scale shape: the edge list and degree table materialize once
-    (``localCheckpoint``; at cluster scale this is a persisted shuffle
-    on ``src``), then every iteration joins the O(nodes) rank frame to
-    the edge list on the SAME key — Catalyst reuses the partitioning,
-    so each round is one shuffle of the small rank table, never of the
-    edges. Rank frames are localCheckpoint'ed every PR_CKPT_EVERY
-    rounds to bound plan depth (the l8 lineage-truncation pattern,
-    operators/llm.py:1221; cadence knee measured, see constant). The symmetric edge construction
-    guarantees in-degree ≥ 1 for every node, so no dangling-mass or
-    left-join handling is needed on either engine.
-    """
+
+def _g1_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Materialize the co-purchase edge list WITH the source's
+    out-degree folded onto each edge row (src, dst, outdeg), plus the
+    node frame. Folding outdeg onto the edge eliminates the
+    per-iteration rank⋈degree join: the contribution pr div outdeg is
+    computed per edge row in codegen (same integer per src — the sum
+    is identical), so one iteration is exactly one join + one
+    aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     a, b = items.alias("a"), items.alias("b")
@@ -106,25 +110,73 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    deg = (
-        pairs.groupBy("src")
-        .agg(F.count("*").cast("long").alias("outdeg"))
-        .localCheckpoint(eager=True)
-    )
-    ranks = deg.select(
+    deg = pairs.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    edges = pairs.join(deg, "src").localCheckpoint(eager=True)
+    nodes = edges.select("src").distinct().localCheckpoint(eager=True)
+    return edges, nodes
+
+
+def _g1_bucketed_edges(spark: SparkSession, sf_dir: str, edges: DataFrame) -> DataFrame:
+    """Big-graph path: persist the edge list bucketed by ``src`` (the
+    o10 zero-exchange machinery) so every iteration's rank⋈edges join
+    reads edge buckets in place — only the rank frame shuffles."""
+    import os
+    import tempfile
+
+    from sparkstreaming_mq_spark.tables import cache_key
+
+    name = f"sg_g1_edges_{cache_key(sf_dir, 'lineitem')}"
+    if not spark.catalog.tableExists(name):
+        base = os.path.join(tempfile.gettempdir(), "sparkgraft_buckets", name)
+        (
+            edges.write.mode("overwrite")
+            .option("path", base)
+            .bucketBy(G1_EDGE_BUCKETS, "src")
+            .sortBy("src")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+@query("g1_pagerank", oracle=_pagerank_oracle(PR_ITERS))
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten fixed-point PageRank iterations on the part co-purchase graph.
+
+    Scale shape (reworked r6 after the 10× smoke showed every
+    iteration re-shuffling the full edge list through a sort-merge
+    join — localCheckpoint does NOT preserve partitioning in this
+    build, so the old "Catalyst reuses the partitioning" claim was
+    wrong in practice): the edge list materializes ONCE with outdeg
+    folded onto each row (``_g1_edges``), then each iteration is one
+    join + one aggregate where no edge row ever shuffles —
+    - ≤ G1_BROADCAST_MAX_NODES: the O(nodes) rank frame broadcasts;
+      the join is map-side over the materialized edges and the only
+      exchange is the post-partial-agg per-vertex rollup.
+    - past the bound (rank frame too big for executor memory): edges
+      persist src-bucketed (``_g1_bucketed_edges``) and the rank frame
+      shuffles into the bucket layout — per-iteration network cost is
+      O(nodes), never O(edges).
+    Rank frames are localCheckpoint'ed every PR_CKPT_EVERY rounds to
+    bound plan depth (the l8 lineage-truncation pattern; cadence knee
+    measured, see constant). The symmetric edge construction
+    guarantees in-degree ≥ 1 for every node, so no dangling-mass or
+    left-join handling is needed on either engine.
+    """
+    edges, nodes = _g1_edges(spark, sf_dir)
+    if nodes.count() > G1_BROADCAST_MAX_NODES:
+        edges = _g1_bucketed_edges(spark, sf_dir, edges)
+        rank_side = lambda r: r  # noqa: E731 — bucketed edges stay in place
+    else:
+        rank_side = F.broadcast
+    ranks = nodes.select(
         F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("pr")
     )
     for it in range(PR_ITERS):
-        contrib = (
-            ranks.join(deg, ranks.node == deg.src)
-            .select("src", F.expr("pr div outdeg").alias("c"))
-        )
         ranks = (
-            pairs.join(contrib, "src")
+            edges.join(rank_side(ranks), edges.src == F.col("node"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+            .agg(F.sum(F.expr("pr div outdeg")).alias("s"))
             .select(
                 F.col("dst").alias("node"),
                 (F.lit(PR_TELEPORT) + F.expr("(85 * s) div 100"))

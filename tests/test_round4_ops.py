@@ -47,6 +47,36 @@ def test_pagerank_mass_conservation(spark, sf_dir):
     assert out["part_key"].is_unique
 
 
+def test_pagerank_bucketed_path_identical(spark, sf_dir, monkeypatch):
+    """g1 is cost-based (r6): below G1_BROADCAST_MAX_NODES the rank
+    frame broadcasts; past it edges persist src-bucketed and only the
+    rank frame shuffles. Force the bucketed path and require
+    bit-identical fixed-point ranks."""
+    from sparkstreaming_mq_spark.operators import graph
+
+    want = {
+        (r.part_key, r.rank_scaled) for r in Q["g1_pagerank"](spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(graph, "G1_BROADCAST_MAX_NODES", 0)
+    got = {
+        (r.part_key, r.rank_scaled) for r in Q["g1_pagerank"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_pagerank_iteration_never_shuffles_edges(spark, sf_dir):
+    """The per-iteration join must not exchange edge rows: on the
+    broadcast path the only Exchange in the final plan fragment is the
+    per-vertex aggregate rollup (the r6 rework — the old plan
+    sort-merge-joined the full edge list every round)."""
+    df = Q["g1_pagerank"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # final fragment = iterations since the last localCheckpoint: all
+    # joins in it must be broadcast-side (rank frame), never SMJ/SHJ
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
 def _run_space_saving(tokens, capacity):
     batches = [pd.DataFrame({"token": tokens})]
     out = list(_space_saving_partition(iter(batches), capacity))
