@@ -127,8 +127,17 @@ def _g1_bucketed_edges(spark: SparkSession, sf_dir: str, edges: DataFrame) -> Da
     from sparkstreaming_mq_spark.tables import cache_key
 
     name = f"sg_g1_edges_{cache_key(sf_dir, 'lineitem')}"
+    base = os.path.join(tempfile.gettempdir(), "sparkgraft_buckets", name)
+    # The catalog entry can outlive the external /tmp data (tmp cleanup
+    # under a persistent metastore, or a crashed run that registered a
+    # partial write). Trust it only when the directory's _SUCCESS
+    # marker is present; otherwise drop and rewrite — silently-empty
+    # edges would yield an empty rank frame, not a loud failure.
+    if spark.catalog.tableExists(name) and not os.path.exists(
+        os.path.join(base, "_SUCCESS")
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
     if not spark.catalog.tableExists(name):
-        base = os.path.join(tempfile.gettempdir(), "sparkgraft_buckets", name)
         (
             edges.write.mode("overwrite")
             .option("path", base)

@@ -805,9 +805,13 @@ def _neardup_pairs(
 
     ``n_docs``: pre-known corpus size (parquet-footer statistics via
     ``tables.table_rowcount``, or any upper bound). Passing it avoids a
-    full ``d.count()`` scan per invocation just to pick the strategy —
-    an upper bound is safe: it can only push toward the banded path,
-    which is correct at any size.
+    full ``d.count()`` scan per invocation just to pick the strategy.
+    For the cost-based choice an upper bound is safe (it can only push
+    toward the banded path, which is *correct* at any size) — but NOT
+    for ``exact_required``'s cliff check, where banded means a silent
+    ~0.8% recall loss under a full value-hash oracle. There, an upper
+    bound that exceeds the cliff triggers one exact ``count()`` of the
+    actual frame before banding is allowed (see below).
 
     ``exact_required``: set by every caller whose result feeds a FULL
     value-hash oracle (l2/l2b and, via their pairs, l8/l9/l37). The
@@ -822,8 +826,16 @@ def _neardup_pairs(
     is the documented contract."""
     if n_docs is None:
         n_docs = d.count()
-    if exact_required and n_docs <= L2B_MAX_BROADCAST_DOCS:
-        return _broadcast_jaccard_pairs(d, threshold)
+    if exact_required:
+        if n_docs > L2B_MAX_BROADCAST_DOCS:
+            # Callers pass footer counts of the UNFILTERED table as an
+            # upper bound (e.g. l9's survivor set); an over-estimate
+            # must not route a full-oracle query onto the banded path.
+            # One exact count of the frame actually being paired
+            # decides the cliff for real.
+            n_docs = d.count()
+        if n_docs <= L2B_MAX_BROADCAST_DOCS:
+            return _broadcast_jaccard_pairs(d, threshold)
     if _neardup_strategy(d, n_docs) == "banded":
         return _verify_pairs(d, _lsh_candidate_pairs(d), threshold, n_docs=n_docs)
     return _broadcast_jaccard_pairs(d, threshold)
@@ -1541,8 +1553,9 @@ def l9_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full value-hash oracle, so the exact kernel is forced below the
     # broadcast cliff (banded LSH only past it, where no oracle runs).
     # Footer count of the unfiltered table is an upper bound on the
-    # survivor count — safe for the cliff check and avoids a count()
-    # scan of the filtered frame.
+    # survivor count — fine for strategy costing, and _neardup_pairs
+    # recounts the actual survivor frame before it would ever concede
+    # an exact_required call to the banded path.
     pairs = _neardup_pairs(
         survivors,
         MINHASH_THRESHOLD,

@@ -64,15 +64,27 @@ def test_pagerank_bucketed_path_identical(spark, sf_dir, monkeypatch):
     assert got == want
 
 
-def test_pagerank_iteration_never_shuffles_edges(spark, sf_dir):
+def test_pagerank_iteration_never_shuffles_edges(spark, sf_dir, monkeypatch):
     """The per-iteration join must not exchange edge rows: on the
-    broadcast path the only Exchange in the final plan fragment is the
-    per-vertex aggregate rollup (the r6 rework — the old plan
-    sort-merge-joined the full edge list every round)."""
+    broadcast path the only Exchange per iteration is the per-vertex
+    aggregate rollup (the r6 rework — the old plan sort-merge-joined
+    the full edge list every round).
+
+    With the production cadence (PR_CKPT_EVERY=5 divides PR_ITERS=10)
+    the final localCheckpoint fires on the LAST iteration, so the
+    returned frame's plan is just a scan of the checkpointed RDD — a
+    no-join plan passes any join assertion vacuously (the r6 advice
+    finding). Monkeypatch the cadence to a non-divisor so the plan
+    retains three live iterations, then require the joins to exist AND
+    all be broadcast-side."""
+    from sparkstreaming_mq_spark.operators import graph
+
+    monkeypatch.setattr(graph, "PR_CKPT_EVERY", 7)  # ckpt after it=6; 7..9 live
     df = Q["g1_pagerank"](spark, sf_dir)
     plan = formatted_plan(df)
-    # final fragment = iterations since the last localCheckpoint: all
-    # joins in it must be broadcast-side (rank frame), never SMJ/SHJ
+    # the three un-truncated iterations must each contribute a
+    # broadcast join of the rank frame into the materialized edges
+    assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
 
@@ -282,3 +294,33 @@ def test_ivf_exact_recall_vs_exact(spark, duck, sf_dir):
         got = set(out.loc[out.query_id == q, "vec_id"])
         recalls.append(len(got & set(exact)) / 10)
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_pagerank_bucketed_table_rebuilt_when_data_missing(spark, sf_dir, monkeypatch):
+    """A catalog entry whose external /tmp bucket data vanished (tmp
+    cleanup under a persistent metastore) or never finished (no
+    _SUCCESS) must be dropped and rewritten, not trusted — silently
+    empty edges would yield an empty rank frame rather than a loud
+    failure (the r6 advice finding)."""
+    import os
+    import shutil
+    import tempfile
+
+    from sparkstreaming_mq_spark.operators import graph
+    from sparkstreaming_mq_spark.tables import cache_key
+
+    monkeypatch.setattr(graph, "G1_BROADCAST_MAX_NODES", 0)
+    want = {
+        (r.part_key, r.rank_scaled) for r in Q["g1_pagerank"](spark, sf_dir).collect()
+    }
+    assert want
+    name = f"sg_g1_edges_{cache_key(sf_dir, 'lineitem')}"
+    base = os.path.join(tempfile.gettempdir(), "sparkgraft_buckets", name)
+    assert spark.catalog.tableExists(name)
+    assert os.path.exists(os.path.join(base, "_SUCCESS"))
+    shutil.rmtree(base)
+    got = {
+        (r.part_key, r.rank_scaled) for r in Q["g1_pagerank"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert os.path.exists(os.path.join(base, "_SUCCESS"))

@@ -769,3 +769,30 @@ def test_kmeans_broadcast_assignment_matches_literal(spark, sf_dir, monkeypatch)
     bc_l3d = {tuple(r) for r in Q["l3d_ivf_exact"](spark, sf_dir).collect()}
     assert bc_l28 == lit_l28
     assert bc_l3d == lit_l3d
+
+
+def test_exact_required_recounts_overestimated_bound(spark, monkeypatch):
+    """An n_docs UPPER BOUND above the broadcast cliff (l9 passes the
+    unfiltered table's footer count as a bound on its survivor set)
+    must not route an exact_required call onto the ~0.8%-false-negative
+    banded path when the frame actually being paired is small:
+    _neardup_pairs recounts the real frame before conceding to banding
+    (the r6 advice finding)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_mq_spark.operators import llm
+
+    docs = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("alpha beta gamma w%d", "id").alias("text"),
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("banded path taken despite exact_required")
+
+    monkeypatch.setattr(llm, "_lsh_candidate_pairs", boom)
+    # claim the corpus is past the cliff; the true count (64) is not
+    out = llm._neardup_pairs(
+        docs, 0.8, n_docs=llm.L2B_MAX_BROADCAST_DOCS + 1, exact_required=True
+    )
+    assert set(out.columns) == {"doc_a", "doc_b", "jac"}
