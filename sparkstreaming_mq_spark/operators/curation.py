@@ -40,17 +40,25 @@ DECON_NGRAM = 4     # word-shingle width for overlap matching
 BENCH_MOD = 97      # doc_id % BENCH_MOD == 0 -> held-out "benchmark" doc
 
 
-def _shingles(toks, n: int):
-    """All n-token shingles of ``toks`` as strings (empty when the doc
-    is shorter than n)."""
-    n_tok = F.size(toks)
-    return F.when(
-        n_tok >= n,
-        F.transform(
-            F.sequence(F.lit(1), n_tok - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+def _shingle_postings(df: DataFrame, n: int, *key_cols: str) -> DataFrame:
+    """(key_cols..., ng): one row per key × DISTINCT n-token shingle of
+    ``text``, space-joined, none emitted when the doc is shorter than n.
+
+    Built with ``pyspark.ml.feature.NGram`` — a compiled Scala sliding
+    window — NOT a Catalyst transform/slice/concat_ws lambda chain:
+    higher-order-function lambdas execute interpreted (~3M steps/s,
+    CLAUDE.md) and the expression form was THE l33 bottleneck at the
+    10× smoke — 15.8 s vs 1.9 s for the same 2.6M-posting build, output
+    bit-identical (symdiff 0 at n ∈ {3,4,5,13}; NGram's mkString(" ")
+    over sliding windows matches concat_ws+slice exactly, including
+    empty-string tokens)."""
+    from pyspark.ml.feature import NGram
+
+    base = df.select(*key_cols, F.split("text", " ").alias("_toks"))
+    grams = NGram(n=n, inputCol="_toks", outputCol="_ngs").transform(base)
+    return grams.select(
+        *key_cols, F.explode(F.array_distinct("_ngs")).alias("ng")
+    )
 
 
 L10_ORACLE = f"""
@@ -89,11 +97,7 @@ def l10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; the corpus explodes its shingles once and semi-joins —
     the standard n-gram-overlap recipe at map-reduce scale."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(_shingles(toks, DECON_NGRAM))).alias("ng"),
-    )
+    sh = _shingle_postings(d, DECON_NGRAM, "doc_id")
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench_sh = sh.filter(is_bench).select("ng").distinct()
     hits = (
@@ -1149,29 +1153,36 @@ def l33_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline runs before mixing sources (is "web" a superset
     of "forum"? did two crawls ingest the same site?).
 
-    Scale shape: the corpus collapses to DISTINCT (source, shingle)
-    postings first — one shuffle on the shingle, after which every
-    stage is bounded by vocabulary × sources, not by document count.
-    The pair counts come from a postings self-join on the shingle key
-    (the l10 decontamination join turned inward), and the matrix is
-    O(sources²) rows of integers. Jaccard stays in integer basis
-    points (shared×10000 div union) — no float division to diverge.
+    Scale shape (re-laddered r7 after the 10× smoke pinned this at
+    5.5×, the table's worst ratio): ONE shuffle over the exploded
+    postings into ``groupBy(ng).collect_set(source)`` — collect_set's
+    partial aggregate dedups map-side, so the pre-``distinct`` the r5
+    form ran was a second full postings shuffle for nothing, and the
+    vocabulary-sized grouped frame is localCheckpoint'ed so that BOTH
+    consumers (per-source sizes and the pair matrix) read it instead
+    of re-running the explode (ReuseExchange is not trusted to dedup a
+    twice-referenced subplan — the l33 r5 lesson, CLAUDE.md). After
+    that one shuffle every stage is bounded by vocabulary × sources,
+    not by document count; the matrix is O(sources²) rows of integers.
+    Jaccard stays in integer basis points (shared×10000 div union) —
+    no float division to diverge.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sh = (
-        d.select(
-            "source",
-            F.explode(F.array_distinct(_shingles(toks, L33_NGRAM))).alias("ng"),
-        )
-        .distinct()
+    grouped = (
+        _shingle_postings(d, L33_NGRAM, "source")
+        .groupBy("ng")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint(eager=True)  # vocab-sized; read twice below
     )
-    sizes = sh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    sizes = (
+        grouped.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
     # pair generation: per-shingle source SET (bounded by the source
-    # count, a handful) exploded to ordered pairs IN-ROW — one grouped
-    # aggregate on ng, no postings self-join (the join formulation
-    # scanned + shuffled the postings twice; measured 6.3× at the 10×
-    # smoke, ~2× of which was this)
+    # count, a handful) exploded to ordered pairs IN-ROW — no postings
+    # self-join (the join formulation scanned + shuffled the postings
+    # twice; measured 6.3× at the 10× smoke, ~2× of which was this)
     srcs = F.col("srcs")
     pair_structs = F.flatten(
         F.transform(
@@ -1183,9 +1194,7 @@ def l33_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     shared = (
-        sh.groupBy("ng")
-        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
-        .select(F.explode(pair_structs).alias("p"))
+        grouped.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
         .agg(F.count("*").cast("long").alias("shared_ngrams"))
     )
