@@ -1218,3 +1218,79 @@ def l33_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_bp"),
         )
     )
+
+
+# --- L38: substring-duplication density ---------------------------------------
+
+L38_NGRAM = 8
+
+L38_ORACLE = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - {L38_NGRAM} + 2, 1)),
+           i -> array_to_string(toks[i:i + {L38_NGRAM} - 1], ' ')))) AS ng
+  FROM tokd
+),
+freq AS (
+  SELECT ng, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY ng
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+         // CAST(count(*) AS BIGINT) AS dup_bp
+FROM sh s JOIN freq f USING (ng)
+GROUP BY s.doc_id
+"""
+
+
+@query("l38_dup_density", oracle=L38_ORACLE)
+def l38_dup_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication density: for every doc, the fraction
+    (integer basis points) of its distinct 8-token shingles that occur
+    in at least one OTHER place in the corpus — the per-document signal
+    behind exact-substring training-data dedup (the scalable K-gram
+    form of the suffix-array recipe in Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): docs with high
+    dup_bp are boilerplate/templates/mirrors and get scrubbed or
+    down-weighted before near-dup clustering ever runs.
+
+    Scale shape: shingles come from the compiled NGram builder
+    (`_shingle_postings` — the interpreted-HOF trap is documented
+    there), then TWO hash-aggregate shuffles and nothing else: postings
+    group by shingle carrying (df, collect_list(doc_id)) — the list
+    total is exactly the postings count, so no key blows up memory —
+    then the exploded (doc_id, is_dup) rows group by doc. No join, no
+    window sort, no second pass over the corpus. Since a doc's shingles
+    are array_distinct'ed, df ≥ 2 means "some other doc, or another
+    position in no doc" — i.e. genuinely cross-document repetition.
+    Docs shorter than 8 tokens emit no shingles and no row, on both
+    engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingle_postings(d, L38_NGRAM, "doc_id")
+    grouped = sh.groupBy("ng").agg(
+        F.count("*").cast("long").alias("df"),
+        F.collect_list("doc_id").alias("docs"),
+    )
+    per_doc = grouped.select(
+        F.explode("docs").alias("doc_id"),
+        (F.col("df") >= 2).cast("long").alias("is_dup"),
+    )
+    return (
+        per_doc.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum("is_dup").cast("long").alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.expr("(n_dup * 10000) div n_shingles").alias("dup_bp"),
+        )
+    )

@@ -157,3 +157,43 @@ def test_span_dedup_counters_are_consistent(spark, sf_dir):
     # a cross-doc duplicate is necessarily a duplicate
     assert (out["n_cross_doc_spans"] <= out["n_dup_spans"]).all()
     assert (out["n_dup_spans"] <= out["n_spans"]).all()
+
+
+def test_dup_density_invariants_and_regimes(spark, sf_dir):
+    """Value parity vs DuckDB is the oracle sweep's job; this pins the
+    semantics the oracle can't see moving: bounds hold, and the fixture
+    exercises all three regimes (full mirrors at 10000 bp, unique docs
+    at 0, partial overlaps strictly between) — so a fixture
+    regeneration that quietly drops its duplicate structure fails here
+    instead of making the operator vacuously green."""
+    out = Q["l38_dup_density"](spark, sf_dir).toPandas()
+    d = load_table(spark, sf_dir, "documents")
+    assert len(out) == d.count()  # every doc has >=8 tokens in fixtures
+    assert out["doc_id"].is_unique
+    assert (out["n_dup"] <= out["n_shingles"]).all()
+    assert out["dup_bp"].between(0, 10000).all()
+    assert (out["dup_bp"] == 10000).any(), "no full-mirror docs"
+    assert (out["dup_bp"] == 0).any(), "no unique docs"
+    assert out["dup_bp"].between(1, 9999).any(), "no partial overlaps"
+
+
+def test_shingle_postings_edges(spark):
+    """_shingle_postings edge semantics, pinned against the NGram
+    swap-in: short docs emit nothing, within-doc repeats dedup, and
+    shingles are space-joined in token order."""
+    from sparkstreaming_mq_spark.operators.curation import _shingle_postings
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c"),            # 3 tokens < n=4: no shingles
+            (2, "a b c d"),          # exactly one
+            (3, "x y x y x y x y"),  # sliding repeats collapse
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.ng) for r in _shingle_postings(d, 4, "doc_id").collect()}
+    assert rows == {
+        (2, "a b c d"),
+        (3, "x y x y"),
+        (3, "y x y x"),
+    }

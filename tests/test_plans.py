@@ -526,3 +526,15 @@ def test_l34_corpus_side_broadcasts(spark, sf_dir):
     shuffles for the match."""
     plan = executed_plan(Q["l34_incremental_neardup"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dup_density_is_single_pass_no_join(spark, sf_dir):
+    """l38 promises exactly one pass over the postings: a shingle-keyed
+    hash aggregate carrying (df, collect_list(doc_id)) and a doc-keyed
+    rollup — no self-join of the postings and no third shuffle."""
+    plan = executed_plan(Q["l38_dup_density"](spark, sf_dir))
+    assert "Join" not in plan, "postings must not self-join"
+    assert plan.count("Scan parquet") == 1
+    # one exchange per aggregate key (ng, then doc_id); AQE may add
+    # AQEShuffleRead wrappers but never a third Exchange
+    assert plan.count("Exchange hashpartitioning") <= 2
