@@ -1294,3 +1294,118 @@ def l38_dup_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_dup * 10000) div n_shingles").alias("dup_bp"),
         )
     )
+
+
+# --- L39: duplicated-span excision plan ----------------------------------------
+
+
+def _shingle_postings_pos(df: DataFrame, n: int, *key_cols: str) -> DataFrame:
+    """(key_cols..., pos, ng): EVERY n-token shingle occurrence with its
+    0-based start-token position — no per-doc dedup, unlike
+    `_shingle_postings`, because excision needs all occurrences. Same
+    compiled-NGram builder (positions are the array index)."""
+    from pyspark.ml.feature import NGram
+
+    base = df.select(*key_cols, F.split("text", " ").alias("_toks"))
+    grams = NGram(n=n, inputCol="_toks", outputCol="_ngs").transform(base)
+    return grams.select(
+        *key_cols, F.posexplode("_ngs").alias("pos", "ng")
+    )
+
+
+L39_ORACLE = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh_pos AS (  -- every occurrence with its 0-based start position
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i:i + {L38_NGRAM} - 1], ' ') AS ng
+  FROM tokd, unnest(range(1, greatest(len(toks) - {L38_NGRAM} + 2, 1))) AS t(i)
+),
+freq AS (  -- cross-doc document frequency (per-doc distinct)
+  SELECT ng, count(DISTINCT doc_id) AS df FROM sh_pos GROUP BY ng
+),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.pos AS s
+  FROM sh_pos s JOIN freq f USING (ng) WHERE f.df >= 2
+),
+marked AS (
+  SELECT doc_id, s, s + {L38_NGRAM} - 1 AS e,
+         CASE WHEN s > coalesce(max(s + {L38_NGRAM} - 1) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM cov
+),
+spans AS (
+  SELECT doc_id, s, e,
+         CAST(sum(is_new) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_id
+  FROM marked
+)
+SELECT doc_id, span_id,
+       CAST(min(s) AS BIGINT) AS tok_start,
+       CAST(max(e) AS BIGINT) AS tok_end,
+       CAST(max(e) - min(s) + 1 AS BIGINT) AS n_tokens
+FROM spans
+GROUP BY doc_id, span_id
+"""
+
+
+@query("l39_dup_spans", oracle=L39_ORACLE)
+def l39_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span excision plan: the merged token intervals each
+    doc would lose under exact-substring dedup — every occurrence of an
+    8-token shingle that also appears in ANOTHER doc marks tokens
+    [pos, pos+7], and overlapping/contiguous marks merge into spans.
+    This is the scrub step that consumes l38's diagnosis (Lee et al.
+    2022 excise duplicated substrings rather than whole docs); emitting
+    the span list, not rewritten text, keeps the output engine-exact
+    integers and lets the caller choose excise vs mask vs drop.
+
+    Scale shape: positional postings (compiled NGram + posexplode, no
+    dedup) shuffle once to acquire cross-doc document frequency — the
+    frequency side is the SAME aggregate l38 runs, here with per-doc
+    distinct folded into count(DISTINCT doc_id) — then covered start
+    positions flow into one doc-keyed window (interval-union by
+    running-max end, the t4b dynamic-gap rewrite pattern) and a final
+    per-span rollup. Intra-doc-only repeats (df = 1) deliberately do
+    NOT mark spans: that is l11's repetition gate; this operator is
+    strictly cross-document."""
+    d = load_table(spark, sf_dir, "documents")
+    sh_pos = _shingle_postings_pos(d, L38_NGRAM, "doc_id")
+    freq = sh_pos.groupBy("ng").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    cov = (
+        sh_pos.join(freq.filter(F.col("df") >= 2), "ng")
+        .select("doc_id", F.col("pos").cast("long").alias("s"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("s")
+    e = F.col("s") + (L38_NGRAM - 1)
+    prev_end = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = cov.select(
+        "doc_id",
+        "s",
+        e.alias("e"),
+        F.when(F.col("s") > F.coalesce(prev_end, F.lit(-2)) + 1, 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    spans = marked.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("span_id"),
+    )
+    return spans.groupBy("doc_id", "span_id").agg(
+        F.min("s").cast("long").alias("tok_start"),
+        F.max("e").cast("long").alias("tok_end"),
+        (F.max("e") - F.min("s") + 1).cast("long").alias("n_tokens"),
+    )

@@ -197,3 +197,36 @@ def test_shingle_postings_edges(spark):
         (3, "x y x y"),
         (3, "y x y x"),
     }
+
+
+def test_dup_spans_consistent_with_dup_density(spark, sf_dir):
+    """l39 is l38's excision plan, so the two must agree: exactly the
+    docs with n_dup > 0 carry spans; spans are disjoint, ordered,
+    >= one shingle wide; and a full-mirror doc (dup_bp == 10000) is
+    covered end-to-end by a single span [0, n_tokens-1]."""
+    from sparkstreaming_mq_spark.operators.curation import L38_NGRAM
+    from sparkstreaming_mq_spark.tables import load_table
+
+    dens = Q["l38_dup_density"](spark, sf_dir).toPandas().set_index("doc_id")
+    spans = Q["l39_dup_spans"](spark, sf_dir).toPandas()
+    assert set(spans["doc_id"]) == set(dens[dens["n_dup"] > 0].index)
+    assert (spans["n_tokens"] >= L38_NGRAM).all()
+    assert (spans["tok_end"] - spans["tok_start"] + 1 == spans["n_tokens"]).all()
+    for doc, g in spans.sort_values(["doc_id", "span_id"]).groupby("doc_id"):
+        ends = g["tok_end"].tolist()
+        starts = g["tok_start"].tolist()
+        # strictly separated (adjacent/overlapping spans must merge)
+        assert all(s > e + 1 for s, e in zip(starts[1:], ends[:-1])), doc
+
+    n_tok = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    mirrors = dens[dens["dup_bp"] == 10000].index
+    assert len(mirrors) > 0
+    for doc in mirrors:
+        g = spans[spans["doc_id"] == doc]
+        assert len(g) == 1 and g.iloc[0]["tok_start"] == 0
+        assert g.iloc[0]["tok_end"] == n_tok[doc] - 1
