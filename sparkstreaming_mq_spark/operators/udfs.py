@@ -125,7 +125,8 @@ def u1_python_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey, o_orderstatus,
        round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderstatus))
-             / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderstatus), 4) AS z
+             / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderstatus), 4)
+         + 0.0 AS z
 FROM orders
 """,
 )
@@ -150,9 +151,13 @@ def u4_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     o = load_table(spark, sf_dir, "orders")
+    # + 0.0 canonicalizes signed zero (IEEE: -0.0 + 0.0 = +0.0) on BOTH
+    # sides: Spark's round() returns +0.0 for a tiny negative z while
+    # DuckDB's preserves -0.0 — first bites at sf0.1, where 3 of 150k
+    # orders sit within 5e-5 BELOW their group mean (r7 sf0.1 sweep).
     return o.groupBy("o_orderstatus").applyInPandas(
         zscore, "o_orderkey long, o_orderstatus string, z double"
-    ).withColumn("z", F.round("z", 4))
+    ).withColumn("z", F.round("z", 4) + F.lit(0.0))
 
 
 # --- U5: mapInPandas ----------------------------------------------------------
