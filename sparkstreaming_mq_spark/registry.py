@@ -237,6 +237,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "t3_stream_sliding",
     "f4b_json_roundtrip",
     "f5b_explode",
+    "l38_dup_density",          # substring-duplication density (r7)
+    "l39_dup_spans",            # duplicated-span excision plan (r7)
 )
 
 
