@@ -63,6 +63,15 @@ QUERIES = [
     "o16_global_rownum",
     "f11_fuzzy_match",
     "l33_source_overlap",
+    # l38 rides the same shingle postings as l33 — its two-shuffle
+    # aggregate shape is what must stay linear. (l39 is excluded: the
+    # replicated corpus makes EVERY shingle cross-doc (df>=2 by
+    # construction), so its covered-position output saturates — a
+    # salting artifact, not an engine cost.)
+    "l38_dup_density",
+    "e7_streak_islands",
+    "g3_khop_reach",
+    "l41_perplexity_buckets",
     "g1_pagerank",
     # streaming: the chunked replay source keys its /tmp cache on the
     # events.parquet fingerprint of WHATEVER dir it gets, so the 10x

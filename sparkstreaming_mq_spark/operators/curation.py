@@ -1409,3 +1409,98 @@ def l39_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").cast("long").alias("tok_end"),
         (F.max("e") - F.min("s") + 1).cast("long").alias("n_tokens"),
     )
+
+
+# --- L41: CCNet-style perplexity bucketing (head/middle/tail per language) ----
+
+L41_BUCKETS = 3
+L41_NAMES = ("head", "middle", "tail")
+
+
+L41_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cf AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY token
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(c.cf) AS BIGINT) AS sum_cf
+  FROM tok t JOIN cf c USING (token)
+  GROUP BY t.doc_id
+),
+fam AS (
+  SELECT s.doc_id, d.lang, s.n_tokens,
+         CAST(s.sum_cf AS DOUBLE) / s.n_tokens AS familiarity
+  FROM scored s JOIN documents d USING (doc_id)
+),
+tiled AS (
+  SELECT doc_id, lang, n_tokens, familiarity,
+         ntile(3) OVER (
+           PARTITION BY lang ORDER BY familiarity DESC, doc_id
+         ) AS t3
+  FROM fam
+)
+SELECT doc_id, lang, n_tokens, familiarity,
+       CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM tiled
+"""
+
+
+@query("l41_perplexity_buckets", oracle=L41_ORACLE)
+def l41_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): rank every
+    document within its LANGUAGE by language-model score and cut the
+    ranking into equal thirds — head feeds high-quality pretraining
+    mixes, tail gets dropped or down-weighted. The score is l21's
+    exact-integer unigram familiarity (mean corpus frequency of the
+    doc's tokens — l21 explains why it ranks identically to mean
+    unigram probability while replaying bit-exactly; higher familiarity
+    = lower perplexity = head).
+
+    The per-language tercile is the scale-critical part: a dominant
+    language is corpus-sized, so the oracle's PARTITION BY lang window
+    would funnel it through ONE task. ``exact_ntile_grouped`` computes
+    bit-identical bucket membership with every stage parallel:
+    range-partition on (lang, -familiarity, doc_id), per-(partition,
+    lang) counts to driver metadata, prefix-offset ranks, per-language
+    ntile arithmetic. Ties break on doc_id on both engines; the only
+    float is one exact integer division both engines round identically."""
+    from sparkstreaming_mq_spark.operators.setops import exact_ntile_grouped
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    cf = tok.groupBy("token").agg(F.count("*").alias("cf"))
+    scored = (
+        tok.join(cf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("cf").cast("long").alias("sum_cf"),
+        )
+    )
+    fam = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.col("sum_cf").cast("double") / F.col("n_tokens")).alias(
+            "familiarity"
+        ),
+        (-(F.col("sum_cf").cast("double") / F.col("n_tokens"))).alias(
+            "__negfam"
+        ),
+    )
+    tiled = exact_ntile_grouped(
+        fam, L41_BUCKETS, ["lang"], ["__negfam", "doc_id"]
+    )
+    bucket = (
+        F.when(F.col("__tile") == 0, L41_NAMES[0])
+        .when(F.col("__tile") == 1, L41_NAMES[1])
+        .otherwise(L41_NAMES[2])
+    )
+    return tiled.select(
+        "doc_id", "lang", "n_tokens", "familiarity", bucket.alias("bucket")
+    )

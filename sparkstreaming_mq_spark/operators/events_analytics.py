@@ -379,3 +379,70 @@ def e6_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, gap).alias("gap_us"),
         in_window.alias("attributed"),
     )
+
+
+# --- E7 (bonus): activity-streak islands (gaps-and-islands) -------------------
+
+
+@query(
+    "e7_streak_islands",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+           AS daynum
+  FROM events
+),
+numbered AS (
+  SELECT user_id, daynum,
+         daynum - row_number() OVER (
+           PARTITION BY user_id ORDER BY daynum
+         ) AS grp
+  FROM ud
+)
+SELECT user_id,
+       CAST(min(daynum) AS BIGINT) AS start_day,
+       CAST(max(daynum) AS BIGINT) AS end_day,
+       CAST(count(*) AS BIGINT) AS streak_days
+FROM numbered
+GROUP BY user_id, grp
+""",
+)
+def e7_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: every maximal run of CONSECUTIVE active days
+    per user (the engagement-streak primitive behind "7-day streak"
+    badges and churn-risk gap mining). A day-of-activity row belongs to
+    the same island as its predecessor iff the days are adjacent, so
+    ``daynum - row_number()`` is constant within an island — the
+    classic two-window-free formulation: one dedup aggregate, ONE
+    user-keyed window, one rollup, no self-join.
+
+    Days are integer days-since-epoch (``datediff`` against a literal
+    anchor) rather than DATE-typed output, per the repo's oracle-parity
+    rules. Scale: ONE corpus-sized shuffle total — the explicit
+    ``repartition(user_id)`` hash-partitions the pairs once, and
+    hashpartitioning(user_id) satisfies BOTH the (user, day) dedup
+    aggregate's clustered distribution AND the window's partitionBy
+    (the w5 stacked-exchange trick), so neither inserts another
+    Exchange (pinned in tests/test_plans.py). Power-user skew is
+    bounded: a user contributes at most one row per calendar day."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01")).alias(
+                "daynum"
+            ),
+        )
+        .repartition("user_id")
+        .dropDuplicates(["user_id", "daynum"])
+    )
+    w = Window.partitionBy("user_id").orderBy("daynum")
+    numbered = ud.withColumn(
+        "grp", F.col("daynum") - F.row_number().over(w)
+    )
+    return numbered.groupBy("user_id", "grp").agg(
+        F.min("daynum").cast("long").alias("start_day"),
+        F.max("daynum").cast("long").alias("end_day"),
+        F.count("*").cast("long").alias("streak_days"),
+    ).drop("grp")

@@ -324,3 +324,82 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_key")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+
+
+# --- G3: bounded-hop BFS reachability -----------------------------------------
+
+G3_SEED_MOD = 97  # seeds = parts whose key is divisible by this (deterministic)
+G3_HOPS = 3
+
+
+def _g3_oracle(hops: int) -> str:
+    parts = [
+        """WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+r0 AS (
+  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+  FROM pairs WHERE src % """
+        + str(G3_SEED_MOD)
+        + " = 0)"
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f""",
+r{k} AS (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM r{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, f.dist + 1 AS dist
+    FROM pairs e JOIN r{k - 1} f ON e.src = f.node
+    WHERE f.dist = {k - 1}
+  ) u GROUP BY node
+)"""
+        )
+    parts.append(f"\nSELECT node, dist FROM r{hops}")
+    return "".join(parts)
+
+
+@query("g3_khop_reach", oracle=_g3_oracle(G3_HOPS))
+def g3_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS: the exact hop distance (0..3) from a
+    deterministic seed set (part keys divisible by 97) to every part
+    reachable within 3 hops of the co-purchase graph — the blast-radius
+    / feature-propagation primitive (and the bounded form of
+    single-source shortest path; distances are integers, no floats
+    anywhere). The oracle unrolls the same three frontier expansions as
+    chained CTEs, like g1's fixed-point recurrence.
+
+    Scale shape (g1's lessons applied): the edge list materializes once
+    via ``_g1_edges`` (outdeg unused here), and each hop is ONE
+    broadcast join — the frontier (nodes at dist k-1, node-frame-sized,
+    the same bound as g1's rank frame) broadcasts into the stationary
+    edge list, so edges NEVER shuffle — plus one node-keyed min
+    aggregate. Past the broadcast bound the ``_g1_bucketed_edges`` path
+    applies unchanged: bucketed edges stay in place and only the
+    frontier moves. Frontier-only expansion (``dist = k-1``) keeps each
+    round's join input minimal — already-settled nodes re-enter only
+    through the min-merge, not the join."""
+    edges, nodes = _g1_edges(spark, sf_dir)
+    e = edges.select("src", "dst")
+    reached = nodes.filter(F.col("src") % G3_SEED_MOD == 0).select(
+        F.col("src").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    for k in range(1, G3_HOPS + 1):
+        frontier = reached.filter(F.col("dist") == k - 1).select(
+            F.col("node").alias("fnode")
+        )
+        cand = e.join(F.broadcast(frontier), e.src == F.col("fnode")).select(
+            F.col("dst").alias("node"), F.lit(k).cast("long").alias("dist")
+        )
+        reached = (
+            reached.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return reached

@@ -495,6 +495,64 @@ def exact_ntile(df: DataFrame, n: int, order_cols: list[str]) -> DataFrame:
     return with_pid.withColumn("__tile", tile.cast("int")).drop("pid")
 
 
+def exact_ntile_grouped(
+    df: DataFrame, n: int, group_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """``__tile`` = ntile(n) over (PARTITION BY group_cols ORDER BY
+    order_cols) — ``exact_ntile`` generalized to grouped windows
+    WITHOUT a one-task-per-group sort (fatal when a group is
+    corpus-sized, e.g. a dominant language). Range-partition on
+    (group_cols, order_cols) so every group spans contiguous
+    partitions; per-(partition, group) counts collect to the driver
+    (metadata-sized: n_partitions × n_groups rows — callers must keep
+    group cardinality driver-bounded, which langs/sources/shards are),
+    turn into per-group prefix offsets + totals, broadcast-join back,
+    and ntile's bucket arithmetic runs per group with its own total.
+    Bucket membership is bit-identical to the single-task window on
+    both engines."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_parts = max(n, spark.sparkContext.defaultParallelism)
+    parted = df.repartitionByRange(n_parts, *group_cols, *order_cols)
+    with_pid = parted.withColumn("pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    counts = (
+        with_pid.groupBy("pid", *group_cols).count().orderBy(*group_cols, "pid")
+    ).collect()  # driver-bounded: partitions × groups rows
+    if not counts:  # empty input: no offsets to build (schema-stable result)
+        return with_pid.withColumn("__tile", F.lit(0).cast("int")).drop("pid")
+    offset_rows = []
+    totals: dict[tuple, int] = {}
+    running: dict[tuple, int] = {}
+    for r in counts:
+        g = tuple(r[c] for c in group_cols)
+        offset_rows.append((r["pid"], *g, running.get(g, 0)))
+        running[g] = running.get(g, 0) + r["count"]
+    totals = running
+    total_rows = [(*g, t) for g, t in totals.items()]
+    off_df = spark.createDataFrame(
+        offset_rows, ["pid", *group_cols, "__off"]
+    )
+    tot_df = spark.createDataFrame(total_rows, [*group_cols, "__tot"])
+    joined = with_pid.join(
+        F.broadcast(off_df), ["pid", *group_cols]
+    ).join(F.broadcast(tot_df), group_cols)
+    w = Window.partitionBy("pid", *group_cols).orderBy(*order_cols)
+    rank = F.col("__off") + F.row_number().over(w)
+    small = F.floor(F.col("__tot") / n)
+    n_big = F.col("__tot") % n
+    cut = n_big * (small + 1)
+    tile = F.when(
+        (n_big > 0) & (rank <= cut), F.floor((rank - 1) / (small + 1))
+    ).otherwise(n_big + F.floor((rank - cut - 1) / F.greatest(small, F.lit(1))))
+    return (
+        joined.withColumn("__tile", tile.cast("int"))
+        .drop("pid", "__off", "__tot")
+    )
+
+
 # --- A16 (bonus, registered here beside its machinery): equi-depth histogram --
 
 A16_BINS = 20

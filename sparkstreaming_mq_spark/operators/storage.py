@@ -577,3 +577,72 @@ def o19_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("new_n_chars").cast("long").alias("new_n_chars"),
         )
     )
+
+
+# --- O20: small-file compaction planner (bin packing) --------------------------
+
+O20_TARGET_ROWS = 100  # compaction target per output bin (row proxy for bytes)
+
+
+@query(
+    "o20_compaction_plan",
+    oracle=f"""
+WITH files AS (  -- one "file" per (month, day): the small-file inventory
+  SELECT date_trunc('month', o_orderdate) AS part_month,
+         date_trunc('day', o_orderdate) AS file_day,
+         CAST(count(*) AS BIGINT) AS file_rows
+  FROM orders
+  GROUP BY 1, 2
+),
+packed AS (
+  SELECT part_month, file_day, file_rows,
+         CAST(sum(file_rows) OVER (
+           PARTITION BY part_month ORDER BY file_day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_rows
+  FROM files
+)
+SELECT part_month, file_day, file_rows,
+       (cum_rows - file_rows) // {O20_TARGET_ROWS} AS bin_id
+FROM packed
+""",
+)
+def o20_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the planning half of a lakehouse
+    OPTIMIZE/rewriteDataFiles): inventory one "file" per (partition,
+    day) with its row count, then next-fit bin-pack files — in day
+    order within each partition — into merge groups of ~TARGET rows.
+    ``bin_id = (running_total - own_size) div TARGET`` assigns each
+    file to the bin its FIRST row lands in (deterministic next-fit
+    with overflow carry), which is the rule Iceberg/Delta compactors
+    use for stable, replayable plans. Emitting the plan rather than
+    rewriting keeps the operator engine-exact and lets the executor
+    half run as plain partitioned writes.
+
+    Scale: the inventory aggregate is the only corpus-sized shuffle
+    (in a real lakehouse it reads the manifest/file metadata instead —
+    metadata-sized by construction); the pack window partitions by
+    month — thousands of files per partition at most, never corpus
+    rows — and Catalyst reuses the month hashpartitioning from the
+    rollup for the window when keys align."""
+    o = load_table(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("part_month"),
+        F.date_trunc("day", "o_orderdate").alias("file_day"),
+    ).agg(F.count("*").cast("long").alias("file_rows"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("part_month")
+        .orderBy("file_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = files.withColumn(
+        "cum_rows", F.sum("file_rows").over(w).cast("long")
+    )
+    return packed.select(
+        "part_month",
+        "file_day",
+        "file_rows",
+        F.expr(f"(cum_rows - file_rows) div {O20_TARGET_ROWS}").alias("bin_id"),
+    )

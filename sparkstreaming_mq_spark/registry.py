@@ -239,6 +239,10 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "f5b_explode",
     "l38_dup_density",          # substring-duplication density (r7)
     "l39_dup_spans",            # duplicated-span excision plan (r7)
+    "l41_perplexity_buckets",   # CCNet head/middle/tail per language (r7)
+    "g3_khop_reach",            # bounded-hop BFS over co-purchase graph (r7)
+    "e7_streak_islands",        # gaps-and-islands activity streaks (r7)
+    "o20_compaction_plan",      # small-file compaction bin packing (r7)
 )
 
 

@@ -538,3 +538,32 @@ def test_dup_density_is_single_pass_no_join(spark, sf_dir):
     # one exchange per aggregate key (ng, then doc_id); AQE may add
     # AQEShuffleRead wrappers but never a third Exchange
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_e7_islands_one_corpus_shuffle(spark, sf_dir):
+    """e7's dedup aggregate, island window, and span rollup all run on
+    the single explicit hashpartitioning(user_id) — exactly one
+    corpus-sized Exchange, no join."""
+    plan = executed_plan(Q["e7_streak_islands"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_g3_frontier_broadcasts_edges_stay_put(spark, sf_dir):
+    """Each of g3's three hop expansions joins the broadcast frontier
+    into the materialized edge list — no sort-merge/shuffled-hash join
+    may touch the edges (the g1 no-edge-shuffle property, BFS form)."""
+    plan = executed_plan(Q["g3_khop_reach"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_l41_tercile_window_is_per_partition(spark, sf_dir):
+    """l41's ranking window must partition by (pid, lang) — the
+    grouped prefix-offset machinery — never by lang alone, which would
+    funnel a dominant language through one task."""
+    plan = executed_plan(Q["l41_perplexity_buckets"](spark, sf_dir))
+    assert re.search(r"windowspecdefinition\(pid#\d+, lang#", plan), plan[
+        :400
+    ]

@@ -1,0 +1,113 @@
+"""Semantics of the round-7 additions: activity-streak islands (e7),
+small-file compaction planning (o20), bounded-hop BFS (g3), CCNet
+perplexity bucketing via grouped exact ntile (l41), plus the
+exact_ntile_grouped helper's equivalence to the single-task window."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark import registry
+from sparkstreaming_mq_spark.tables import load_table
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def test_e7_islands_partition_user_days(spark, sf_dir):
+    """Islands tile each user's active-day set exactly: lengths sum to
+    the distinct user-day count, spans are internally consistent, and
+    consecutive islands of one user are separated by a real gap."""
+    isl = Q["e7_streak_islands"](spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events")
+    n_user_days = (
+        ev.select(
+            "user_id",
+            F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01")).alias("d"),
+        )
+        .distinct()
+        .count()
+    )
+    assert int(isl["streak_days"].sum()) == n_user_days
+    # a streak of length L spans exactly L consecutive days
+    assert ((isl["end_day"] - isl["start_day"] + 1) == isl["streak_days"]).all()
+    for _, g in isl.sort_values("start_day").groupby("user_id"):
+        starts, ends = g["start_day"].tolist(), g["end_day"].tolist()
+        for nxt, prev_end in zip(starts[1:], ends[:-1]):
+            assert nxt > prev_end + 1, "adjacent islands must have merged"
+
+
+def test_o20_bins_follow_next_fit(spark, sf_dir):
+    """bin_id must equal the next-fit rule (bin of the file's first
+    row) and be non-decreasing in day order within each month."""
+    from sparkstreaming_mq_spark.operators.storage import O20_TARGET_ROWS
+
+    plan = Q["o20_compaction_plan"](spark, sf_dir).toPandas()
+    for _, g in plan.sort_values("file_day").groupby("part_month"):
+        cum = 0
+        last_bin = -1
+        for _, row in g.iterrows():
+            assert row["bin_id"] == cum // O20_TARGET_ROWS
+            assert row["bin_id"] >= last_bin
+            last_bin = row["bin_id"]
+            cum += row["file_rows"]
+
+
+def test_g3_distances_are_true_bfs(spark, sf_dir):
+    """Seeds at 0; every dist-k node adjacent to some dist-(k-1) node
+    and to NO closer node (i.e. the hop count is minimal)."""
+    from sparkstreaming_mq_spark.operators.graph import G3_SEED_MOD, _g1_edges
+
+    got = {
+        r["node"]: r["dist"]
+        for r in Q["g3_khop_reach"](spark, sf_dir).collect()
+    }
+    edges, nodes = _g1_edges(spark, sf_dir)
+    adj = {}
+    for r in edges.select("src", "dst").collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    seeds = {n for n in adj if n % G3_SEED_MOD == 0}
+    assert {n for n, d in got.items() if d == 0} == seeds
+    for node, d in got.items():
+        if d == 0:
+            continue
+        pred_dists = {got.get(p) for p, ns in adj.items() if node in ns}
+        pred_dists.discard(None)
+        assert min(pred_dists) == d - 1, (node, d, pred_dists)
+    # nothing within 3 hops missing: one more expansion adds only dist-4
+    frontier = {n for n, d in got.items() if d <= 2}
+    reach3 = set().union(*(adj[n] for n in frontier)) | frontier
+    assert reach3 == set(got)
+
+
+def test_exact_ntile_grouped_matches_window(spark, sf_dir):
+    """Grouped prefix-offset ntile == the one-task-per-group window,
+    bucket for bucket (the bit-parity claim l41's oracle rides on)."""
+    from sparkstreaming_mq_spark.operators.setops import exact_ntile_grouped
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    mine = exact_ntile_grouped(
+        orders, 5, ["o_orderpriority"], ["o_totalprice", "o_orderkey"]
+    ).select("o_orderkey", "__tile")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ref = orders.select(
+        "o_orderkey", (F.ntile(5).over(w) - 1).cast("int").alias("__tile")
+    )
+    assert mine.exceptAll(ref).count() == 0 and ref.exceptAll(mine).count() == 0
+
+
+def test_l41_buckets_balanced_within_language(spark, sf_dir):
+    """Per language the three buckets differ by at most one doc, and
+    every head familiarity >= every tail familiarity."""
+    df = Q["l41_perplexity_buckets"](spark, sf_dir).toPandas()
+    for lang, g in df.groupby("lang"):
+        sizes = g.groupby("bucket").size()
+        assert sizes.max() - sizes.min() <= 1, (lang, dict(sizes))
+        head_min = g.loc[g["bucket"] == "head", "familiarity"].min()
+        tail_max = g.loc[g["bucket"] == "tail", "familiarity"].max()
+        assert head_min >= tail_max
