@@ -224,3 +224,77 @@ def x3_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("side"),
         )
     )
+
+
+# --- X4: table content fingerprint (replication/migration diff) ---------------
+
+X4_BUCKETS = 64
+
+# canonical row payload: integer/string columns only (floats quantized
+# to fixed-point cents so both engines stringify identically)
+_X4_PAYLOAD_SQL = (
+    "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+    " || '|' || CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+    " || '|' || l_returnflag"
+)
+
+
+def _x4_oracle() -> str:
+    from sparkstreaming_mq_spark.operators.curation import _md5_int32_sql
+
+    return f"""
+WITH h AS (
+  SELECT ({_md5_int32_sql(_X4_PAYLOAD_SQL)}) AS h32 FROM lineitem
+)
+SELECT h32 % {X4_BUCKETS} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h32) AS BIGINT) AS xor_fp,
+       CAST(sum(h32) AS BIGINT) AS sum_fp,
+       CAST(min(h32) AS BIGINT) AS min_h,
+       CAST(max(h32) AS BIGINT) AS max_h
+FROM h GROUP BY 1
+"""
+
+
+@query("x4_table_fingerprint", oracle=_x4_oracle())
+def x4_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed content fingerprint of a table: md5 each row's
+    canonical payload to a 32-bit integer, XOR-fold per hash bucket.
+    Two replicas (or a table before/after a migration, or source vs
+    sink of a pipeline) agree iff all 64 (n_rows, xor_fp, sum_fp)
+    triples agree — and when they don't, the differing BUCKET localizes
+    the damage to 1/64th of the keyspace without any row-level diff.
+    Two independent order-free folds because each covers the other's
+    blind spot: XOR is overflow-free at any row count but INVARIANT to
+    even-multiplicity changes (a fully doubled table XORs every bucket
+    to zero — measured in the pytest), while SUM catches those but
+    needs headroom — 32-bit row hashes keep the BIGINT sum
+    exact through 2^31 rows per bucket (~10^11 rows at 64 buckets;
+    scale X4_BUCKETS with the table, the plan shape is unchanged).
+
+    One scan, one 64-group aggregate with map-side partial XOR/SUM;
+    floats enter the payload as fixed-point cents so both engines
+    stringify them identically (the verify-skill money rule applied to
+    hashing)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    payload = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        F.col("l_returnflag"),
+    )
+    h32 = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+    return (
+        li.select(h32.alias("h32"))
+        .groupBy((F.col("h32") % X4_BUCKETS).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.bit_xor("h32").cast("long").alias("xor_fp"),
+            F.sum("h32").cast("long").alias("sum_fp"),
+            F.min("h32").cast("long").alias("min_h"),
+            F.max("h32").cast("long").alias("max_h"),
+        )
+    )

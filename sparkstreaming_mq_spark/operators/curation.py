@@ -1504,3 +1504,73 @@ def l41_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiled.select(
         "doc_id", "lang", "n_tokens", "familiarity", bucket.alias("bucket")
     )
+
+
+# --- L42: marginal-novelty attribution (ingestion-order data value) -----------
+
+L42_ORACLE = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - {L38_NGRAM} + 2, 1)),
+           i -> array_to_string(toks[i:i + {L38_NGRAM} - 1], ' ')))) AS ng
+  FROM tokd
+),
+own AS (
+  SELECT ng, CAST(min(doc_id) AS BIGINT) AS owner FROM sh GROUP BY ng
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN o.owner = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         * 10000 // CAST(count(*) AS BIGINT) AS novelty_bp
+FROM sh s JOIN own o USING (ng)
+GROUP BY s.doc_id
+"""
+
+
+@query("l42_novelty_attribution", oracle=L42_ORACLE)
+def l42_novelty_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty attribution: processing docs in ingestion
+    (doc_id) order, what fraction of each doc's distinct 8-token
+    shingles had never been seen before it arrived? The complement of
+    l38's duplication density — l38 says how duplicated a doc is, this
+    says WHO contributed the content first (every corpus shingle is
+    attributed to exactly its minimum-doc_id owner), which is the
+    keeper-priority / data-valuation signal for dedup pipelines and
+    crawl-source auditing: sum(n_novel) over docs == |distinct corpus
+    shingles|, by construction.
+
+    Same scale shape as l38 — compiled NGram shingles, then TWO
+    hash-aggregate shuffles, no join: postings group by shingle
+    carrying (min-owner, collect_list(doc_id)), exploded back and
+    rolled up per doc. List totals equal the postings count, so no
+    grouped key can blow executor memory."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingle_postings(d, L38_NGRAM, "doc_id")
+    grouped = sh.groupBy("ng").agg(
+        F.min("doc_id").alias("owner"),
+        F.collect_list("doc_id").alias("docs"),
+    )
+    per_doc = grouped.select(
+        "owner", F.explode("docs").alias("doc_id")
+    ).select(
+        "doc_id", (F.col("doc_id") == F.col("owner")).cast("long").alias("is_novel")
+    )
+    return (
+        per_doc.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum("is_novel").cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("(n_novel * 10000) div n_shingles").alias("novelty_bp"),
+        )
+    )

@@ -243,6 +243,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "g3_khop_reach",            # bounded-hop BFS over co-purchase graph (r7)
     "e7_streak_islands",        # gaps-and-islands activity streaks (r7)
     "o20_compaction_plan",      # small-file compaction bin packing (r7)
+    "x4_table_fingerprint",     # bucketed XOR content fingerprint (r7)
+    "l42_novelty_attribution",  # marginal-novelty ownership (r7)
 )
 
 

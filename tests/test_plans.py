@@ -567,3 +567,22 @@ def test_l41_tercile_window_is_per_partition(spark, sf_dir):
     assert re.search(r"windowspecdefinition\(pid#\d+, lang#", plan), plan[
         :400
     ]
+
+
+def test_x4_fingerprint_single_scan_one_exchange(spark, sf_dir):
+    """x4 is one scan + one 64-group aggregate: map-side partial
+    XOR/SUM, a single exchange on the bucket key, no join."""
+    plan = executed_plan(Q["x4_table_fingerprint"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_l42_novelty_is_single_pass_no_join(spark, sf_dir):
+    """l42 keeps l38's shape: compiled-NGram postings through two
+    hash-aggregate exchanges (ng, then doc_id) — no postings self-join,
+    no second corpus scan."""
+    plan = executed_plan(Q["l42_novelty_attribution"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2

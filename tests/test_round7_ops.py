@@ -111,3 +111,94 @@ def test_l41_buckets_balanced_within_language(spark, sf_dir):
         head_min = g.loc[g["bucket"] == "head", "familiarity"].min()
         tail_max = g.loc[g["bucket"] == "tail", "familiarity"].max()
         assert head_min >= tail_max
+
+
+def test_x4_fingerprint_detects_single_row_change(spark, sf_dir):
+    """Replica semantics: identical content (in any row order) yields
+    identical fingerprints; a row mutation flips a bounded, localizable
+    set of buckets; and XOR alone is provably blind to even-multiplicity
+    changes (a fully DOUBLED table XORs to zero everywhere) — the gap
+    sum_fp exists to cover."""
+    base = Q["x4_table_fingerprint"](spark, sf_dir).toPandas()
+    again = (
+        Q["x4_table_fingerprint"](spark, sf_dir)
+        .repartition(7)  # different physical layout, same content
+        .toPandas()
+    )
+    key = lambda df: df.sort_values("bucket").reset_index(drop=True)  # noqa: E731
+    assert key(base).equals(key(again))
+    # simulate one corrupted row out-of-band
+    li = load_table(spark, sf_dir, "lineitem")
+    victim = li.first()
+    mutated = li.withColumn(
+        "l_quantity",
+        F.when(
+            (F.col("l_orderkey") == victim["l_orderkey"])
+            & (F.col("l_linenumber") == victim["l_linenumber"]),
+            F.col("l_quantity") + 1.0,
+        ).otherwise(F.col("l_quantity")),
+    )
+    import sparkstreaming_mq_spark.operators.audit as audit_mod
+
+    payload = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long").cast("string"),
+        F.col("l_returnflag"),
+    )
+    h32 = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+    mut_fp = (
+        mutated.select(h32.alias("h32"))
+        .groupBy((F.col("h32") % audit_mod.X4_BUCKETS).alias("bucket"))
+        .agg(
+            F.bit_xor("h32").cast("long").alias("xor_fp"),
+            F.sum("h32").cast("long").alias("sum_fp"),
+        )
+        .toPandas()
+    )
+    merged = base.merge(mut_fp, on="bucket", suffixes=("_a", "_b"))
+    n_diff = int(
+        (
+            (merged["xor_fp_a"] != merged["xor_fp_b"])
+            | (merged["sum_fp_a"] != merged["sum_fp_b"])
+        ).sum()
+    )
+    # the victim (orderkey, linenumber) pair is duplicated in the
+    # fixture with differing payloads: 2 rows move, <=4 buckets touched
+    assert 1 <= n_diff <= 4, f"mutation must flip 1-4 buckets, got {n_diff}"
+    # XOR's even-multiplicity blind spot, demonstrated exactly: a fully
+    # doubled table XORs every bucket to zero (indistinguishable from
+    # any OTHER doubled table by xor_fp) while count and sum both see it
+    doubled = (
+        li.unionAll(li)
+        .select(h32.alias("h32"))
+        .groupBy((F.col("h32") % audit_mod.X4_BUCKETS).alias("bucket"))
+        .agg(
+            F.bit_xor("h32").cast("long").alias("xor_fp"),
+            F.sum("h32").cast("long").alias("sum_fp"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .toPandas()
+    )
+    assert (doubled["xor_fp"] == 0).all()
+    dm = base.merge(doubled, on="bucket", suffixes=("_a", "_b"))
+    assert (dm["sum_fp_b"] == 2 * dm["sum_fp_a"]).all()
+    assert (dm["n_rows_b"] == 2 * dm["n_rows_a"]).all()
+
+
+def test_l42_novelty_conserves_corpus_shingles(spark, sf_dir):
+    """Attribution is a partition of the corpus shingle set: novel
+    counts sum to |distinct shingles|, and doc 0 (first in ingestion
+    order) is 100% novel."""
+    from sparkstreaming_mq_spark.operators.curation import (
+        L38_NGRAM,
+        _shingle_postings,
+    )
+
+    df = Q["l42_novelty_attribution"](spark, sf_dir).toPandas()
+    d = load_table(spark, sf_dir, "documents")
+    n_distinct = _shingle_postings(d, L38_NGRAM, "doc_id").select("ng").distinct().count()
+    assert int(df["n_novel"].sum()) == n_distinct
+    first = df.loc[df["doc_id"] == df["doc_id"].min()].iloc[0]
+    assert first["n_novel"] == first["n_shingles"] and first["novelty_bp"] == 10000
