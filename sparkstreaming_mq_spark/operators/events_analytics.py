@@ -419,13 +419,15 @@ def e7_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Days are integer days-since-epoch (``datediff`` against a literal
     anchor) rather than DATE-typed output, per the repo's oracle-parity
-    rules. Scale: ONE corpus-sized shuffle total — the explicit
-    ``repartition(user_id)`` hash-partitions the pairs once, and
-    hashpartitioning(user_id) satisfies BOTH the (user, day) dedup
-    aggregate's clustered distribution AND the window's partitionBy
-    (the w5 stacked-exchange trick), so neither inserts another
-    Exchange (pinned in tests/test_plans.py). Power-user skew is
-    bounded: a user contributes at most one row per calendar day."""
+    rules. Scale: ONE shuffle total, and it carries PRE-DEDUPED data —
+    the user-day dedup runs as groupBy(user_id) + collect_set(daynum)
+    (the e4 materialization), whose map-side partial collapses each
+    partition's repeats before the exchange (events are time-clustered,
+    so a user's day repeats heavily within a map partition); the
+    exploded day set then feeds the island window and span rollup on
+    the SAME hashpartitioning(user_id) with no further Exchange (pinned
+    in tests/test_plans.py). Per-user set state is calendar-bounded
+    (≤365 entries/user/year), the same bound e4 documents."""
     ev = load_table(spark, sf_dir, "events")
     ud = (
         ev.select(
@@ -434,8 +436,9 @@ def e7_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "daynum"
             ),
         )
-        .repartition("user_id")
-        .dropDuplicates(["user_id", "daynum"])
+        .groupBy("user_id")
+        .agg(F.collect_set("daynum").alias("_days"))
+        .select("user_id", F.explode("_days").alias("daynum"))
     )
     w = Window.partitionBy("user_id").orderBy("daynum")
     numbered = ud.withColumn(

@@ -619,12 +619,13 @@ def o20_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewriting keeps the operator engine-exact and lets the executor
     half run as plain partitioned writes.
 
-    Scale: the inventory aggregate is the only corpus-sized shuffle
-    (in a real lakehouse it reads the manifest/file metadata instead —
-    metadata-sized by construction); the pack window partitions by
-    month — thousands of files per partition at most, never corpus
-    rows — and Catalyst reuses the month hashpartitioning from the
-    rollup for the window when keys align."""
+    Scale: the inventory aggregate is the only corpus-sized shuffle —
+    and its map-side partial agg means the exchange carries (month,
+    day) summaries, not rows (in a real lakehouse it reads the
+    manifest/file metadata instead, skipping even that). The pack
+    window's own exchange on month moves only the file inventory —
+    thousands of rows per partition at most, metadata-sized at any
+    corpus scale."""
     o = load_table(spark, sf_dir, "orders")
     files = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("part_month"),

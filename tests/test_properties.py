@@ -315,3 +315,46 @@ def test_forward_asof_matches_reference(spark, probe, build):
         eligible = [bt for bk, bt in build if bk == k and bt >= t]
         want = min(eligible) if eligible else None
         assert out[rid] == want, (rid, k, t, eligible)
+
+
+NT_ROW = st.tuples(
+    st.integers(min_value=0, max_value=2),   # group
+    st.integers(min_value=0, max_value=20),  # order value (ties likely)
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(NT_ROW, min_size=0, max_size=40),
+    n=st.integers(min_value=1, max_value=6),
+)
+def test_exact_ntile_grouped_matches_reference(spark, rows, n):
+    """exact_ntile_grouped == SQL-standard grouped NTILE on randomized
+    inputs: empty input, singleton groups, groups smaller than n, heavy
+    ties (broken by the unique rid) — the shapes the fixture sweep
+    can't reach."""
+    from sparkstreaming_mq_spark.operators.setops import exact_ntile_grouped
+
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g long, v long, rid long"
+    )
+    got = {
+        r["rid"]: r["__tile"]
+        for r in exact_ntile_grouped(df, n, ["g"], ["v", "rid"]).collect()
+    }
+    # reference: plain-Python ntile per group (first N%n buckets get
+    # ceil(N/n) rows, ordered by (v, rid))
+    by_group: dict[int, list[tuple[int, int]]] = {}
+    for i, (g, v) in enumerate(rows):
+        by_group.setdefault(g, []).append((v, i))
+    expected: dict[int, int] = {}
+    for g, members in by_group.items():
+        members.sort()
+        total, small, n_big = len(members), len(members) // n, len(members) % n
+        cut = n_big * (small + 1)
+        for rank0, (_, rid) in enumerate(members):
+            if n_big > 0 and rank0 < cut:
+                expected[rid] = rank0 // (small + 1)
+            else:
+                expected[rid] = n_big + (rank0 - cut) // max(small, 1)
+    assert got == expected
