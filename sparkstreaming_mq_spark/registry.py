@@ -245,6 +245,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "o20_compaction_plan",      # small-file compaction bin packing (r7)
     "x4_table_fingerprint",     # bucketed XOR content fingerprint (r7)
     "l42_novelty_attribution",  # marginal-novelty ownership (r7)
+    "s17_stream_fingerprint",   # streaming ingest-integrity fingerprint (r7)
 )
 
 

@@ -2424,3 +2424,89 @@ def s16_stream_seek_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_stream_to_table(agg, "complete")
+
+
+# --- S17: streaming ingest-integrity fingerprint ------------------------------
+
+
+def _s17_oracle() -> str:
+    from sparkstreaming_mq_spark.operators.audit import X4_BUCKETS
+    from sparkstreaming_mq_spark.operators.curation import _md5_int32_sql
+
+    payload = (
+        "CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)"
+        " || '|' || event_type || '|' ||"
+        " CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+    )
+    return f"""
+WITH h AS (
+  SELECT ({_md5_int32_sql(payload)}) AS h32 FROM events
+)
+SELECT h32 % {X4_BUCKETS} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h32) AS BIGINT) AS xor_fp,
+       CAST(sum(h32) AS BIGINT) AS sum_fp
+FROM h GROUP BY 1
+"""
+
+
+@query("s17_stream_fingerprint", oracle=_s17_oracle())
+def s17_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingest-integrity fingerprint: the streaming twin of
+    x4_table_fingerprint. Each micro-batch folds its rows into 64
+    bucketed (count, XOR, SUM) hash summaries; per-epoch partials land
+    in an epoch-keyed store (idempotent on retry — the s7/s15 delivery
+    pattern) and MERGE by pure re-aggregation: counts and sums add,
+    XORs xor — the mergeability x4's docstring promises, exercised here
+    across real micro-batch boundaries. When the stream drains, the
+    merged fingerprint must equal the batch fingerprint of everything
+    ingested, which is exactly what the oracle checks (full in-order
+    replay => prefix-complete => SQL-expressible, per the repo's
+    streaming-oracle rules). At 100 TB this is how a sink proves
+    exactly-once delivery against its source without a row-level diff:
+    ship the 64-triple fingerprint, not the data."""
+    import tempfile
+
+    from sparkstreaming_mq_spark.operators.audit import X4_BUCKETS
+    from sparkstreaming_mq_spark.streaming.sources import (
+        read_events_stream_chunked,
+        run_stream_foreach_batch,
+    )
+
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    payload = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("string"),
+    )
+    h32 = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+    store = tempfile.mkdtemp(prefix="sparkgraft_fp_")
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(h32.alias("h32"))
+            .groupBy((F.col("h32") % X4_BUCKETS).alias("bucket"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.bit_xor("h32").cast("long").alias("xor_fp"),
+                F.sum("h32").cast("long").alias("sum_fp"),
+            )
+            .withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(store)
+        )
+
+    run_stream_foreach_batch(stream, fold)
+    log = spark.read.parquet(store)
+    # retry idempotence: one partial per (epoch, bucket) — duplicates
+    # from replayed epochs collapse before the merge
+    partials = log.dropDuplicates(["__epoch", "bucket"])
+    return partials.groupBy("bucket").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.bit_xor("xor_fp").cast("long").alias("xor_fp"),
+        F.sum("sum_fp").cast("long").alias("sum_fp"),
+    )
