@@ -509,7 +509,9 @@ def exact_ntile_grouped(
     turn into per-group prefix offsets + totals, broadcast-join back,
     and ntile's bucket arithmetic runs per group with its own total.
     Bucket membership is bit-identical to the single-task window on
-    both engines."""
+    both engines. Group values must be NON-NULL (the offset/total
+    merge is an equi-join, which drops null keys); order_cols need a
+    unique tiebreaker so ranking is boundary-independent."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -524,14 +526,12 @@ def exact_ntile_grouped(
     if not counts:  # empty input: no offsets to build (schema-stable result)
         return with_pid.withColumn("__tile", F.lit(0).cast("int")).drop("pid")
     offset_rows = []
-    totals: dict[tuple, int] = {}
     running: dict[tuple, int] = {}
     for r in counts:
         g = tuple(r[c] for c in group_cols)
         offset_rows.append((r["pid"], *g, running.get(g, 0)))
         running[g] = running.get(g, 0) + r["count"]
-    totals = running
-    total_rows = [(*g, t) for g, t in totals.items()]
+    total_rows = [(*g, t) for g, t in running.items()]
     off_df = spark.createDataFrame(
         offset_rows, ["pid", *group_cols, "__off"]
     )
