@@ -709,3 +709,42 @@ def f11_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lev_dist") <= F11_MAX_LEV)
         .select("name_a", "name_b", "lev_dist", "n_parts_a", "n_parts_b")
     )
+
+
+# --- F12: SQL pipe syntax (Spark 4.0 |> operators) ----------------------------
+
+F12_SPARK_SQL = """
+FROM lineitem
+|> WHERE l_quantity >= 30
+|> EXTEND CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+|> AGGREGATE count(*) AS n, sum(price_cents) AS sum_cents
+   GROUP BY l_returnflag, l_linestatus
+|> SELECT l_returnflag, l_linestatus, n, sum_cents
+"""
+
+
+@query(
+    "f12_pipe_syntax",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM lineitem
+WHERE l_quantity >= 30
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def f12_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, SIGMOD'24 "SQL Has Problems" /
+    GoogleSQL pipe operators): the same filter → extend → aggregate →
+    project pricing rollup as a linear `|>` chain — entry point B
+    (SURVEY §3.2) in its modern form. Catalyst compiles pipe stages to
+    the IDENTICAL logical plan as nested SQL, so pushdown/pruning and
+    the whole-stage-codegen aggregate are unchanged — which is exactly
+    what the oracle (written in classic SQL) proves. Money math stays
+    in fixed-point cents per the parity rules."""
+    from sparkstreaming_mq_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(F12_SPARK_SQL)

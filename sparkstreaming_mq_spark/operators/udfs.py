@@ -369,3 +369,40 @@ def u8_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_cost_micro",
         F.floor(F.col("n_tokens") * F.lit(1_000_000) / F.lit(4096)).cast("long"),
     )
+
+
+# --- U6b: Arrow-optimized Python UDTF ----------------------------------------
+
+@query(
+    "u6b_udtf_arrow",
+    oracle="""
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER) AS pos,
+       unnest(string_split(text, ' ')) AS token
+FROM documents
+WHERE doc_id < 50
+""",
+)
+def u6b_udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """u6's tokenizer UDTF with ``useArrow=True`` (Spark 4): rows cross
+    the Python boundary as Arrow batches instead of pickled rows — the
+    same ~10-100x serialization win the pandas-UDF family gets, applied
+    to the table-function extension point. Semantics (and oracle) are
+    identical to u6 by construction; only the transport differs."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="out_doc_id bigint, pos int, token string", useArrow=True)
+    class TokenizeArrow:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield doc_id, i, tok
+
+    spark.udtf.register("sg_tokenize_arrow", TokenizeArrow)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("__u6b_docs")
+    return spark.sql(
+        """
+        SELECT t.out_doc_id AS doc_id, t.pos, t.token
+        FROM __u6b_docs, LATERAL sg_tokenize_arrow(doc_id, text) t
+        """
+    )

@@ -246,6 +246,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "x4_table_fingerprint",     # bucketed XOR content fingerprint (r7)
     "l42_novelty_attribution",  # marginal-novelty ownership (r7)
     "s17_stream_fingerprint",   # streaming ingest-integrity fingerprint (r7)
+    "f12_pipe_syntax",          # Spark 4 SQL pipe-operator entry point (r7)
+    "u6b_udtf_arrow",           # Arrow-optimized Python UDTF (r7)
 )
 
 

@@ -586,3 +586,12 @@ def test_l42_novelty_is_single_pass_no_join(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_f12_pipe_compiles_to_pushed_codegen_aggregate(spark, sf_dir):
+    """Pipe syntax is surface syntax only: the plan must show the
+    l_quantity filter pushed to the parquet scan and the standard
+    two-phase hash aggregate — identical shape to classic SQL."""
+    plan = formatted_plan(Q["f12_pipe_syntax"](spark, sf_dir))
+    assert "PushedFilters:" in plan and "l_quantity" in plan.split("PushedFilters:")[1][:300]
+    assert plan.count("HashAggregate") >= 2

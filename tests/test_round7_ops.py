@@ -239,3 +239,11 @@ def test_s17_merges_multiple_real_epochs(spark, sf_dir):
     # bucket's count must exceed any single epoch's contribution —
     # cheap proxy: total rows == events count AND chunks > 1 existed
     assert int(merged["n_rows"].sum()) == ev.count()
+
+
+def test_u6b_arrow_udtf_equals_pickled_udtf(spark, sf_dir):
+    """Arrow transport must not change UDTF semantics: u6b == u6 row
+    for row."""
+    a = Q["u6b_udtf_arrow"](spark, sf_dir)
+    b = Q["u6_udtf_tokenize"](spark, sf_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
