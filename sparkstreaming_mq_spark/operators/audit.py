@@ -239,6 +239,32 @@ _X4_PAYLOAD_SQL = (
 )
 
 
+
+def fingerprint_fold(df: DataFrame, payload, with_extremes: bool = False) -> DataFrame:
+    """THE bucketed fingerprint fold — md5(payload) -> 32-bit int,
+    bucket by ``h32 % X4_BUCKETS``, ONE aggregate of order-free
+    (n_rows, xor_fp, sum_fp) per bucket (plus min_h/max_h diagnostics
+    when ``with_extremes``). Shared by x4 (batch) and s17 (streaming,
+    per micro-batch): the two operators' equality claim depends on
+    this recipe living in exactly one place."""
+    h32 = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+    aggs = [
+        F.count("*").cast("long").alias("n_rows"),
+        F.bit_xor("h32").cast("long").alias("xor_fp"),
+        F.sum("h32").cast("long").alias("sum_fp"),
+    ]
+    if with_extremes:
+        aggs += [
+            F.min("h32").cast("long").alias("min_h"),
+            F.max("h32").cast("long").alias("max_h"),
+        ]
+    return (
+        df.select(h32.alias("h32"))
+        .groupBy((F.col("h32") % X4_BUCKETS).alias("bucket"))
+        .agg(*aggs)
+    )
+
+
 def _x4_oracle() -> str:
     from sparkstreaming_mq_spark.operators.curation import _md5_int32_sql
 
@@ -286,15 +312,4 @@ def x4_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string"),
         F.col("l_returnflag"),
     )
-    h32 = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
-    return (
-        li.select(h32.alias("h32"))
-        .groupBy((F.col("h32") % X4_BUCKETS).alias("bucket"))
-        .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.bit_xor("h32").cast("long").alias("xor_fp"),
-            F.sum("h32").cast("long").alias("sum_fp"),
-            F.min("h32").cast("long").alias("min_h"),
-            F.max("h32").cast("long").alias("max_h"),
-        )
-    )
+    return fingerprint_fold(li, payload, with_extremes=True)

@@ -41,8 +41,12 @@ BENCH_MOD = 97      # doc_id % BENCH_MOD == 0 -> held-out "benchmark" doc
 
 
 def _shingle_postings(df: DataFrame, n: int, *key_cols: str) -> DataFrame:
-    """(key_cols..., ng): one row per key × DISTINCT n-token shingle of
-    ``text``, space-joined, none emitted when the doc is shorter than n.
+    """(key_cols..., ng): one row per INPUT ROW × distinct n-token
+    shingle of its ``text``, space-joined; none emitted when the doc is
+    shorter than n. NOTE the dedup grain: per input row, NOT per key —
+    when key_cols are not row-unique (l33 passes 'source'), two rows of
+    the same key sharing a shingle emit duplicate (key, ng) postings,
+    and consumers must dedup themselves (l33's collect_set does).
 
     Built with ``pyspark.ml.feature.NGram`` — a compiled Scala sliding
     window — NOT a Catalyst transform/slice/concat_ws lambda chain:
@@ -1259,33 +1263,43 @@ def l38_dup_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_bp are boilerplate/templates/mirrors and get scrubbed or
     down-weighted before near-dup clustering ever runs.
 
-    Scale shape: shingles come from the compiled NGram builder
-    (`_shingle_postings` — the interpreted-HOF trap is documented
-    there), then TWO hash-aggregate shuffles and nothing else: postings
-    group by shingle carrying (df, collect_list(doc_id)) — the list
-    total is exactly the postings count, so no key blows up memory —
-    then the exploded (doc_id, is_dup) rows group by doc. No join, no
-    window sort, no second pass over the corpus. Since a doc's shingles
-    are array_distinct'ed, df ≥ 2 means "some other doc, or another
-    position in no doc" — i.e. genuinely cross-document repetition.
-    Docs shorter than 8 tokens emit no shingles and no row, on both
-    engines.
+    Scale shape (reworked after review caught the original
+    collect_list(doc_id)-per-shingle carrying an UNBOUNDED hot key — a
+    boilerplate shingle shared by 10M docs would build one 10M-element
+    aggregation buffer): every aggregate now holds O(1) state per key.
+    Key identity: a doc's n_dup = n_shingles − (its df=1 shingles),
+    and a df=1 shingle has exactly ONE owner — so the shingle-keyed
+    aggregate keeps only (df, min doc_id), the df=1 survivors rollup
+    to per-doc unique counts, and a doc-keyed left join (both sides
+    doc-cardinality aggregates, co-partitioned on doc_id — never a
+    corpus self-join) assembles the result. Shingles come from the
+    compiled NGram builder (`_shingle_postings` — the interpreted-HOF
+    trap is documented there); since a doc's shingles are per-doc
+    distinct, df ≥ 2 means genuinely cross-document repetition. Docs
+    shorter than 8 tokens emit no shingles and no row, on both engines.
     """
     d = load_table(spark, sf_dir, "documents")
     sh = _shingle_postings(d, L38_NGRAM, "doc_id")
     grouped = sh.groupBy("ng").agg(
         F.count("*").cast("long").alias("df"),
-        F.collect_list("doc_id").alias("docs"),
+        F.min("doc_id").alias("owner"),
     )
-    per_doc = grouped.select(
-        F.explode("docs").alias("doc_id"),
-        (F.col("df") >= 2).cast("long").alias("is_dup"),
+    uniq = (
+        grouped.filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("n_uniq"))
+    )
+    totals = sh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
     )
     return (
-        per_doc.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_shingles"),
-            F.sum("is_dup").cast("long").alias("n_dup"),
+        totals.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            (F.col("n_shingles") - F.coalesce("n_uniq", F.lit(0)))
+            .cast("long")
+            .alias("n_dup"),
         )
         .select(
             "doc_id",
@@ -1435,6 +1449,7 @@ fam AS (
   SELECT s.doc_id, d.lang, s.n_tokens,
          CAST(s.sum_cf AS DOUBLE) / s.n_tokens AS familiarity
   FROM scored s JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL
 ),
 tiled AS (
   SELECT doc_id, lang, n_tokens, familiarity,
@@ -1482,7 +1497,13 @@ def l41_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cf").cast("long").alias("sum_cf"),
         )
     )
-    fam = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+    # NULL langs would be silently dropped by exact_ntile_grouped's
+    # offset equi-join while the oracle's window keeps a NULL partition
+    # — exclude them EXPLICITLY on both sides so a future fixture with
+    # lang NULLs diverges loudly (row-count) rather than subtly
+    fam = scored.join(
+        d.select("doc_id", "lang").filter(F.col("lang").isNotNull()), "doc_id"
+    ).select(
         "doc_id",
         "lang",
         "n_tokens",
@@ -1545,27 +1566,30 @@ def l42_novelty_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl-source auditing: sum(n_novel) over docs == |distinct corpus
     shingles|, by construction.
 
-    Same scale shape as l38 — compiled NGram shingles, then TWO
-    hash-aggregate shuffles, no join: postings group by shingle
-    carrying (min-owner, collect_list(doc_id)), exploded back and
-    rolled up per doc. List totals equal the postings count, so no
-    grouped key can blow executor memory."""
+    Same scale shape as l38 (and reworked with it: the original
+    collect_list(doc_id) per shingle was an unbounded hot-key buffer):
+    the shingle-keyed aggregate keeps only min(doc_id) — O(1) state
+    per key — because ownership needs nothing else; owners roll up to
+    per-doc novel counts, and a doc-keyed left join of two
+    doc-cardinality aggregates (co-partitioned, never a corpus
+    self-join) assembles the result."""
     d = load_table(spark, sf_dir, "documents")
     sh = _shingle_postings(d, L38_NGRAM, "doc_id")
-    grouped = sh.groupBy("ng").agg(
-        F.min("doc_id").alias("owner"),
-        F.collect_list("doc_id").alias("docs"),
+    owners = (
+        sh.groupBy("ng")
+        .agg(F.min("doc_id").alias("owner"))
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("n_novel_raw"))
     )
-    per_doc = grouped.select(
-        "owner", F.explode("docs").alias("doc_id")
-    ).select(
-        "doc_id", (F.col("doc_id") == F.col("owner")).cast("long").alias("is_novel")
+    totals = sh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
     )
     return (
-        per_doc.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_shingles"),
-            F.sum("is_novel").cast("long").alias("n_novel"),
+        totals.join(owners, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel_raw", F.lit(0)).cast("long").alias("n_novel"),
         )
         .select(
             "doc_id",

@@ -330,6 +330,9 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 G3_SEED_MOD = 97  # seeds = parts whose key is divisible by this (deterministic)
 G3_HOPS = 3
+# lineage-truncation switch for intermediate hops (tests monkeypatch it
+# off to inspect the full multi-join plan; results are bit-identical)
+G3_CKPT_INTERMEDIATE = True
 
 
 def _g3_oracle(hops: int) -> str:
@@ -384,7 +387,10 @@ def g3_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies unchanged: bucketed edges stay in place and only the
     frontier moves. Frontier-only expansion (``dist = k-1``) keeps each
     round's join input minimal — already-settled nodes re-enter only
-    through the min-merge, not the join."""
+    through the min-merge, not the join. Intermediate hops
+    localCheckpoint the node-sized ``reached`` frame (it is referenced
+    twice per hop, and an unbroken lineage doubles per hop); the last
+    hop stays lazy so the returned plan is live."""
     edges, nodes = _g1_edges(spark, sf_dir)
     e = edges.select("src", "dst")
     reached = nodes.filter(F.col("src") % G3_SEED_MOD == 0).select(
@@ -402,4 +408,15 @@ def g3_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
         )
+        # truncate lineage after every INTERMEDIATE hop: `reached` is
+        # referenced twice per iteration (frontier filter + min-merge
+        # union), so an unbroken chain doubles per hop and hop k
+        # re-executes hop 1 up to 2^k times — the measured
+        # ReuseExchange lesson (CLAUDE.md) and g1's PR_CKPT_EVERY
+        # rationale; the frame is node-sized, so eager materialization
+        # is cheap. The LAST hop stays lazy so the returned plan shows
+        # a live frontier⋈edges join (the r6 pagerank plan-test lesson:
+        # never hand the test a checkpoint-truncated plan).
+        if G3_CKPT_INTERMEDIATE and k < G3_HOPS:
+            reached = reached.localCheckpoint(eager=True)
     return reached

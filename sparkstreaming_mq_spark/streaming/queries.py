@@ -2467,7 +2467,7 @@ def s17_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship the 64-triple fingerprint, not the data."""
     import tempfile
 
-    from sparkstreaming_mq_spark.operators.audit import X4_BUCKETS
+    from sparkstreaming_mq_spark.operators.audit import fingerprint_fold
     from sparkstreaming_mq_spark.streaming.sources import (
         read_events_stream_chunked,
         run_stream_foreach_batch,
@@ -2483,18 +2483,13 @@ def s17_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("string"),
     )
-    h32 = F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
     store = tempfile.mkdtemp(prefix="sparkgraft_fp_")
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        # the ONE fingerprint recipe, shared with x4 (audit.py) — the
+        # streaming==batch equality claim depends on it
         (
-            batch_df.select(h32.alias("h32"))
-            .groupBy((F.col("h32") % X4_BUCKETS).alias("bucket"))
-            .agg(
-                F.count("*").cast("long").alias("n_rows"),
-                F.bit_xor("h32").cast("long").alias("xor_fp"),
-                F.sum("h32").cast("long").alias("sum_fp"),
-            )
+            fingerprint_fold(batch_df, payload)
             .withColumn("__epoch", F.lit(epoch_id))
             .write.mode("append")
             .parquet(store)

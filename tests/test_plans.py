@@ -528,16 +528,16 @@ def test_l34_corpus_side_broadcasts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_dup_density_is_single_pass_no_join(spark, sf_dir):
-    """l38 promises exactly one pass over the postings: a shingle-keyed
-    hash aggregate carrying (df, collect_list(doc_id)) and a doc-keyed
-    rollup — no self-join of the postings and no third shuffle."""
+def test_dup_density_bounded_state_no_corpus_join(spark, sf_dir):
+    """l38 must keep O(1) aggregation state per shingle key (the
+    unbounded collect_list hot-key buffer is banned) and join only
+    doc-cardinality aggregates — two corpus scans, at most three
+    exchanges, never a postings self-join."""
     plan = executed_plan(Q["l38_dup_density"](spark, sf_dir))
-    assert "Join" not in plan, "postings must not self-join"
-    assert plan.count("Scan parquet") == 1
-    # one exchange per aggregate key (ng, then doc_id); AQE may add
-    # AQEShuffleRead wrappers but never a third Exchange
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "collect_list" not in plan, "unbounded per-key list buffer"
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
 
 
 def test_e7_islands_one_corpus_shuffle(spark, sf_dir):
@@ -549,14 +549,23 @@ def test_e7_islands_one_corpus_shuffle(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_g3_frontier_broadcasts_edges_stay_put(spark, sf_dir):
-    """Each of g3's three hop expansions joins the broadcast frontier
-    into the materialized edge list — no sort-merge/shuffled-hash join
-    may touch the edges (the g1 no-edge-shuffle property, BFS form)."""
-    plan = executed_plan(Q["g3_khop_reach"](spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 3
-    assert "SortMergeJoin" not in plan
-    assert "ShuffledHashJoin" not in plan
+def test_g3_frontier_broadcasts_edges_stay_put(spark, sf_dir, monkeypatch):
+    """Each of g3's hop expansions joins the broadcast frontier into
+    the materialized edge list — no sort-merge/shuffled-hash join may
+    touch the edges (the g1 no-edge-shuffle property, BFS form). The
+    default plan is checkpoint-truncated after intermediate hops, so
+    the full three-join property is checked with truncation OFF (the
+    r6 pagerank-test lesson), and the default live last hop is checked
+    separately."""
+    import sparkstreaming_mq_spark.operators.graph as graph_mod
+
+    live = executed_plan(Q["g3_khop_reach"](spark, sf_dir))
+    assert live.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in live and "ShuffledHashJoin" not in live
+    monkeypatch.setattr(graph_mod, "G3_CKPT_INTERMEDIATE", False)
+    full = executed_plan(Q["g3_khop_reach"](spark, sf_dir))
+    assert full.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in full and "ShuffledHashJoin" not in full
 
 
 def test_l41_tercile_window_is_per_partition(spark, sf_dir):
@@ -578,14 +587,13 @@ def test_x4_fingerprint_single_scan_one_exchange(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_l42_novelty_is_single_pass_no_join(spark, sf_dir):
-    """l42 keeps l38's shape: compiled-NGram postings through two
-    hash-aggregate exchanges (ng, then doc_id) — no postings self-join,
-    no second corpus scan."""
+def test_l42_novelty_bounded_state_no_corpus_join(spark, sf_dir):
+    """l42 keeps l38's reworked shape: O(1) state per shingle key
+    (min(doc_id) only — no list buffers), doc-cardinality join only."""
     plan = executed_plan(Q["l42_novelty_attribution"](spark, sf_dir))
-    assert "Join" not in plan
-    assert plan.count("Scan parquet") == 1
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "collect_list" not in plan, "unbounded per-key list buffer"
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Exchange hashpartitioning") <= 3
 
 
 def test_f12_pipe_compiles_to_pushed_codegen_aggregate(spark, sf_dir):
