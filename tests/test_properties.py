@@ -358,3 +358,80 @@ def test_exact_ntile_grouped_matches_reference(spark, rows, n):
             else:
                 expected[rid] = n_big + (rank0 - cut) // max(small, 1)
     assert got == expected
+
+
+ISLAND_ROW = st.tuples(
+    st.integers(min_value=0, max_value=2),   # user
+    st.integers(min_value=0, max_value=15),  # daynum (dense -> merges)
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(ISLAND_ROW, min_size=1, max_size=30))
+def test_streak_islands_match_reference(spark, rows):
+    """The gaps-and-islands kernel (e7's shape) against a plain-Python
+    reference on randomized (user, day) multisets: duplicate days,
+    single-day islands, exact-adjacency merges, users with one day."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "user_id long, daynum long")
+    ud = (
+        df.groupBy("user_id")
+        .agg(F.collect_set("daynum").alias("_days"))
+        .select("user_id", F.explode("_days").alias("daynum"))
+    )
+    w = Window.partitionBy("user_id").orderBy("daynum")
+    numbered = ud.withColumn("grp", F.col("daynum") - F.row_number().over(w))
+    got = {
+        (r["user_id"], r["start_day"], r["end_day"], r["streak_days"])
+        for r in numbered.groupBy("user_id", "grp")
+        .agg(
+            F.min("daynum").alias("start_day"),
+            F.max("daynum").alias("end_day"),
+            F.count("*").alias("streak_days"),
+        )
+        .drop("grp")
+        .collect()
+    }
+    expected = set()
+    by_user: dict[int, set[int]] = {}
+    for u, d in rows:
+        by_user.setdefault(u, set()).add(d)
+    for u, days in by_user.items():
+        run: list[int] = []
+        for d in sorted(days):
+            if run and d == run[-1] + 1:
+                run.append(d)
+            else:
+                if run:
+                    expected.add((u, run[0], run[-1], len(run)))
+                run = [d]
+        expected.add((u, run[0], run[-1], len(run)))
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=250), min_size=1, max_size=20),
+    target=st.integers(min_value=1, max_value=100),
+)
+def test_next_fit_binning_matches_reference(spark, sizes, target):
+    """o20's bin rule — bin_id = (cumsum - size) div TARGET — against a
+    plain-Python next-fit-with-carry reference, including files LARGER
+    than the target (they occupy their first-row bin and spill)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "pos long, size long"
+    )
+    w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    got = {
+        r["pos"]: r["bin"]
+        for r in df.withColumn("cum", F.sum("size").over(w))
+        .select("pos", F.expr(f"(cum - size) div {target}").alias("bin"))
+        .collect()
+    }
+    cum = 0
+    for i, s in enumerate(sizes):
+        assert got[i] == cum // target, (i, s, cum, target)
+        cum += s
