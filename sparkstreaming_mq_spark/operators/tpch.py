@@ -179,3 +179,168 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("revenue", _revenue_final())
         .drop("_rev_units")
     )
+
+
+# --- Q4 shape: order-priority checking (EXISTS semi-join) ---------------------
+
+Q04_CUTOFF_LO = "1997-01-01 00:00:00"
+Q04_CUTOFF_HI = "1997-04-01 00:00:00"
+Q04_SHIP_AFTER = "1997-03-01 00:00:00"
+
+Q04_ORACLE = f"""
+SELECT o.o_orderpriority AS order_priority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q04_CUTOFF_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q04_CUTOFF_HI}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > TIMESTAMP '{Q04_SHIP_AFTER}'
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("q04_order_priority", oracle=Q04_ORACLE)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape: per-priority counts of one quarter's orders
+    having at least one late-shipped line — the canonical EXISTS
+    decorrelation. (The fixture lacks l_commitdate/l_receiptdate, so
+    the EXISTS predicate is late shipment rather than late receipt;
+    the plan shape — date-pruned orders LEFT SEMI JOIN a filtered
+    lineitem, then a tiny aggregate — is exactly Q4's.)
+
+    Scale: both date filters push to the parquet scans; the semi join
+    is the only shuffle (AQE may broadcast the pruned order side);
+    output is 5 rows."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q04_CUTOFF_LO)
+        & (F.col("o_orderdate") < Q04_CUTOFF_HI)
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > Q04_SHIP_AFTER
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+# --- Q6 shape: forecasting revenue change (pure filter + global agg) ----------
+
+Q06_YEAR_LO = "1997-01-01 00:00:00"
+Q06_YEAR_HI = "1998-01-01 00:00:00"
+
+Q06_ORACLE = f"""
+SELECT
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        * CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) + 5000) // 10000
+       AS BIGINT) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q06_YEAR_LO}'
+  AND l_shipdate <  TIMESTAMP '{Q06_YEAR_HI}'
+  AND l_discount BETWEEN 0.02 AND 0.08
+  AND l_quantity < 24
+"""
+
+
+@query("q06_forecast_revenue", oracle=Q06_ORACLE)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6 shape: the would-have-been revenue of discounted small
+    orders in one year — a pure scan-filter-aggregate with NO join and
+    NO group key; the plan is one pushed-filter scan collapsing to a
+    single row (partial + final agg), the cheapest possible shape at
+    any scale. Revenue = Σ price·discount in exact cent·basis-point
+    integers, half-up to cents, one final double division (the module's
+    standard money recipe)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q06_YEAR_LO)
+        & (F.col("l_shipdate") < Q06_YEAR_HI)
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.08)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    bp = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    return (
+        li.agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(cents * bp).alias("_ru"),
+        )
+        .select(
+            "n_lines",
+            (F.expr("(_ru + 5000L) div 10000L") / F.lit(100.0)).alias("revenue"),
+        )
+    )
+
+
+# --- Q10 shape: returned-item reporting (4-table join + top-k) ----------------
+
+Q10_QTR_LO = "1997-07-01 00:00:00"
+Q10_QTR_HI = "1997-10-01 00:00:00"
+
+Q10_ORACLE = f"""
+SELECT
+  c.c_custkey                                               AS cust_key,
+  c.c_name                                                  AS cust_name,
+  {REV_SQL}                                                 AS revenue,
+  CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)            AS acctbal_cents,
+  n.n_name                                                  AS nation
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '{Q10_QTR_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{Q10_QTR_HI}'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, cust_key
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", oracle=Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10 shape: the 20 customers who returned the most revenue
+    in one quarter, with their nation — the canonical "who is hurting
+    us" report: fact⋈fact (orders⋈lineitem) with both filters pushed,
+    two broadcast dims (customer, nation), exact fixed-point revenue,
+    and the top-20 lowered to TakeOrderedAndProject. One fact-fact
+    shuffle is the whole network cost at any scale."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q10_QTR_LO)
+        & (F.col("o_orderdate") < Q10_QTR_HI)
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        l.alias("l")
+        .join(o.alias("o"), F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .join(F.broadcast(c).alias("c"), F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .join(F.broadcast(n).alias("n"), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
+    )
+    agg = (
+        joined.groupBy(
+            F.col("c.c_custkey").alias("cust_key"),
+            F.col("c.c_name").alias("cust_name"),
+            F.floor(F.col("c.c_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("acctbal_cents"),
+            F.col("n.n_name").alias("nation"),
+        )
+        .agg(F.sum(_revenue_units()).alias("_rev_units"))
+        .select(
+            "cust_key",
+            "cust_name",
+            _revenue_final().alias("revenue"),
+            "acctbal_cents",
+            "nation",
+        )
+    )
+    return agg.orderBy(F.col("revenue").desc(), "cust_key").limit(20)

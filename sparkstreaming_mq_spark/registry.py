@@ -248,6 +248,9 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s17_stream_fingerprint",   # streaming ingest-integrity fingerprint (r7)
     "f12_pipe_syntax",          # Spark 4 SQL pipe-operator entry point (r7)
     "u6b_udtf_arrow",           # Arrow-optimized Python UDTF (r7)
+    "q04_order_priority",       # TPC-H Q4 shape: EXISTS semi-join (r7)
+    "q06_forecast_revenue",     # TPC-H Q6 shape: pure filter+agg (r7)
+    "q10_returned_items",       # TPC-H Q10 shape: 4-table top-20 (r7)
 )
 
 

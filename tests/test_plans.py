@@ -603,3 +603,30 @@ def test_f12_pipe_compiles_to_pushed_codegen_aggregate(spark, sf_dir):
     plan = formatted_plan(Q["f12_pipe_syntax"](spark, sf_dir))
     assert "PushedFilters:" in plan and "l_quantity" in plan.split("PushedFilters:")[1][:300]
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q04_semi_join_with_pushed_dates(spark, sf_dir):
+    """Q4's EXISTS decorrelates to a LEFT SEMI join; both date filters
+    must reach the parquet scans."""
+    plan = formatted_plan(Q["q04_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "PushedFilters:" in plan and "o_orderdate" in plan
+    assert "l_shipdate" in plan
+
+
+def test_q06_no_join_single_pushed_scan(spark, sf_dir):
+    """Q6 is one pushed-filter scan + a global two-phase aggregate —
+    no join, no group-key exchange (SinglePartition only)."""
+    plan = executed_plan(Q["q06_forecast_revenue"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    f = formatted_plan(Q["q06_forecast_revenue"](spark, sf_dir))
+    assert "l_shipdate" in f.split("PushedFilters:")[1][:400]
+
+
+def test_q10_topk_fuses_with_broadcast_dims(spark, sf_dir):
+    """Q10: top-20 lowers to TakeOrderedAndProject; customer and
+    nation broadcast; exactly one fact-fact shuffle pair."""
+    plan = executed_plan(Q["q10_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
