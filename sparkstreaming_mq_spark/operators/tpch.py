@@ -344,3 +344,106 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.orderBy(F.col("revenue").desc(), "cust_key").limit(20)
+
+
+# --- Q14 shape: promotion-effect revenue share --------------------------------
+
+Q14_MONTH_LO = "1997-09-01 00:00:00"
+Q14_MONTH_HI = "1997-10-01 00:00:00"
+
+Q14_ORACLE = f"""
+SELECT
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN u ELSE 0 END) AS BIGINT)
+    AS promo_units,
+  CAST(sum(u) AS BIGINT) AS total_units,
+  100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN u ELSE 0 END) AS DOUBLE)
+        / CAST(sum(u) AS DOUBLE) AS promo_pct
+FROM (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q14_MONTH_LO}'
+    AND l_shipdate <  TIMESTAMP '{Q14_MONTH_HI}'
+) l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+@query("q14_promo_effect", oracle=Q14_ORACLE)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape: the share of one month's discounted revenue on
+    promotional parts. Revenue stays in exact cent·basis-point BIGINT
+    units through BOTH conditional sums, so the single closing
+    percentage is one deterministic double division of two exact
+    integers — no float accumulation anywhere. Plan: pushed month
+    filter, part dim broadcast, single-row two-phase aggregate."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q14_MONTH_LO)
+        & (F.col("l_shipdate") < Q14_MONTH_HI)
+    )
+    p = load_table(spark, sf_dir, "part")
+    u = _revenue_units()
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", u).otherwise(F.lit(0))
+    return (
+        joined.agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(promo).cast("long").alias("promo_units"),
+            F.sum(u).cast("long").alias("total_units"),
+        )
+        .select(
+            "n_lines",
+            "promo_units",
+            "total_units",
+            (
+                F.lit(100.0)
+                * F.col("promo_units").cast("double")
+                / F.col("total_units").cast("double")
+            ).alias("promo_pct"),
+        )
+    )
+
+
+# --- Q19 shape: disjunctive brand/size discounted revenue ---------------------
+
+Q19_ORACLE = """
+SELECT
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST((sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT))) + 5000)
+       // 10000 AS BIGINT) / 100.0 AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+         AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+         AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 45
+         AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@query("q19_brand_revenue", oracle=Q19_ORACLE)
+def q19_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19 shape: discounted revenue under three disjunctive
+    (brand, size-range, quantity-range) arms — the classic test that a
+    join condition mixing equi keys with OR-of-conjunctions still
+    planes as an equi hash join on partkey with the disjunction as a
+    post-join filter (NOT a nested loop). Part broadcasts; exact money
+    recipe; single-row output."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    arms = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 45) & q.between(20, 40))
+    )
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).filter(arms)
+    return (
+        joined.agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(_revenue_units()).alias("_rev_units"),
+        )
+        .select("n_lines", _revenue_final().alias("revenue"))
+    )

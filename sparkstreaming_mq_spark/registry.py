@@ -251,6 +251,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "q04_order_priority",       # TPC-H Q4 shape: EXISTS semi-join (r7)
     "q06_forecast_revenue",     # TPC-H Q6 shape: pure filter+agg (r7)
     "q10_returned_items",       # TPC-H Q10 shape: 4-table top-20 (r7)
+    "q14_promo_effect",         # TPC-H Q14 shape: promo revenue share (r7)
+    "q19_brand_revenue",        # TPC-H Q19 shape: disjunctive arms (r7)
 )
 
 

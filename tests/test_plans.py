@@ -630,3 +630,11 @@ def test_q10_topk_fuses_with_broadcast_dims(spark, sf_dir):
     plan = executed_plan(Q["q10_returned_items"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q19_disjunction_stays_equi_hash_join(spark, sf_dir):
+    """Q19's OR-of-conjunctions must not degrade the partkey equi join
+    into a nested loop."""
+    plan = executed_plan(Q["q19_brand_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
