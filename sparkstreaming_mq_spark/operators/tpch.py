@@ -447,3 +447,119 @@ def q19_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_lines", _revenue_final().alias("revenue"))
     )
+
+
+# --- Q15 shape: top supplier (argmax without a self-join) ---------------------
+
+Q15_QTR_LO = "1997-04-01 00:00:00"
+Q15_QTR_HI = "1997-07-01 00:00:00"
+
+Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey AS supp_key,
+         CAST((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)))
+               + 5000) // 10000 AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_QTR_LO}'
+    AND l_shipdate <  TIMESTAMP '{Q15_QTR_HI}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS supp_key, s.s_name AS supp_name,
+       r.rev_cents AS rev_cents
+FROM rev r JOIN supplier s ON s.s_suppkey = r.supp_key
+WHERE r.rev_cents = (SELECT max(rev_cents) FROM rev)
+"""
+
+
+@query("q15_top_supplier", oracle=Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15 shape: the supplier(s) with maximum quarterly revenue.
+    The oracle's correlated max-subquery is computed engine-side as an
+    empty-frame window max over the per-supplier aggregate — one extra
+    SinglePartition pass over a SUPPLIER-cardinality frame (never the
+    fact table), instead of re-scanning or self-joining the revenue
+    CTE. Revenue is half-up exact cents (BIGINT), so the max-equality
+    is an integer comparison — no float ties."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q15_QTR_LO)
+        & (F.col("l_shipdate") < Q15_QTR_HI)
+    )
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supp_key"))
+        .agg(F.sum(_revenue_units()).alias("_rev_units"))
+        .select(
+            "supp_key",
+            F.expr("(_rev_units + 5000L) div 10000L").alias("rev_cents"),
+        )
+    )
+    top = rev.withColumn(
+        "_max", F.max("rev_cents").over(Window.partitionBy())
+    ).filter(F.col("rev_cents") == F.col("_max"))
+    s = load_table(spark, sf_dir, "supplier")
+    return top.join(F.broadcast(s), top.supp_key == s.s_suppkey).select(
+        "supp_key", F.col("s_name").alias("supp_name"), "rev_cents"
+    )
+
+
+# --- Q18 shape: large-volume customers ----------------------------------------
+
+Q18_MIN_QTY = 150
+
+Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > {Q18_MIN_QTY}
+)
+SELECT c.c_custkey AS cust_key, c.c_name AS cust_name,
+       o.o_orderkey AS order_key, o.o_orderdate AS order_date,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+       b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_cents DESC, order_key
+LIMIT 100
+"""
+
+
+@query("q18_large_orders", oracle=Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: the 100 biggest orders whose total line
+    quantity exceeds a threshold, with their customers. The HAVING
+    subquery becomes a pre-aggregated order-cardinality frame that
+    DRIVES the join (orders join the survivors, not vice versa);
+    customer broadcasts; top-100 lowers to TakeOrderedAndProject.
+    Quantities are integral in the fixture — half-up cast makes that
+    exact on both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_name").alias("cust_name"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("total_cents"),
+            "total_qty",
+        )
+    )
+    return joined.orderBy(F.col("total_cents").desc(), "order_key").limit(100)

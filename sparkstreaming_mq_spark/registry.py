@@ -253,6 +253,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "q10_returned_items",       # TPC-H Q10 shape: 4-table top-20 (r7)
     "q14_promo_effect",         # TPC-H Q14 shape: promo revenue share (r7)
     "q19_brand_revenue",        # TPC-H Q19 shape: disjunctive arms (r7)
+    "q15_top_supplier",         # TPC-H Q15 shape: window-max argmax (r7)
+    "q18_large_orders",         # TPC-H Q18 shape: HAVING-driven top-100 (r7)
 )
 
 
