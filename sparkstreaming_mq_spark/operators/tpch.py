@@ -563,3 +563,159 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.orderBy(F.col("total_cents").desc(), "order_key").limit(100)
+
+
+# --- Q13 shape: customer order-count distribution -----------------------------
+
+Q13_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+@query("q13_order_distribution", oracle=Q13_ORACLE)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 shape: the distribution of per-customer order counts,
+    INCLUDING zero-order customers — the left-outer-join-then-
+    double-aggregate idiom (count(o_orderkey) counts matches, not
+    rows, so the never-ordered customer lands in bucket 0). First
+    aggregate is customer-keyed (the join's own partitioning — no
+    extra exchange); the second collapses to tens of rows."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+# --- Q17 shape: small-quantity-order revenue (correlated avg subquery) --------
+
+Q17_BRAND = "Brand#3"
+
+Q17_ORACLE = f"""
+WITH stats AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN stats s ON s.l_partkey = l.l_partkey
+WHERE p.p_brand = '{Q17_BRAND}'
+  AND CAST(floor(l.l_quantity + 0.5) AS BIGINT) * 5 * s.cnt < s.sum_qty
+"""
+
+
+@query("q17_small_quantity", oracle=Q17_ORACLE)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 shape: revenue locked in orders below 20% of a part's
+    average quantity. The correlated AVG subquery decorrelates into a
+    per-part (count, sum) aggregate joined back to the fact — and the
+    fractional threshold q < 0.2·avg cross-multiplies to the EXACT
+    integer test 5·q·cnt < sum_qty (quantities are integral in the
+    fixture), so no float division exists on either engine. Both joins
+    are partkey-equi; the stats side is part-cardinality."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    stats = l.groupBy(F.col("l_partkey").alias("s_partkey")).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(qty).cast("long").alias("sum_qty"),
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == Q17_BRAND
+    )
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(stats, l.l_partkey == stats.s_partkey)
+        .filter(qty * 5 * F.col("cnt") < F.col("sum_qty"))
+    )
+    return joined.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+    )
+
+
+# --- Q22 shape: wealthy inactive customers ------------------------------------
+
+Q22_RECENT = "2000-01-01 00:00:00"
+
+Q22_ORACLE = f"""
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+CROSS JOIN avg_bal a
+WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) * a.n > a.sum_cents
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{Q22_RECENT}'
+  )
+GROUP BY n.n_name
+"""
+
+
+@query("q22_inactive_customers", oracle=Q22_ORACLE)
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape: per-nation counts of above-average-balance
+    customers with NO RECENT order (none since 2000 — the fixture's
+    order coverage is dense enough that lifetime-never-ordered is
+    empty, so the inactivity cut is recency-based, the realistic churn
+    form; the fixture also lacks c_phone, so the country-code grouping
+    becomes the nation dim). The plan shape is Q22's: scalar global
+    average as a broadcast single row, an above-average
+    cross-multiplied INTEGER test, and the NOT EXISTS decorrelated to
+    a LEFT ANTI join on custkey (date filter pushed into the anti
+    side's scan). The anti join is the only corpus shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(cents).cast("long").alias("sum_cents"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= Q22_RECENT)
+        .select("o_custkey")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    wealthy = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(cents * F.col("n") > F.col("sum_cents"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        wealthy.join(F.broadcast(n), wealthy.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_custs"),
+            F.sum(cents).cast("long").alias("total_cents"),
+        )
+    )

@@ -255,6 +255,9 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "q19_brand_revenue",        # TPC-H Q19 shape: disjunctive arms (r7)
     "q15_top_supplier",         # TPC-H Q15 shape: window-max argmax (r7)
     "q18_large_orders",         # TPC-H Q18 shape: HAVING-driven top-100 (r7)
+    "q13_order_distribution",   # TPC-H Q13 shape: outer-join histogram (r7)
+    "q17_small_quantity",       # TPC-H Q17 shape: decorrelated avg, exact (r7)
+    "q22_inactive_customers",   # TPC-H Q22 shape: anti join + scalar avg (r7)
 )
 
 
