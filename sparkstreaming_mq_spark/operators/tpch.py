@@ -719,3 +719,85 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).cast("long").alias("total_cents"),
         )
     )
+
+
+# --- Q7 shape: bi-nation trade volume -----------------------------------------
+
+Q07_NATION_A = "NATION_3"
+Q07_NATION_B = "NATION_7"
+
+Q07_ORACLE = f"""
+SELECT
+  ns.n_name AS supp_nation,
+  nc.n_name AS cust_nation,
+  CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  {REV_SQL} AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+WHERE (ns.n_name = '{Q07_NATION_A}' AND nc.n_name = '{Q07_NATION_B}')
+   OR (ns.n_name = '{Q07_NATION_B}' AND nc.n_name = '{Q07_NATION_A}')
+GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+"""
+
+
+@query("q07_nation_volume", oracle=Q07_ORACLE)
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7 shape: yearly trade volume between two nations in both
+    directions. The interesting planning property: the disjunctive
+    two-direction nation predicate sits over FOUR broadcast dims
+    (customer, supplier, nation×2), so the only shuffle in the whole
+    plan is the orders⋈lineitem fact-fact join — the nation filter
+    reaches the probe side through the broadcasts before the fact
+    shuffle output grows. Exact fixed-point revenue per the module
+    recipe; year() is integer on both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == Q07_NATION_A)
+                & (F.col("cust_nation") == Q07_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == Q07_NATION_B)
+                & (F.col("cust_nation") == Q07_NATION_A)
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(_revenue_units()).alias("_rev_units"),
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "ship_year",
+            "n_lines",
+            _revenue_final().alias("revenue"),
+        )
+    )

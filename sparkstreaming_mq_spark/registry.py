@@ -258,6 +258,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "q13_order_distribution",   # TPC-H Q13 shape: outer-join histogram (r7)
     "q17_small_quantity",       # TPC-H Q17 shape: decorrelated avg, exact (r7)
     "q22_inactive_customers",   # TPC-H Q22 shape: anti join + scalar avg (r7)
+    "q07_nation_volume",        # TPC-H Q7 shape: bi-nation flows, 4 bcast dims (r7)
 )
 
 

@@ -638,3 +638,11 @@ def test_q19_disjunction_stays_equi_hash_join(spark, sf_dir):
     plan = executed_plan(Q["q19_brand_revenue"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_q07_dims_all_broadcast(spark, sf_dir):
+    """Q7's four dimension joins (customer, supplier, nation x2) must
+    all broadcast — no dim may shuffle."""
+    plan = executed_plan(Q["q07_nation_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "ShuffledHashJoin" not in plan
