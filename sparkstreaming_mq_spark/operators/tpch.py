@@ -801,3 +801,87 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             _revenue_final().alias("revenue"),
         )
     )
+
+
+# --- Q8 shape: national market share ------------------------------------------
+
+Q08_REGION = "EUROPE"
+Q08_NATION = "NATION_3"   # the supplier nation whose share we track
+Q08_PTYPE = "PROMO"
+
+Q08_ORACLE = f"""
+SELECT
+  CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+  CAST(sum(CASE WHEN ns.n_name = '{Q08_NATION}' THEN u ELSE 0 END) AS BIGINT)
+    AS nation_units,
+  CAST(sum(u) AS BIGINT) AS total_units,
+  CAST(sum(CASE WHEN ns.n_name = '{Q08_NATION}' THEN u ELSE 0 END) AS DOUBLE)
+    / CAST(sum(u) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS u
+  FROM lineitem
+) l
+JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = '{Q08_PTYPE}'
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = nc.n_regionkey AND r.r_name = '{Q08_REGION}'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+GROUP BY year(o.o_orderdate)
+"""
+
+
+@query("q08_market_share", oracle=Q08_ORACLE)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8 shape: one supplier nation's share of a region's
+    market for one part type, per order year — the deepest star join
+    in the canonical set (lineitem through part, orders, customer,
+    nation, region, supplier, nation again). Every dimension
+    broadcasts; both selective filters (part type, region name)
+    prune their dims BEFORE broadcast, so the fact side shrinks at
+    the scan-adjacent joins and the orders⋈lineitem shuffle is the
+    plan's only wide edge. The share is a division of two exact
+    integer unit sums, computed once per output year."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q08_PTYPE)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q08_REGION)
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    u = _revenue_units()
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+    )
+    nat_u = F.when(F.col("supp_nation") == Q08_NATION, u).otherwise(F.lit(0))
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.sum(nat_u).cast("long").alias("nation_units"),
+            F.sum(u).cast("long").alias("total_units"),
+        )
+        .select(
+            "order_year",
+            "nation_units",
+            "total_units",
+            (
+                F.col("nation_units").cast("double")
+                / F.col("total_units").cast("double")
+            ).alias("mkt_share"),
+        )
+    )

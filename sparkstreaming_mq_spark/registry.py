@@ -259,6 +259,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "q17_small_quantity",       # TPC-H Q17 shape: decorrelated avg, exact (r7)
     "q22_inactive_customers",   # TPC-H Q22 shape: anti join + scalar avg (r7)
     "q07_nation_volume",        # TPC-H Q7 shape: bi-nation flows, 4 bcast dims (r7)
+    "q08_market_share",         # TPC-H Q8 shape: 7-table share-of-market (r7)
 )
 
 

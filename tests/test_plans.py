@@ -646,3 +646,11 @@ def test_q07_dims_all_broadcast(spark, sf_dir):
     plan = executed_plan(Q["q07_nation_volume"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 4
     assert "ShuffledHashJoin" not in plan
+
+
+def test_q08_deep_star_all_dims_broadcast(spark, sf_dir):
+    """Q8's seven-table star: every dimension join broadcasts (>=6
+    BroadcastHashJoins), no dim shuffles."""
+    plan = executed_plan(Q["q08_market_share"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "ShuffledHashJoin" not in plan
