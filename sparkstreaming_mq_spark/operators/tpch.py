@@ -14,7 +14,7 @@ else.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkstreaming_mq_spark.registry import query
@@ -884,4 +884,197 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("total_units").cast("double")
             ).alias("mkt_share"),
         )
+    )
+
+
+# --- TPC-DS-style bonus shapes --------------------------------------------
+#
+# The fixture's star schema also supports the two most-cited TPC-DS plan
+# shapes that TPC-H lacks: the consecutive-year growth self-comparison
+# (Q4/Q11 — here a window ``lag``, not a self-join) and the
+# cumulative-series full-outer compare (Q51). Both follow the module's
+# exact fixed-point money recipe, so the oracles are value-hash exact.
+
+# >25% YoY growth, tested as an exact integer cross-multiplication
+# (cur_cents * 100 > prev_cents * DS1_GROWTH_NUM) — no float ratio.
+DS1_GROWTH_NUM = 125
+
+DS1_ORACLE = f"""
+WITH yearly AS (
+  SELECT o_custkey AS cust,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT yr, cents,
+         lag(yr)    OVER (PARTITION BY cust ORDER BY yr) AS prev_yr,
+         lag(cents) OVER (PARTITION BY cust ORDER BY yr) AS prev_cents
+  FROM yearly
+)
+SELECT yr AS order_year,
+       CAST(count(*) AS BIGINT) AS n_growers,
+       CAST(sum(cents) AS BIGINT) / 100.0 AS grown_spend
+FROM seq
+WHERE prev_yr = yr - 1 AND cents * 100 > prev_cents * {DS1_GROWTH_NUM}
+GROUP BY yr
+"""
+
+
+@query("ds1_yoy_growth", oracle=DS1_ORACLE)
+def ds1_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-Q4/Q11 shape: customers whose yearly spend grew >25%
+    over the immediately preceding year, rolled up per year.
+
+    The canonical formulation self-joins the per-customer yearly
+    aggregate on (custkey, year+1); a window ``lag`` over the same
+    aggregate is strictly better at any scale — the year-adjacent pair
+    is assembled inside one customer-keyed partition instead of
+    through a second corpus-wide shuffle, and the consecutive-year
+    requirement (``prev_yr = yr - 1``, Q11's ``d_year = d_year + 1``)
+    is one integer predicate. Growth is an exact BIGINT
+    cross-multiplication, so both engines select the identical grower
+    set. Scale: the only full-data stage is the scan + map-side
+    partial of the (cust, yr) aggregate; every post-exchange frame is
+    customer-year-sized, and the closing per-year rollup is
+    dim-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    yearly = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    ).agg(F.sum(cents).alias("cents"))
+    w = Window.partitionBy("cust").orderBy("yr")
+    seq = yearly.select(
+        "yr",
+        "cents",
+        F.lag("yr").over(w).alias("prev_yr"),
+        F.lag("cents").over(w).alias("prev_cents"),
+    )
+    return (
+        seq.filter(
+            (F.col("prev_yr") == F.col("yr") - 1)
+            & (F.col("cents") * 100 > F.col("prev_cents") * DS1_GROWTH_NUM)
+        )
+        .groupBy(F.col("yr").alias("order_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_growers"),
+            F.sum("cents").alias("_sc"),
+        )
+        .select(
+            "order_year",
+            "n_growers",
+            (F.col("_sc") / F.lit(100.0)).alias("grown_spend"),
+        )
+    )
+
+
+DS2_ORACLE = """
+WITH f AS (
+  SELECT p.p_brand AS brand, date_trunc('month', l.l_shipdate) AS month,
+         sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))
+           AS f_units
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_linestatus = 'F'
+  GROUP BY 1, 2
+),
+o AS (
+  SELECT p.p_brand AS brand, date_trunc('month', l.l_shipdate) AS month,
+         sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))
+           AS o_units
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_linestatus = 'O'
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT coalesce(f.brand, o.brand) AS brand,
+         coalesce(f.month, o.month) AS month,
+         coalesce(f.f_units, 0) AS f_units,
+         coalesce(o.o_units, 0) AS o_units
+  FROM f FULL JOIN o ON f.brand = o.brand AND f.month = o.month
+),
+c AS (
+  SELECT brand, month,
+         sum(f_units) OVER (PARTITION BY brand ORDER BY month
+                            ROWS UNBOUNDED PRECEDING) AS cf,
+         sum(o_units) OVER (PARTITION BY brand ORDER BY month
+                            ROWS UNBOUNDED PRECEDING) AS co
+  FROM m
+)
+SELECT brand, month,
+       CAST((cf + 5000) // 10000 AS BIGINT) / 100.0 AS cum_f_rev,
+       CAST((co + 5000) // 10000 AS BIGINT) / 100.0 AS cum_o_rev
+FROM c
+WHERE cf > co
+"""
+
+
+def _ds2_channel(spark: SparkSession, sf_dir: str, status: str, out: str) -> DataFrame:
+    """One channel's (brand, month) revenue series — the linestatus
+    filter is pushed to the lineitem scan, part broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linestatus") == status
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+        )
+        .agg(F.sum(_revenue_units()).alias(out))
+    )
+
+
+@query("ds2_cumulative_compare", oracle=DS2_ORACLE)
+def ds2_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-Q51 shape: two independently-aggregated revenue series
+    (the fixture's 'F'/'O' linestatus channels standing in for
+    store/web fact tables) FULL-OUTER joined on (brand, month), then
+    running totals per brand with the months interleaved, keeping the
+    months where the F-channel's cumulative revenue leads.
+
+    This is the one canonical report shape whose plan a star schema
+    can't avoid: when the two series come from DIFFERENT fact tables
+    (as in Q51 proper), there is no conditional-aggregation rewrite —
+    the full outer join IS the merge, and the running totals must run
+    over its null-padded output. Kept structurally faithful here (two
+    filtered aggregates, each filter pushed to its scan, part
+    broadcast on both branches) so the plan exercises
+    aggregate→full-outer-SMJ→window. Cumulative sums stay in exact
+    cent·basis-point BIGINTs through the window; the half-up cent
+    rounding and single double division happen once per output row.
+    (brand, month) is unique after the join, so the ROWS frame is
+    tie-free and deterministic."""
+    f = _ds2_channel(spark, sf_dir, "F", "f_units")
+    o = _ds2_channel(spark, sf_dir, "O", "o_units")
+    m = f.join(
+        o,
+        (f["brand"] == o["brand"]) & (f["month"] == o["month"]),
+        "full_outer",
+    ).select(
+        F.coalesce(f["brand"], o["brand"]).alias("brand"),
+        F.coalesce(f["month"], o["month"]).alias("month"),
+        F.coalesce(f["f_units"], F.lit(0).cast("long")).alias("f_units"),
+        F.coalesce(o["o_units"], F.lit(0).cast("long")).alias("o_units"),
+    )
+    w = (
+        Window.partitionBy("brand")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = m.select(
+        "brand",
+        "month",
+        F.sum("f_units").over(w).alias("cf"),
+        F.sum("o_units").over(w).alias("co"),
+    )
+    return c.filter(F.col("cf") > F.col("co")).select(
+        "brand",
+        "month",
+        (F.expr("(cf + 5000L) div 10000L") / F.lit(100.0)).alias("cum_f_rev"),
+        (F.expr("(co + 5000L) div 10000L") / F.lit(100.0)).alias("cum_o_rev"),
     )

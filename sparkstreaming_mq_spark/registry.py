@@ -260,6 +260,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "q22_inactive_customers",   # TPC-H Q22 shape: anti join + scalar avg (r7)
     "q07_nation_volume",        # TPC-H Q7 shape: bi-nation flows, 4 bcast dims (r7)
     "q08_market_share",         # TPC-H Q8 shape: 7-table share-of-market (r7)
+    "ds1_yoy_growth",           # TPC-DS Q4/Q11 shape: lag-window YoY growth (r7)
+    "ds2_cumulative_compare",   # TPC-DS Q51 shape: cumulative full-outer compare (r7)
 )
 
 

@@ -654,3 +654,28 @@ def test_q08_deep_star_all_dims_broadcast(spark, sf_dir):
     plan = executed_plan(Q["q08_market_share"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 6
     assert "ShuffledHashJoin" not in plan
+
+
+def test_ds1_lag_window_no_self_join(spark, sf_dir):
+    """ds1 replaces the canonical TPC-DS Q4/Q11 consecutive-year
+    self-join with a lag window: the plan must be join-free, with one
+    Window and at most three exchanges (cust-year agg, cust window,
+    dim-sized year rollup)."""
+    plan = executed_plan(Q["ds1_yoy_growth"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_ds2_full_outer_merge_and_pushdown(spark, sf_dir):
+    """ds2's series merge is a genuine FULL-OUTER sort-merge join over
+    two independently-aggregated channels (the Q51 shape), each
+    channel's linestatus filter pushed to its lineitem scan, part
+    broadcast on both branches, and ONE window computing both running
+    totals."""
+    plan = executed_plan(Q["ds2_cumulative_compare"](spark, sf_dir))
+    assert "FullOuter" in plan and "SortMergeJoin" in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("Window") == 1
+    fp = formatted_plan(Q["ds2_cumulative_compare"](spark, sf_dir))
+    assert "EqualTo(l_linestatus,F)" in fp and "EqualTo(l_linestatus,O)" in fp
