@@ -1,0 +1,204 @@
+"""Time-series resampling operators over the events stream table
+(bonus surface, SURVEY.md §2.11): gap-fill with LOCF + linear
+interpolation, and OHLC bar resampling.
+
+These are the regularization primitives a time-series consumer of the
+MQ archetype runs between ingestion and modeling: turn an irregular
+event stream into a dense per-key hourly grid (ts1), and into
+open/high/low/close bars per day (ts2). Both are pure DataFrame plans.
+
+Parity recipe: bucket indexes are exact integer floor-divisions of the
+epoch microsecond count (Spark ``CAST(ts AS LONG) div 3600`` ==
+DuckDB ``epoch_us(ts) // 3600000000`` — floor-division composition,
+both engines integer-exact); measures are summed as micro-unit BIGINTs
+(``floor(value*1e6 + 0.5)``); the only doubles emitted are either raw
+value SELECTIONS (OHLC — comparison picks a stored double, nothing is
+accumulated) or single identically-structured IEEE expressions over
+exact integers (the interpolation ratio), per the repo's oracle-parity
+rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkstreaming_mq_spark.registry import query
+from sparkstreaming_mq_spark.tables import load_table
+
+US_PER_HOUR = 3_600_000_000
+US_PER_DAY = 86_400_000_000
+
+TS1_ORACLE = """
+WITH obs AS (
+  SELECT user_id,
+         epoch_us(ts) // 3600000000 AS hnum,
+         CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS units
+  FROM events
+  GROUP BY 1, 2
+),
+led AS (
+  SELECT user_id, hnum, n_at, units,
+         lead(hnum)  OVER (PARTITION BY user_id ORDER BY hnum) AS nh,
+         lead(units) OVER (PARTITION BY user_id ORDER BY hnum) AS nv
+  FROM obs
+),
+grid AS (
+  SELECT user_id, hnum, n_at, units, nh, nv,
+         unnest(generate_series(hnum, coalesce(nh - 1, hnum))) AS hour_num
+  FROM led
+)
+SELECT user_id, hour_num,
+       CASE WHEN hour_num = hnum THEN n_at ELSE 0 END AS n_obs,
+       CAST(units AS DOUBLE) / 1000000.0 AS locf_val,
+       CASE WHEN hour_num = hnum THEN CAST(units AS DOUBLE) / 1000000.0
+            ELSE (CAST(units AS DOUBLE)
+                  + CAST(nv - units AS DOUBLE)
+                    * CAST(hour_num - hnum AS DOUBLE)
+                    / CAST(nh - hnum AS DOUBLE)) / 1000000.0
+       END AS interp_val
+FROM grid
+"""
+
+
+@query("ts1_gapfill_interp", oracle=TS1_ORACLE)
+def ts1_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize each user's irregular event stream onto a dense
+    hourly grid, carrying both a LOCF (last-observation-carried-
+    forward) and a linearly interpolated version of the hourly measure
+    — the resample→fill primitive every time-series store ships
+    (``time_bucket_gapfill``/``locf``/``interpolate``).
+
+    Single-pass formulation, no join: after the (user, hour) rollup,
+    each observed hour looks one row ahead (``lead``) and EMITS ITSELF
+    PLUS ITS FOLLOWING GAP via ``explode(sequence(hnum, next-1))`` —
+    the generator row IS the LOCF donor, and the interpolation target
+    rides the same row, so the plan is two exchanges total (the rollup,
+    then one user-keyed window) with no grid⋈observation join and no
+    twice-read diamond. Gap fan-out is bounded by the series' hour
+    span, the same calendar bound e4/e7 document. The hourly measure
+    is the micro-unit BIGINT sum; interpolation divides exact integers
+    in one identically-shaped IEEE expression on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(ts AS LONG) div 3600").alias("hnum"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("u"),
+    )
+    obs = ev.groupBy("user_id", "hnum").agg(
+        F.count("*").cast("long").alias("n_at"),
+        F.sum("u").alias("units"),
+    )
+    w = Window.partitionBy("user_id").orderBy("hnum")
+    led = obs.select(
+        "user_id",
+        "hnum",
+        "n_at",
+        "units",
+        F.lead("hnum").over(w).alias("nh"),
+        F.lead("units").over(w).alias("nv"),
+    )
+    grid = led.select(
+        "user_id",
+        "hnum",
+        "n_at",
+        "units",
+        "nh",
+        "nv",
+        F.explode(
+            F.sequence(F.col("hnum"), F.coalesce(F.col("nh") - 1, F.col("hnum")))
+        ).alias("hour_num"),
+    )
+    at_obs = F.col("hour_num") == F.col("hnum")
+    units_d = F.col("units").cast("double")
+    interp = (
+        units_d
+        + (F.col("nv") - F.col("units")).cast("double")
+        * (F.col("hour_num") - F.col("hnum")).cast("double")
+        / (F.col("nh") - F.col("hnum")).cast("double")
+    )
+    return grid.select(
+        "user_id",
+        "hour_num",
+        F.when(at_obs, F.col("n_at")).otherwise(F.lit(0).cast("long")).alias("n_obs"),
+        (units_d / F.lit(1000000.0)).alias("locf_val"),
+        F.when(at_obs, units_d / F.lit(1000000.0))
+        .otherwise(interp / F.lit(1000000.0))
+        .alias("interp_val"),
+    )
+
+
+TS2_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day_num,
+         value, ts, event_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS u
+  FROM events
+),
+numbered AS (
+  SELECT event_type, day_num, value, u,
+         row_number() OVER (PARTITION BY event_type, day_num
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, day_num
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM base
+)
+SELECT event_type, day_num,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(u) AS BIGINT) / 1000000.0 AS volume
+FROM numbered
+GROUP BY event_type, day_num
+"""
+
+
+@query("ts2_ohlc_bars", oracle=TS2_ORACLE)
+def ts2_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each event type's value stream into daily OHLC bars
+    (open/high/low/close + event count + summed volume) — the bar/
+    candlestick primitive of every market-data and metrics store.
+
+    Open and close are the values at the first/last event of the bar,
+    selected by two ``row_number`` rankings over ONE (type, day)
+    exchange (two in-partition sorts, no self-join; DuckDB's
+    ``arg_min`` can't take a composite tie-broken key, so the ranking
+    form is also the oracle-parity form). Every emitted double is a
+    raw stored value chosen by comparison — nothing float-accumulates
+    — except volume, a micro-unit BIGINT sum divided once. The
+    (ts, event_id) order key is collision-free (event_id is unique),
+    so both engines pick identical open/close rows.
+    """
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ts AS LONG) div 86400").alias("day_num"),
+        "value",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("u"),
+    )
+    wa = Window.partitionBy("event_type", "day_num").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "day_num").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    numbered = base.select(
+        "event_type",
+        "day_num",
+        "value",
+        "u",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return numbered.groupBy("event_type", "day_num").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").cast("long").alias("n_events"),
+        (F.sum("u") / F.lit(1000000.0)).alias("volume"),
+    )

@@ -62,6 +62,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "sparkstreaming_mq_spark.operators.cdc",
     "sparkstreaming_mq_spark.operators.audit",
     "sparkstreaming_mq_spark.operators.tpch",
+    "sparkstreaming_mq_spark.operators.timeseries",
     "sparkstreaming_mq_spark.operators.graph",
     "sparkstreaming_mq_spark.operators.events_analytics",
     "sparkstreaming_mq_spark.streaming.queries",
@@ -262,6 +263,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "q08_market_share",         # TPC-H Q8 shape: 7-table share-of-market (r7)
     "ds1_yoy_growth",           # TPC-DS Q4/Q11 shape: lag-window YoY growth (r7)
     "ds2_cumulative_compare",   # TPC-DS Q51 shape: cumulative full-outer compare (r7)
+    "ts1_gapfill_interp",       # time-series gap-fill: LOCF + linear interp (r7)
+    "ts2_ohlc_bars",            # time-series OHLC daily bar resample (r7)
 )
 
 

@@ -679,3 +679,26 @@ def test_ds2_full_outer_merge_and_pushdown(spark, sf_dir):
     assert plan.count("Window") == 1
     fp = formatted_plan(Q["ds2_cumulative_compare"](spark, sf_dir))
     assert "EqualTo(l_linestatus,F)" in fp and "EqualTo(l_linestatus,O)" in fp
+
+
+def test_ts1_gapfill_single_pass_no_join(spark, sf_dir):
+    """ts1's gap-fill is the single-pass generator form: the observed
+    row emits its own gap hours, so the plan has NO grid-join (and no
+    twice-read diamond) — one rollup exchange, one user-keyed window,
+    one Generate (explode)."""
+    plan = executed_plan(Q["ts1_gapfill_interp"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Window") == 1
+    assert "Generate" in plan
+
+
+def test_ts2_ohlc_one_exchange_two_sorts(spark, sf_dir):
+    """ts2's open/close rankings and the closing bar aggregate all run
+    on ONE (event_type, day) exchange — the two row_number orderings
+    are in-partition sorts, and the groupBy reuses the window's
+    partitioning (no join, no second shuffle)."""
+    plan = executed_plan(Q["ts2_ohlc_bars"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2

@@ -247,3 +247,68 @@ def test_u6b_arrow_udtf_equals_pickled_udtf(spark, sf_dir):
     a = Q["u6b_udtf_arrow"](spark, sf_dir)
     b = Q["u6_udtf_tokenize"](spark, sf_dir)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# --- time-series resampling (ts1/ts2) -----------------------------------------
+
+
+def test_ts1_grid_dense_and_locf_semantics(spark, sf_dir):
+    """The gap-filled grid is DENSE per user (one row per hour from the
+    user's first to last observed hour), gap rows carry the previous
+    observation forward (LOCF), and interpolation lands between its
+    two donor observations."""
+    import pandas as pd
+
+    g = Q["ts1_gapfill_interp"](spark, sf_dir).toPandas()
+    # dense, contiguous, duplicate-free grid per user
+    for uid, grp in g.groupby("user_id"):
+        hours = sorted(grp["hour_num"])
+        assert hours == list(range(hours[0], hours[-1] + 1))
+    assert (g["n_obs"] == 0).any() and (g["n_obs"] > 0).any()
+    g = g.sort_values(["user_id", "hour_num"]).reset_index(drop=True)
+    # LOCF: within a user, locf_val only changes at observed hours
+    prev = g.groupby("user_id")["locf_val"].shift()
+    changed = g["locf_val"].ne(prev) & prev.notna()
+    assert not (changed & (g["n_obs"] == 0)).any()
+    # observed rows: interp == locf == the hourly measure itself
+    obs = g[g["n_obs"] > 0]
+    assert (obs["interp_val"] == obs["locf_val"]).all()
+    # gap rows: interp lies within [min, max] of the donor endpoints
+    nxt_obs = g["locf_val"].where(g["n_obs"] > 0)
+    nxt = nxt_obs.iloc[::-1].groupby(g["user_id"].iloc[::-1]).ffill().iloc[::-1]
+    gaps = g["n_obs"] == 0
+    lo = pd.concat([g["locf_val"], nxt], axis=1).min(axis=1)
+    hi = pd.concat([g["locf_val"], nxt], axis=1).max(axis=1)
+    eps = 1e-9
+    assert (
+        (g.loc[gaps, "interp_val"] >= lo[gaps] - eps)
+        & (g.loc[gaps, "interp_val"] <= hi[gaps] + eps)
+    ).all()
+
+
+def test_ts2_ohlc_bar_invariants(spark, sf_dir):
+    """Every bar satisfies low <= open,close <= high; bar event counts
+    tile the corpus; open/close match the chronologically first/last
+    event of a spot-checked bar."""
+    bars = Q["ts2_ohlc_bars"](spark, sf_dir).toPandas()
+    assert (bars["low"] <= bars["open"]).all()
+    assert (bars["low"] <= bars["close"]).all()
+    assert (bars["open"] <= bars["high"]).all()
+    assert (bars["close"] <= bars["high"]).all()
+    ev = load_table(spark, sf_dir, "events")
+    assert int(bars["n_events"].sum()) == ev.count()
+    # spot-check one bar against a direct ordered scan
+    row = bars.sort_values(["event_type", "day_num"]).iloc[0]
+    day = ev.select(
+        "event_type",
+        F.expr("CAST(ts AS LONG) div 86400").alias("day_num"),
+        "value",
+        "ts",
+        "event_id",
+    ).filter(
+        (F.col("event_type") == row["event_type"])
+        & (F.col("day_num") == int(row["day_num"]))
+    )
+    first = day.orderBy("ts", "event_id").first()
+    last = day.orderBy(F.desc("ts"), F.desc("event_id")).first()
+    assert first["value"] == row["open"] and last["value"] == row["close"]
