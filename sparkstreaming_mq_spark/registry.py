@@ -265,6 +265,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "ds2_cumulative_compare",   # TPC-DS Q51 shape: cumulative full-outer compare (r7)
     "ts1_gapfill_interp",       # time-series gap-fill: LOCF + linear interp (r7)
     "ts2_ohlc_bars",            # time-series OHLC daily bar resample (r7)
+    "s18_stream_ohlc",          # streaming OHLC bars, min_by/max_by state (r7)
 )
 
 

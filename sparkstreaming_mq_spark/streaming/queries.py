@@ -2505,3 +2505,68 @@ def s17_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("xor_fp").cast("long").alias("xor_fp"),
         F.sum("sum_fp").cast("long").alias("sum_fp"),
     )
+
+
+# --- S18: streaming OHLC bars (the MQ -> bars pipeline) ------------------------
+
+
+@query(
+    "s18_stream_ohlc",
+    oracle="""
+WITH numbered AS (
+  SELECT event_type, date_trunc('day', ts) AS bar_start, value,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS u,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bar_start,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(u) AS BIGINT) / 1000000.0 AS volume
+FROM numbered
+GROUP BY event_type, bar_start
+""",
+)
+def s18_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC daily bars per event type — the canonical
+    MQ-consumer pipeline (tick stream in, bars out), the streaming twin
+    of the batch ts2_ohlc_bars (operators/timeseries.py).
+
+    Open/close are ``min_by``/``max_by`` over the unique composite key
+    struct(ts, event_id) — an order-insensitive declarative aggregate,
+    so the streaming state is O(1) per bar (six scalars), merges
+    associatively across micro-batches, and needs NO per-window sort or
+    ranking: exactly how you'd hold live bars on a 1000-executor
+    cluster. Complete mode over the full 4-chunk replay is
+    prefix-complete, hence the batch-expansion SQL oracle (the t2
+    equivalence argument); the oracle selects the same rows by
+    row_number because the key is collision-free. Doubles are raw
+    selections; volume is the exact micro-unit BIGINT sum."""
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    u = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    agg = stream.groupBy(F.window("ts", "1 day"), "event_type").agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(u).alias("_vu"),
+    )
+    out = run_stream_to_table(agg, "complete")
+    return out.select(
+        "event_type",
+        F.col("window.start").alias("bar_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+        (F.col("_vu") / F.lit(1000000.0)).alias("volume"),
+    )

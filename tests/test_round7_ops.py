@@ -312,3 +312,20 @@ def test_ts2_ohlc_bar_invariants(spark, sf_dir):
     first = day.orderBy("ts", "event_id").first()
     last = day.orderBy(F.desc("ts"), F.desc("event_id")).first()
     assert first["value"] == row["open"] and last["value"] == row["close"]
+
+
+def test_s18_stream_ohlc_equals_batch_ts2(spark, sf_dir):
+    """Stream-batch equivalence: the streaming min_by/max_by bar state
+    (s18) reproduces the batch ranking formulation (ts2) exactly —
+    same bars, same open/high/low/close/volume — once the streaming
+    window start is mapped to the batch epoch-day index."""
+    s = (
+        Q["s18_stream_ohlc"](spark, sf_dir)
+        .withColumn("day_num", F.expr("CAST(bar_start AS LONG) div 86400"))
+        .drop("bar_start")
+    )
+    b = Q["ts2_ohlc_bars"](spark, sf_dir)
+    cols = ["event_type", "day_num", "open", "high", "low", "close", "n_events", "volume"]
+    sp = s.select(cols).toPandas().sort_values(["event_type", "day_num"]).reset_index(drop=True)
+    bp = b.select(cols).toPandas().sort_values(["event_type", "day_num"]).reset_index(drop=True)
+    assert sp.equals(bp)
