@@ -266,6 +266,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "ts1_gapfill_interp",       # time-series gap-fill: LOCF + linear interp (r7)
     "ts2_ohlc_bars",            # time-series OHLC daily bar resample (r7)
     "s18_stream_ohlc",          # streaming OHLC bars, min_by/max_by state (r7)
+    "s19_stream_gapfill",       # streaming stateful gap-fill row generation (r7)
 )
 
 

@@ -2570,3 +2570,144 @@ def s18_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("_vu") / F.lit(1000000.0)).alias("volume"),
     )
+
+
+# --- S19: streaming gap-fill (stateful ROW GENERATION) -------------------------
+
+
+@query(
+    "s19_stream_gapfill",
+    oracle="""
+WITH obs AS (
+  SELECT user_id,
+         epoch_us(ts) // 3600000000 AS hnum,
+         CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS units
+  FROM events
+  GROUP BY 1, 2
+),
+led AS (
+  SELECT user_id, hnum, n_at, units,
+         lead(hnum)    OVER (PARTITION BY user_id ORDER BY hnum) AS nh,
+         lead(units)   OVER (PARTITION BY user_id ORDER BY hnum) AS nv,
+         lead(hnum, 2) OVER (PARTITION BY user_id ORDER BY hnum) AS nh2
+  FROM obs
+),
+grid AS (
+  SELECT user_id, hnum, n_at, units, nh, nv, nh2,
+         unnest(generate_series(hnum, nh - 1)) AS hour_num
+  FROM led
+  WHERE nh IS NOT NULL
+)
+SELECT user_id, hour_num,
+       CASE WHEN hour_num = hnum THEN n_at ELSE 0 END AS n_obs,
+       CAST(units AS DOUBLE) / 1000000.0 AS locf_val,
+       CASE WHEN hour_num = hnum THEN CAST(units AS DOUBLE) / 1000000.0
+            ELSE (CAST(units AS DOUBLE)
+                  + CAST(nv - units AS DOUBLE)
+                    * CAST(hour_num - hnum AS DOUBLE)
+                    / CAST(nh - hnum AS DOUBLE)) / 1000000.0
+       END AS interp_val
+FROM grid
+WHERE hour_num = hnum OR nh2 IS NOT NULL
+""",
+)
+def s19_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-fill: a stateful operator that GENERATES rows —
+    each user's dense hourly LOCF/interpolated grid is emitted
+    incrementally as the stream closes each gap (the streaming twin of
+    the batch ts1_gapfill_interp, and the row-generating complement of
+    t7's row-collapsing sessionizer).
+
+    Per-user state is O(1) but TWO-slotted: the last CLOSED hour and
+    the currently OPEN hour. An hour closes when its successor first
+    arrives (time-ordered replay: no more events for a passed hour),
+    and emits its own observation row then — but the gap rows it
+    bounds on the left are held until the RIGHT endpoint also closes,
+    because a micro-batch boundary can split an hour and the
+    interpolation target must be the hour's FINAL sum, not a partial
+    (the first cut of this operator emitted on first-arrival and
+    measured exactly that defect: 36 gap rows at sf0.01 interpolated
+    toward a partial endpoint). Hours that straddle a batch boundary
+    merge into the open slot instead of emitting.
+
+    With no AvailableNow trailing flush (measured, t7), the emitted
+    set is the batch grid minus each user's final observation row AND
+    final gap run (its right endpoint never closes) — the
+    ``hour_num = hnum OR nh2 IS NOT NULL`` cut in the oracle, verified
+    non-vacuous in pytest. Interpolation runs float(int)-cast
+    multiply-then-divide in the SAME IEEE order as both engines'
+    CAST-DOUBLE expressions; sums are exact integer micro-units
+    (never-round-in-pandas rule), so the full value hash matches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time").select(
+        "user_id", "ts", "value"
+    )
+
+    US_HOUR = 3_600_000_000
+    NO_PREV = -1  # sentinel: no closed hour in state yet
+
+    def gapfill(key, pdf_iter, state: GroupState):
+        import math
+
+        (uid,) = key
+        if state.exists:
+            ph, pu, oh, ou, on = state.get  # prev closed; open hour
+        else:
+            ph, pu, oh, ou, on = NO_PREV, 0, None, 0, 0
+        # aggregate this micro-batch's events to hours (order-free
+        # integer sums, so no sort is needed before the merge)
+        agg: dict[int, list[int]] = {}
+        for pdf in pdf_iter:
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                h = int(ts.value // 1000) // US_HOUR
+                u = int(math.floor(float(val) * 1000000 + 0.5))
+                slot = agg.setdefault(h, [0, 0])
+                slot[0] += u
+                slot[1] += 1
+        out: list[tuple] = []
+        for h in sorted(agg):
+            u_h, n_h = agg[h]
+            if oh is None:
+                oh, ou, on = h, u_h, n_h
+            elif h == oh:
+                # the open hour straddles a batch boundary: merge
+                ou += u_h
+                on += n_h
+            else:
+                # the open hour closes: emit its observation row, and
+                # the gap run it terminates (endpoints now both final)
+                locf_o = float(ou) / 1000000.0
+                out.append((uid, oh, on, locf_o, locf_o))
+                if ph != NO_PREV:
+                    locf_p = float(pu) / 1000000.0
+                    for g in range(ph + 1, oh):
+                        interp = (
+                            float(pu)
+                            + float(ou - pu) * float(g - ph) / float(oh - ph)
+                        ) / 1000000.0
+                        out.append((uid, g, 0, locf_p, interp))
+                ph, pu = oh, ou
+                oh, ou, on = h, u_h, n_h
+        if oh is not None:
+            state.update((ph, pu, oh, ou, on))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "hour_num", "n_obs", "locf_val", "interp_val"],
+            )
+
+    res = stream.groupBy("user_id").applyInPandasWithState(
+        gapfill,
+        outputStructType=(
+            "user_id long, hour_num long, n_obs long, "
+            "locf_val double, interp_val double"
+        ),
+        stateStructType="ph long, pu long, oh long, ou long, onn long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_table(res, "append")

@@ -329,3 +329,34 @@ def test_s18_stream_ohlc_equals_batch_ts2(spark, sf_dir):
     sp = s.select(cols).toPandas().sort_values(["event_type", "day_num"]).reset_index(drop=True)
     bp = b.select(cols).toPandas().sort_values(["event_type", "day_num"]).reset_index(drop=True)
     assert sp.equals(bp)
+
+
+def test_s19_stream_gapfill_equals_batch_minus_unflushed_tail(spark, sf_dir):
+    """The streaming gap-fill emits exactly the batch grid (ts1) minus
+    each user's final observation row and final gap run (their right
+    endpoint never closes under AvailableNow) — and that cut BITES:
+    both exclusion classes are non-empty on the fixture."""
+    s = Q["s19_stream_gapfill"](spark, sf_dir).toPandas()
+    b = Q["ts1_gapfill_interp"](spark, sf_dir).toPandas()
+    b = b.sort_values(["user_id", "hour_num"]).reset_index(drop=True)
+    # reconstruct the cut on the batch frame: per user, drop the last
+    # observation row and every gap row after the penultimate obs
+    keep = []
+    for uid, grp in b.groupby("user_id"):
+        obs_hours = grp.loc[grp["n_obs"] > 0, "hour_num"]
+        last, penult = obs_hours.iloc[-1], (
+            obs_hours.iloc[-2] if len(obs_hours) > 1 else None
+        )
+        g = grp[grp["hour_num"] != last]
+        if penult is not None:
+            g = g[~((g["hour_num"] > penult) & (g["n_obs"] == 0))]
+        else:
+            g = g.iloc[0:0]
+        keep.append(g)
+    import pandas as pd
+
+    expect = pd.concat(keep).reset_index(drop=True)
+    got = s.sort_values(["user_id", "hour_num"]).reset_index(drop=True)
+    assert len(b) > len(expect)  # the cut excludes real rows
+    assert (b["n_obs"] == 0).sum() > (expect["n_obs"] == 0).sum()  # gap rows too
+    assert got[expect.columns.tolist()].equals(expect)
