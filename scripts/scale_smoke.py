@@ -90,6 +90,15 @@ QUERIES = [
     "l3d_ivf_exact",
     "l31_pq_search",
     "l35_matryoshka_probe",
+    # r7 continuation additions: report shapes replicate through the
+    # fact tables; the time-series grid grows with the x10 timeline
+    # (population x5, span x10) on both the batch and streaming paths.
+    "ds1_yoy_growth",
+    "ds2_cumulative_compare",
+    "ts1_gapfill_interp",
+    "ts2_ohlc_bars",
+    "s18_stream_ohlc",
+    "s19_stream_gapfill",
 ]
 
 

@@ -748,3 +748,92 @@ def f12_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(F12_SPARK_SQL)
+
+
+# --- F13: SQL scripting (Spark 4 BEGIN/END procedural blocks) ------------------
+
+F13_SCRIPT = """
+BEGIN
+  DECLARE y INT DEFAULT 1995;
+  DECLARE total BIGINT DEFAULT 0;
+  DECLARE n_years BIGINT DEFAULT 0;
+  WHILE y <= 2001 DO
+    SET total = total + (SELECT COALESCE(CAST(sum(CAST(floor(o_totalprice * 100
+                           + 0.5) AS BIGINT)) AS BIGINT), 0)
+                         FROM orders WHERE year(o_orderdate) = y);
+    SET n_years = n_years + 1;
+    SET y = y + 1;
+  END WHILE;
+  SELECT n_years AS n_years, CAST(total AS BIGINT) AS total_cents;
+END
+"""
+
+
+@query(
+    "f13_sql_scripting",
+    oracle="""
+SELECT CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS n_years,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE year(o_orderdate) BETWEEN 1995 AND 2001
+""",
+)
+def f13_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0 SQL/PSM blocks): DECLARE session
+    variables, a WHILE loop, and per-iteration scalar-subquery SETs,
+    returning the script's final result set — the procedural control-
+    flow surface (ETL runbooks, backfill loops) exercised end-to-end.
+    The loop accumulates seven per-year exact-cent totals into a
+    BIGINT variable; the oracle proves the scripted accumulation
+    equals the one-pass declarative aggregate. (Deliberately a
+    CONTROL-FLOW demonstrator: one scan per iteration is the cost of
+    procedural style, and the oracle's single-scan form is the plan
+    you'd write when the loop isn't needed — both statements of the
+    same fact.)"""
+    from sparkstreaming_mq_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(F13_SCRIPT)
+
+
+# --- F14: string collations (Spark 4 COLLATE) ----------------------------------
+
+
+@query(
+    "f14_collation",
+    oracle="""
+SELECT lower(p_type) AS part_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM part
+GROUP BY lower(p_type)
+""",
+)
+def f14_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4.0 ``COLLATE UTF8_LCASE``):
+    case-noised part types (alternate rows upper/lower) group under a
+    case-insensitive collation WITHOUT any normalizing rewrite — the
+    aggregation itself is collation-aware, the way a warehouse handles
+    mixed-case feeds. The oracle states the semantic contract:
+    collated grouping == grouping by lower(). The output key is cast
+    back to a plain (UTF8_BINARY) string so the result schema carries
+    no collation."""
+    from sparkstreaming_mq_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        WITH noisy AS (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                      ELSE lower(p_type) END COLLATE UTF8_LCASE AS t,
+                 p_retailprice
+          FROM part)
+        SELECT CAST(lower(t) AS STRING) AS part_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM noisy GROUP BY t
+        """
+    )

@@ -267,6 +267,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "ts2_ohlc_bars",            # time-series OHLC daily bar resample (r7)
     "s18_stream_ohlc",          # streaming OHLC bars, min_by/max_by state (r7)
     "s19_stream_gapfill",       # streaming stateful gap-fill row generation (r7)
+    "f13_sql_scripting",        # Spark 4 SQL/PSM scripting blocks (r7)
+    "f14_collation",            # Spark 4 collation-aware grouping (r7)
 )
 
 
