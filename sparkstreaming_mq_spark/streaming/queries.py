@@ -2710,4 +2710,14 @@ def s19_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_stream_to_table(res, "append")
+    # A row-GENERATING operator's output is corpus-sized (the dense
+    # grid is ~10x the event count at 10x scale), so it must leave
+    # through the distributed FILE sink — the memory sink collects to
+    # the driver and measurably bursts the task-result transport at
+    # the 10x smoke (752 MB single-block fetch). Doubles round-trip
+    # parquet bit-exactly, so oracle parity is unaffected.
+    from sparkstreaming_mq_spark.streaming.sources import _stream_partitions
+
+    with _stream_partitions(spark):
+        path = run_stream_to_parquet(res)
+    return spark.read.parquet(path)
