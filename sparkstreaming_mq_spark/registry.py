@@ -269,6 +269,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s19_stream_gapfill",       # streaming stateful gap-fill row generation (r7)
     "f13_sql_scripting",        # Spark 4 SQL/PSM scripting blocks (r7)
     "f14_collation",            # Spark 4 collation-aware grouping (r7)
+    "s12c_python_ds_pushdown",  # Spark 4.1 Python DS filter pushdown (r7)
 )
 
 

@@ -2721,3 +2721,91 @@ def s19_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_partitions(spark):
         path = run_stream_to_parquet(res)
     return spark.read.parquet(path)
+
+
+# --- S12c: Python DataSource FILTER PUSHDOWN (Spark 4.1) -----------------------
+
+# Partition 0 (the first time-quarter) keeps every predicate
+# non-vacuous at ALL gate SFs: the replay's event ids are
+# time-correlated, so partition k's offsets live in the k-th quarter
+# of the id space — at sf0.1 partition 2's offsets start at ~50k and
+# an upper bound below that empties the result (measured; partition 0
+# spans 0..N/4 everywhere, so LO bites at every sf and HI bites once
+# N/4 > HI).
+S12C_PART = 0
+S12C_LO = 100
+S12C_HI = 9000
+
+
+@query(
+    "s12c_python_ds_pushdown",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_id, props,
+         NTILE(4) OVER (ORDER BY ts, event_id) - 1 AS part_id
+  FROM events
+)
+SELECT 'events' AS topic, CAST(part_id AS INT) AS part_id,
+       CAST(count(*) AS BIGINT) AS n,
+       min(event_id) AS min_offset,
+       max(event_id) AS max_offset,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k
+FROM ranked
+WHERE part_id = {S12C_PART}
+  AND event_id >= {S12C_LO} AND event_id < {S12C_HI}
+  AND event_id % 2 = 0
+GROUP BY part_id
+""",
+)
+def s12c_python_ds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown THROUGH the engine's own Python DataSource
+    (Spark 4.1 ``pushFilters``): the consumer-lag query for one queue
+    partition and an offset range. The connector accepts
+    EqualTo(part_id) — so the planner schedules ONE InputPartition
+    instead of four (the kafka assign()/seek analogy: pruning happens
+    before any I/O) — and the offset bounds, which it lowers to
+    parquet row-group predicates inside the chunk; the non-pushable
+    residue (``offset % 2 = 0``) is returned to Spark and evaluated
+    post-scan. Semantics are filter-placement-invariant, so the oracle
+    replays all the predicates declaratively over the NTILE
+    partitioning; the reader-level pruning itself is pinned by direct
+    unit tests (partitions() count, accepted/returned filter split).
+    """
+    from sparkstreaming_mq_spark.streaming.sources import (
+        MQPushdownDataSource,
+        ship_package,
+        chunked_events_dir,
+    )
+
+    if MQPushdownDataSource is None:  # pragma: no cover - Spark < 4
+        raise RuntimeError("Python DataSource API unavailable")
+    ship_package(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(MQPushdownDataSource)
+    except Exception:
+        pass  # already registered in this session
+    base = chunked_events_dir(spark, sf_dir, n_chunks=4, order="time")
+    env = spark.read.format("mqreplay_pushdown").option("path", base).load()
+    return (
+        env.filter(
+            (F.col("part_id") == S12C_PART)
+            & (F.col("offset") >= S12C_LO)
+            & (F.col("offset") < S12C_HI)
+            & (F.pmod(F.col("offset"), F.lit(2)) == 0)
+        )
+        .select(
+            "topic",
+            "part_id",
+            "offset",
+            F.get_json_object("value", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("topic", "part_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+            F.sum("k").alias("sum_k"),
+        )
+    )

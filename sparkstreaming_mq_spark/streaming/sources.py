@@ -406,6 +406,13 @@ try:  # pyspark.sql.datasource exists in Spark 4; guard for older runtimes
             chunks = sorted(glob.glob(os.path.join(self.path, "chunk_*")))
             return [InputPartition((i, c)) for i, c in enumerate(chunks)]
 
+        def _pq_filters(self):
+            """Parquet-level predicate for the chunk reads; the base
+            reader pushes nothing (None). The pushdown subclass returns
+            the offset bounds it accepted in ``pushFilters`` so the
+            row-group statistics can skip I/O at the source."""
+            return None
+
         def read(self, partition):
             import glob
 
@@ -415,7 +422,9 @@ try:  # pyspark.sql.datasource exists in Spark 4; guard for older runtimes
 
             idx, chunk = partition.value
             for f in sorted(glob.glob(os.path.join(chunk, "part-*.parquet"))):
-                t = pq.read_table(f, columns=["event_id", "ts", "props"])
+                t = pq.read_table(
+                    f, columns=["event_id", "ts", "props"], filters=self._pq_filters()
+                )
                 n = t.num_rows
                 # Spark writes TimestampType as INT96 by default, which
                 # pyarrow surfaces as ns precision — Arrow interchange
@@ -435,8 +444,78 @@ try:  # pyspark.sql.datasource exists in Spark 4; guard for older runtimes
                     names=["topic", "part_id", "offset", "ts", "key", "value"],
                 )
 
+    class MQPushdownDataSource(DataSource):
+        """The pushdown-capable variant of ``MQReplayDataSource``
+        (Spark 4.1 Python DataSource filter pushdown,
+        ``spark.sql.python.filterPushdown.enabled``): the reader
+        ACCEPTS EqualTo(part_id) — the kafka assign()/seek analogy,
+        pruning whole queue partitions at PLANNING time — and
+        GreaterThanOrEqual/LessThan on ``offset``, which it lowers to
+        parquet row-group predicates inside the chunk reads; every
+        other filter is returned to Spark unhandled. Connector-level
+        pruning is what keeps a 100 TB backlog scan from touching
+        every partition when the consumer only needs one."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "mqreplay_pushdown"
+
+        def schema(self) -> str:
+            return (
+                "topic string, part_id int, offset bigint, "
+                "ts timestamp, key string, value string"
+            )
+
+        def reader(self, schema):  # noqa: ANN001 - API signature
+            return _MQPushdownReader(self.options)
+
+    class _MQPushdownReader(_MQReplayReader):
+        def __init__(self, options):
+            super().__init__(options)
+            self.part_eq: int | None = None
+            self.min_offset: int | None = None  # offset >= min_offset
+            self.max_offset: int | None = None  # offset <  max_offset
+
+        def pushFilters(self, filters):
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThanOrEqual,
+                LessThan,
+            )
+
+            unhandled = []
+            for f in filters:
+                if isinstance(f, EqualTo) and f.attribute == ("part_id",):
+                    self.part_eq = f.value
+                elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("offset",):
+                    v = int(f.value)
+                    if self.min_offset is None or v > self.min_offset:
+                        self.min_offset = v
+                elif isinstance(f, LessThan) and f.attribute == ("offset",):
+                    v = int(f.value)
+                    if self.max_offset is None or v < self.max_offset:
+                        self.max_offset = v
+                else:
+                    unhandled.append(f)
+            return unhandled
+
+        def partitions(self):
+            parts = super().partitions()
+            if self.part_eq is not None:
+                parts = [p for p in parts if p.value[0] == self.part_eq]
+            return parts
+
+        def _pq_filters(self):
+            conds = []
+            if self.min_offset is not None:
+                conds.append(("event_id", ">=", self.min_offset))
+            if self.max_offset is not None:
+                conds.append(("event_id", "<", self.max_offset))
+            return conds or None
+
 except ImportError:  # pragma: no cover
     MQReplayDataSource = None  # type: ignore[assignment]
+    MQPushdownDataSource = None  # type: ignore[assignment]
 
 
 def make_mq_stream_datasource():

@@ -360,3 +360,63 @@ def test_s19_stream_gapfill_equals_batch_minus_unflushed_tail(spark, sf_dir):
     assert len(b) > len(expect)  # the cut excludes real rows
     assert (b["n_obs"] == 0).sum() > (expect["n_obs"] == 0).sum()  # gap rows too
     assert got[expect.columns.tolist()].equals(expect)
+
+
+def test_s12c_pushdown_reader_accepts_and_returns_filters(spark, sf_dir):
+    """The pushdown reader accepts EqualTo(part_id) + offset bounds,
+    returns everything else unhandled, prunes partitions() to the one
+    queue partition, and lowers the bounds to parquet predicates."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from sparkstreaming_mq_spark.streaming import sources as S
+
+    base = S.chunked_events_dir(spark, sf_dir, n_chunks=4, order="time")
+    rdr = S._MQPushdownReader({"path": base})
+    residue = rdr.pushFilters(
+        [
+            EqualTo(("part_id",), 0),
+            GreaterThanOrEqual(("offset",), 100),
+            LessThan(("offset",), 9000),
+            EqualTo(("topic",), "events"),  # not offset/part_id: returned
+        ]
+    )
+    assert [type(f).__name__ for f in residue] == ["EqualTo"]
+    assert residue[0].attribute == ("topic",)
+    parts = rdr.partitions()
+    assert len(parts) == 1 and parts[0].value[0] == 0
+    assert rdr._pq_filters() == [("event_id", ">=", 100), ("event_id", "<", 9000)]
+    # tightest-bound merge when Spark hands down multiple range filters
+    rdr2 = S._MQPushdownReader({"path": base})
+    rdr2.pushFilters(
+        [
+            GreaterThanOrEqual(("offset",), 10),
+            GreaterThanOrEqual(("offset",), 500),
+            LessThan(("offset",), 9000),
+            LessThan(("offset",), 800),
+        ]
+    )
+    assert rdr2._pq_filters() == [("event_id", ">=", 500), ("event_id", "<", 800)]
+
+
+def test_s12c_planner_schedules_one_partition(spark, sf_dir):
+    """End-to-end: with the part_id filter pushed, the planner
+    schedules ONE scan partition for the four-chunk replay — pruning
+    happens before any I/O, the kafka assign()/seek behavior."""
+    from sparkstreaming_mq_spark.streaming import sources as S
+
+    S.ship_package(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(S.MQPushdownDataSource)
+    except Exception:
+        pass
+    base = S.chunked_events_dir(spark, sf_dir, n_chunks=4, order="time")
+    env = (
+        spark.read.format("mqreplay_pushdown")
+        .option("path", base)
+        .load()
+        .filter(F.col("part_id") == 0)
+    )
+    assert env.rdd.getNumPartitions() == 1
+    unfiltered = spark.read.format("mqreplay_pushdown").option("path", base).load()
+    assert unfiltered.rdd.getNumPartitions() == 4
