@@ -202,3 +202,69 @@ def ts2_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         (F.sum("u") / F.lit(1000000.0)).alias("volume"),
     )
+
+
+TS3_ORACLE = """
+WITH w AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, value,
+         sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+           OVER (PARTITION BY event_type, hour(ts)) AS su,
+         count(*) OVER (PARTITION BY event_type, hour(ts)) AS n
+  FROM events
+),
+d AS (
+  SELECT event_type, hod, n, value,
+         CAST(su AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mean_val
+  FROM w
+)
+SELECT event_type, hod,
+       CAST(count(*) AS BIGINT) AS n,
+       max(mean_val) AS mean_val,
+       max(abs(value - mean_val)) AS max_abs_dev,
+       CAST(sum(CASE WHEN value > mean_val THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above
+FROM d
+GROUP BY event_type, hod
+"""
+
+
+@query("ts3_seasonal_profile", oracle=TS3_ORACLE)
+def ts3_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) baseline per event type with deviation
+    stats — the profile→deviation primitive behind seasonal anomaly
+    detection (is this value unusual FOR 3 AM?).
+
+    The baseline mean is attached per row by a WINDOW over
+    (type, hour-of-day) rather than an aggregate+join-back: exact
+    integer micro-unit sums and counts through the window (a float avg
+    in a window frame is accumulation-order-dependent — the repo's
+    windowed-float rule), one deterministic division per row, and the
+    closing per-(type, hod) rollup REUSES the window's partitioning —
+    ONE exchange, no join (the ts2 plan shape, pinned). Deviations are
+    raw-double subtractions against an identically-computed mean, so
+    max/count selections agree bit-exactly across engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        "value",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("u"),
+    )
+    w = Window.partitionBy("event_type", "hod")
+    enr = ev.select(
+        "event_type",
+        "hod",
+        "value",
+        F.sum("u").over(w).alias("su"),
+        F.count("*").over(w).alias("n"),
+    ).withColumn(
+        "mean_val",
+        F.col("su").cast("double") / F.lit(1000000.0) / F.col("n").cast("double"),
+    )
+    return enr.groupBy("event_type", "hod").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("mean_val").alias("mean_val"),
+        F.max(F.abs(F.col("value") - F.col("mean_val"))).alias("max_abs_dev"),
+        F.sum(
+            F.when(F.col("value") > F.col("mean_val"), 1).otherwise(0)
+        ).cast("long").alias("n_above"),
+    )

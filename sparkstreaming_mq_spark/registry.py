@@ -270,6 +270,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "f13_sql_scripting",        # Spark 4 SQL/PSM scripting blocks (r7)
     "f14_collation",            # Spark 4 collation-aware grouping (r7)
     "s12c_python_ds_pushdown",  # Spark 4.1 Python DS filter pushdown (r7)
+    "ts3_seasonal_profile",     # hour-of-day seasonal baseline + deviations (r7)
 )
 
 

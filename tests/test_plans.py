@@ -702,3 +702,13 @@ def test_ts2_ohlc_one_exchange_two_sorts(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 2
+
+
+def test_ts3_profile_one_exchange_no_join(spark, sf_dir):
+    """ts3 attaches the seasonal baseline by a window (not an
+    aggregate + join-back) and the closing rollup reuses the window's
+    (type, hour-of-day) partitioning — ONE exchange, no join."""
+    plan = executed_plan(Q["ts3_seasonal_profile"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1

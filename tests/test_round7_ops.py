@@ -420,3 +420,15 @@ def test_s12c_planner_schedules_one_partition(spark, sf_dir):
     assert env.rdd.getNumPartitions() == 1
     unfiltered = spark.read.format("mqreplay_pushdown").option("path", base).load()
     assert unfiltered.rdd.getNumPartitions() == 4
+
+
+def test_ts3_profile_invariants(spark, sf_dir):
+    """Per-(type, hour) rows tile the corpus; means sit inside each
+    group's [low, high]; n_above is a strict minority..majority bound
+    (0 < n_above < n whenever the group has spread)."""
+    prof = Q["ts3_seasonal_profile"](spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events")
+    assert int(prof["n"].sum()) == ev.count()
+    assert (prof["max_abs_dev"] >= 0).all()
+    spread = prof[prof["max_abs_dev"] > 0]
+    assert ((spread["n_above"] > 0) & (spread["n_above"] < spread["n"])).all()
