@@ -837,3 +837,53 @@ def f14_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM noisy GROUP BY t
         """
     )
+
+
+# --- F15: parameterized SQL (named args + IDENTIFIER binding) ------------------
+
+F15_MIN_SIZE = 25
+F15_TOPK = 10
+
+
+@query(
+    "f15_parameterized_sql",
+    oracle=f"""
+SELECT p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM part
+WHERE p_size >= {F15_MIN_SIZE}
+GROUP BY p_brand
+ORDER BY cents DESC, brand
+LIMIT {F15_TOPK}
+""",
+)
+def f15_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter markers): the query
+    text carries ``:tbl``/``:min_size``/``:k`` placeholders — the
+    table name bound through ``IDENTIFIER(:tbl)`` (safe dynamic object
+    references, the injection-proof form of string-built SQL) and the
+    values through ``args`` — exactly how a serving layer templates
+    per-tenant report queries. Catalyst substitutes parameters BEFORE
+    optimization, so the size predicate still reaches the parquet scan
+    as a pushed filter and the top-k still fuses; the oracle is the
+    same report with the parameters inlined as literals, proving
+    binding changes nothing semantically."""
+    from sparkstreaming_mq_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        SELECT p_brand AS brand,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM IDENTIFIER(:tbl)
+        WHERE p_size >= :min_size
+        GROUP BY p_brand
+        ORDER BY cents DESC, brand
+        LIMIT :k
+        """,
+        args={"tbl": "part", "min_size": F15_MIN_SIZE, "k": F15_TOPK},
+    )

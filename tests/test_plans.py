@@ -712,3 +712,12 @@ def test_ts3_profile_one_exchange_no_join(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_f15_params_bind_before_optimization(spark, sf_dir):
+    """Parameter binding happens before Catalyst optimizes: the
+    :min_size value must reach the parquet scan as a pushed filter and
+    the ORDER BY + LIMIT :k must fuse to TakeOrderedAndProject."""
+    fp = formatted_plan(Q["f15_parameterized_sql"](spark, sf_dir))
+    assert "GreaterThanOrEqual(p_size,25)" in fp
+    assert "TakeOrderedAndProject" in fp
