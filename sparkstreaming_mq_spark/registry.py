@@ -272,6 +272,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "s12c_python_ds_pushdown",  # Spark 4.1 Python DS filter pushdown (r7)
     "ts3_seasonal_profile",     # hour-of-day seasonal baseline + deviations (r7)
     "f15_parameterized_sql",    # Spark 4 named-param SQL + IDENTIFIER binding (r7)
+    "j16_stream_temporal_join", # stream-static SCD2 validity-interval join (r7)
 )
 
 

@@ -19,7 +19,7 @@ production path (SURVEY.md §4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkstreaming_mq_spark.registry import query
@@ -2809,3 +2809,75 @@ def s12c_python_ds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
         )
     )
+
+
+# --- J16: stream-static TEMPORAL (validity-interval) join ----------------------
+
+
+@query(
+    "j16_stream_temporal_join",
+    oracle="""
+WITH dim AS (
+  SELECT user_id, event_type AS state,
+         date_trunc('second', ts) AS valid_from,
+         lead(date_trunc('second', ts)) OVER (
+           PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id
+         ) AS valid_to
+  FROM events
+  WHERE event_type IN ('signup', 'error')
+)
+SELECT d.state AS state_at_time, e.event_type, CAST(count(*) AS BIGINT) AS n
+FROM events e
+JOIN dim d
+  ON e.user_id = d.user_id
+ AND date_trunc('second', e.ts) >= d.valid_from
+ AND (d.valid_to IS NULL OR date_trunc('second', e.ts) < d.valid_to)
+GROUP BY d.state, e.event_type
+""",
+)
+def j16_stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static TEMPORAL join: each streamed event is enriched
+    with the state that was valid AT ITS EVENT TIME from an SCD2
+    validity-interval dimension (the m2 build run batch-side) — the
+    'which campaign/config/price was active when this event happened'
+    pattern, which j9's current-state equi join cannot answer. The
+    join predicate is user equality PLUS the half-open interval
+    containment [valid_from, valid_to); intervals tile each user's
+    timeline, so every event lands in exactly one non-degenerate
+    interval (zero-length same-second intervals match nothing — the
+    deterministic tie rule, mirrored by the oracle's identical window
+    order). Stateless per micro-batch (no join state store), rolled
+    up in complete mode over the full replay → batch-expansion
+    oracle. At scale the static side is a true dimension's SCD2
+    history (dim-bounded); here it is built from the same corpus,
+    which sizes the demo but not the mechanics."""
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "error"))
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_type").alias("state_at_time"),
+            F.date_trunc("second", "ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    wd = Window.partitionBy("d_user").orderBy("valid_from", "event_id")
+    dim = dim.select(
+        "d_user",
+        "state_at_time",
+        "valid_from",
+        F.lead("valid_from").over(wd).alias("valid_to"),
+    )
+    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+    s_ts = F.date_trunc("second", F.col("ts"))
+    joined = stream.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (s_ts >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (s_ts < F.col("valid_to"))),
+        "inner",
+    )
+    agg = joined.groupBy("state_at_time", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return run_stream_to_table(agg, "complete")

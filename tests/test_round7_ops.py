@@ -432,3 +432,26 @@ def test_ts3_profile_invariants(spark, sf_dir):
     assert (prof["max_abs_dev"] >= 0).all()
     spread = prof[prof["max_abs_dev"] > 0]
     assert ((spread["n_above"] > 0) & (spread["n_above"] < spread["n"])).all()
+
+
+def test_j16_temporal_join_covers_post_milestone_events_once(spark, sf_dir):
+    """Every event at/after its user's first milestone is enriched
+    exactly once (the interval tiling has no gaps or double-matches),
+    and the join is genuinely off-diagonal (events of OTHER types
+    carry a milestone regime)."""
+    res = Q["j16_stream_temporal_join"](spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("second", "ts").alias("ts_s")
+    )
+    first_ms = (
+        ev.filter(F.col("event_type").isin("signup", "error"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("first_ms"))
+    )
+    eligible = ev.join(first_ms, "user_id").filter(
+        F.col("ts_s") >= F.col("first_ms")
+    )
+    assert int(res["n"].sum()) == eligible.count()
+    assert set(res["state_at_time"]) == {"signup", "error"}
+    off_diag = res[res["state_at_time"] != res["event_type"]]
+    assert off_diag["n"].sum() > 0
