@@ -2613,7 +2613,9 @@ FROM grid
 WHERE hour_num = hnum OR nh2 IS NOT NULL
 """,
 )
-def s19_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s19_stream_gapfill(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
     """Streaming gap-fill: a stateful operator that GENERATES rows —
     each user's dense hourly LOCF/interpolated grid is emitted
     incrementally as the stream closes each gap (the streaming twin of
@@ -2643,9 +2645,9 @@ def s19_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time").select(
-        "user_id", "ts", "value"
-    )
+    stream = read_events_stream_chunked(
+        spark, sf_dir, n_chunks=n_chunks, order="time"
+    ).select("user_id", "ts", "value")
 
     US_HOUR = 3_600_000_000
     NO_PREV = -1  # sentinel: no closed hour in state yet

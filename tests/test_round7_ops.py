@@ -455,3 +455,26 @@ def test_j16_temporal_join_covers_post_milestone_events_once(spark, sf_dir):
     assert set(res["state_at_time"]) == {"signup", "error"}
     off_diag = res[res["state_at_time"] != res["event_type"]]
     assert off_diag["n"].sum() > 0
+
+
+def test_s19_gapfill_invariant_to_chunking(spark, sf_dir):
+    """The emitted grid is identical under 2-chunk and 4-chunk
+    replays: micro-batch boundaries move (different hours straddle
+    them) but the two-slot emit-on-close protocol makes the output a
+    pure function of the data — exactly the invariance the
+    partial-endpoint bug broke."""
+    from sparkstreaming_mq_spark.streaming.queries import s19_stream_gapfill
+
+    a = (
+        s19_stream_gapfill(spark, sf_dir, n_chunks=4)
+        .toPandas()
+        .sort_values(["user_id", "hour_num"])
+        .reset_index(drop=True)
+    )
+    b = (
+        s19_stream_gapfill(spark, sf_dir, n_chunks=2)
+        .toPandas()
+        .sort_values(["user_id", "hour_num"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
