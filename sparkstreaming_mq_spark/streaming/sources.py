@@ -503,7 +503,18 @@ try:  # pyspark.sql.datasource exists in Spark 4; guard for older runtimes
             parts = super().partitions()
             if self.part_eq is not None:
                 parts = [p for p in parts if p.value[0] == self.part_eq]
+            if not parts:
+                # An empty partition list makes Spark schedule one task
+                # with partition=None (measured: read(None) crashed on a
+                # no-match part_id) — hand the planner a zero-row
+                # sentinel instead.
+                parts = [InputPartition((self.part_eq, None))]
             return parts
+
+        def read(self, partition):
+            if partition.value[1] is None:  # the no-match sentinel
+                return
+            yield from super().read(partition)
 
         def _pq_filters(self):
             conds = []

@@ -478,3 +478,20 @@ def test_s19_gapfill_invariant_to_chunking(spark, sf_dir):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_s12c_no_match_partition_returns_empty(spark, sf_dir):
+    """A pushed part_id that matches no queue partition yields zero
+    rows (not a scheduler crash on an empty partition list — the
+    reader hands Spark a zero-row sentinel partition)."""
+    from sparkstreaming_mq_spark.streaming import sources as S
+
+    S.ship_package(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(S.MQPushdownDataSource)
+    except Exception:
+        pass
+    base = S.chunked_events_dir(spark, sf_dir, n_chunks=4, order="time")
+    env = spark.read.format("mqreplay_pushdown").option("path", base).load()
+    assert env.filter(F.col("part_id") == 99).count() == 0
