@@ -2649,11 +2649,27 @@ def s19_stream_gapfill(
         spark, sf_dir, n_chunks=n_chunks, order="time"
     ).select("user_id", "ts", "value")
 
+    # Row generation is OUTPUT-dominated, the opposite cost profile of
+    # the tiny-state aggregates the 2-partition fixture profile was
+    # laddered for — parallel generation/encode wins at every measured
+    # scale (10x: 2 partitions 112 s, 8 -> 33 s, 32 -> 16 s; sf0.1
+    # 20.9 -> 8.9 s; the sf0.001/0.01 gates are insensitive).
+    S19_STATE_PARTITIONS = 32
+
     US_HOUR = 3_600_000_000
     NO_PREV = -1  # sentinel: no closed hour in state yet
 
     def gapfill(key, pdf_iter, state: GroupState):
-        import math
+        # Vectorized kernel: the first cut looped python-per-event and
+        # appended python tuples per OUTPUT row — at the 10x smoke that
+        # is 1M scalar iterations + 36.7M tuple appends, measured 133 s
+        # wall. Hour aggregation and gap-run generation now run in
+        # numpy; the remaining python loop is one step per DISTINCT
+        # hour per batch (calendar-bounded). Bit parity is preserved:
+        # np.floor on float64 is elementwise-identical to math.floor,
+        # and the interp expression keeps the exact operand order of
+        # both engines' CAST-DOUBLE arithmetic.
+        import numpy as np
 
         (uid,) = key
         if state.exists:
@@ -2662,17 +2678,29 @@ def s19_stream_gapfill(
             ph, pu, oh, ou, on = NO_PREV, 0, None, 0, 0
         # aggregate this micro-batch's events to hours (order-free
         # integer sums, so no sort is needed before the merge)
-        agg: dict[int, list[int]] = {}
-        for pdf in pdf_iter:
-            for ts, val in zip(pdf["ts"], pdf["value"]):
-                h = int(ts.value // 1000) // US_HOUR
-                u = int(math.floor(float(val) * 1000000 + 0.5))
-                slot = agg.setdefault(h, [0, 0])
-                slot[0] += u
-                slot[1] += 1
-        out: list[tuple] = []
-        for h in sorted(agg):
-            u_h, n_h = agg[h]
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            # tz-aware pandas ts -> UTC ns int64 (same epoch µs t7 reads
+            # per-element via .value)
+            hs = np.asarray(
+                pdf["ts"].values, dtype="datetime64[ns]"
+            ).astype("int64") // (US_HOUR * 1000)
+            us = np.floor(pdf["value"].to_numpy(dtype="float64") * 1000000 + 0.5)
+            us = us.astype("int64")
+            hour_keys, inv, n_per = np.unique(hs, return_inverse=True,
+                                              return_counts=True)
+            u_per = np.zeros(len(hour_keys), dtype="int64")
+            np.add.at(u_per, inv, us)
+            n_per = n_per.astype("int64")
+        else:
+            hour_keys = np.empty(0, dtype="int64")
+            n_per = u_per = hour_keys
+        obs_rows: list[tuple] = []          # (hour, n, units) per closed hour
+        gap_runs: list[tuple] = []          # (ph, pu, oh, ou) per closed run
+        n_gap = 0
+        for h, u_h, n_h in zip(hour_keys.tolist(), u_per.tolist(),
+                               n_per.tolist()):
             if oh is None:
                 oh, ou, on = h, u_h, n_h
             elif h == oh:
@@ -2682,25 +2710,49 @@ def s19_stream_gapfill(
             else:
                 # the open hour closes: emit its observation row, and
                 # the gap run it terminates (endpoints now both final)
-                locf_o = float(ou) / 1000000.0
-                out.append((uid, oh, on, locf_o, locf_o))
-                if ph != NO_PREV:
-                    locf_p = float(pu) / 1000000.0
-                    for g in range(ph + 1, oh):
-                        interp = (
-                            float(pu)
-                            + float(ou - pu) * float(g - ph) / float(oh - ph)
-                        ) / 1000000.0
-                        out.append((uid, g, 0, locf_p, interp))
+                obs_rows.append((oh, on, ou))
+                if ph != NO_PREV and oh - ph > 1:
+                    gap_runs.append((ph, pu, oh, ou))
+                    n_gap += oh - ph - 1
                 ph, pu = oh, ou
                 oh, ou, on = h, u_h, n_h
         if oh is not None:
             state.update((ph, pu, oh, ou, on))
-        if out:
-            yield pd.DataFrame(
-                out,
-                columns=["user_id", "hour_num", "n_obs", "locf_val", "interp_val"],
-            )
+        n_out = len(obs_rows) + n_gap
+        if not n_out:
+            return
+        hour_a = np.empty(n_out, dtype="int64")
+        nobs_a = np.zeros(n_out, dtype="int64")
+        locf_a = np.empty(n_out, dtype="float64")
+        intp_a = np.empty(n_out, dtype="float64")
+        i = 0
+        for h, n_h, u_h in obs_rows:
+            hour_a[i] = h
+            nobs_a[i] = n_h
+            locf_a[i] = intp_a[i] = float(u_h) / 1000000.0
+            i += 1
+        for gph, gpu, goh, gou in gap_runs:
+            g = np.arange(gph + 1, goh, dtype="int64")
+            k = len(g)
+            hour_a[i : i + k] = g
+            locf_a[i : i + k] = float(gpu) / 1000000.0
+            # same operand order as the engines' CAST-DOUBLE expression:
+            # pu + (ou-pu) * (g-ph) / (oh-ph), all float64, then /1e6
+            intp_a[i : i + k] = (
+                float(gpu)
+                + float(gou - gpu) * (g - gph).astype("float64")
+                / float(goh - gph)
+            ) / 1000000.0
+            i += k
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(n_out, uid, dtype="int64"),
+                "hour_num": hour_a,
+                "n_obs": nobs_a,
+                "locf_val": locf_a,
+                "interp_val": intp_a,
+            }
+        )
 
     res = stream.groupBy("user_id").applyInPandasWithState(
         gapfill,
@@ -2720,7 +2772,7 @@ def s19_stream_gapfill(
     # parquet bit-exactly, so oracle parity is unaffected.
     from sparkstreaming_mq_spark.streaming.sources import _stream_partitions
 
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, S19_STATE_PARTITIONS):
         path = run_stream_to_parquet(res)
     return spark.read.parquet(path)
 

@@ -253,14 +253,18 @@ class _stream_partitions:
     """Temporarily pin spark.sql.shuffle.partitions for a streaming
     run (the stateful operator freezes the value at query start)."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, n: int | None = None):
         self.spark = spark
+        # None -> the tiny-state fixture profile. Output-heavy stateful
+        # operators (s19's row generation) pass their own count: their
+        # cost is writing the generated rows, not state maintenance,
+        # so MORE partitions win at every measured scale (s19 10x:
+        # 2 -> 112 s, 8 -> 33 s, 32 -> 16 s; gates insensitive).
+        self.n = STREAM_SHUFFLE_PARTITIONS if n is None else n
 
     def __enter__(self):
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set(
-            "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
-        )
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
