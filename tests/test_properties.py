@@ -435,3 +435,89 @@ def test_next_fit_binning_matches_reference(spark, sizes, target):
     for i, s in enumerate(sizes):
         assert got[i] == cum // target, (i, s, cum, target)
         cum += s
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),   # hour
+            st.integers(min_value=1, max_value=10**6),  # units (micro)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_ts1_generator_matches_naive_gridjoin(spark, obs):
+    """ts1's single-pass generator form (obs row emits its own gap via
+    sequence()) must equal the naive dense-grid LEFT-JOIN + LOCF
+    reference computed in plain python on arbitrary observation sets —
+    same grid, same LOCF donors, same interpolation values."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    # one synthetic user; dedupe hours (last wins is irrelevant: sum)
+    agg = {}
+    for h, u in obs:
+        slot = agg.setdefault(h, [0, 0])
+        slot[0] += u
+        slot[1] += 1
+    hours = sorted(agg)
+    # --- naive reference: dense grid + LOCF/next lookup
+    expect = []
+    for g in range(hours[0], hours[-1] + 1):
+        prev_h = max(h for h in hours if h <= g)
+        pu = agg[prev_h][0]
+        if g in agg:
+            expect.append((g, agg[g][1], pu / 1000000.0, pu / 1000000.0))
+        else:
+            nxt_h = min(h for h in hours if h > g)
+            nv = agg[nxt_h][0]
+            interp = (
+                float(pu)
+                + float(nv - pu) * float(g - prev_h) / float(nxt_h - prev_h)
+            ) / 1000000.0
+            expect.append((g, 0, pu / 1000000.0, interp))
+    # --- the engine formulation, applied to the same observation frame
+    rows = [(1, h, n, u) for h, (u, n) in agg.items()]
+    df = spark.createDataFrame(rows, "user_id long, hnum long, n_at long, units long")
+    w = Window.partitionBy("user_id").orderBy("hnum")
+    led = df.select(
+        "user_id", "hnum", "n_at", "units",
+        F.lead("hnum").over(w).alias("nh"),
+        F.lead("units").over(w).alias("nv"),
+    )
+    grid = led.select(
+        "user_id", "hnum", "n_at", "units", "nh", "nv",
+        F.explode(
+            F.sequence(F.col("hnum"), F.coalesce(F.col("nh") - 1, F.col("hnum")))
+        ).alias("hour_num"),
+    )
+    at_obs = F.col("hour_num") == F.col("hnum")
+    units_d = F.col("units").cast("double")
+    interp = (
+        units_d
+        + (F.col("nv") - F.col("units")).cast("double")
+        * (F.col("hour_num") - F.col("hnum")).cast("double")
+        / (F.col("nh") - F.col("hnum")).cast("double")
+    )
+    got = (
+        grid.select(
+            "hour_num",
+            F.when(at_obs, F.col("n_at")).otherwise(F.lit(0).cast("long")).alias("n_obs"),
+            (units_d / F.lit(1000000.0)).alias("locf_val"),
+            F.when(at_obs, units_d / F.lit(1000000.0))
+            .otherwise(interp / F.lit(1000000.0))
+            .alias("interp_val"),
+        )
+        .toPandas()
+        .sort_values("hour_num")
+        .reset_index(drop=True)
+    )
+    ref = pd.DataFrame(expect, columns=["hour_num", "n_obs", "locf_val", "interp_val"])
+    assert got["hour_num"].tolist() == ref["hour_num"].tolist()
+    assert got["n_obs"].tolist() == ref["n_obs"].tolist()
+    assert got["locf_val"].tolist() == ref["locf_val"].tolist()
+    assert got["interp_val"].tolist() == ref["interp_val"].tolist()  # bit-exact
