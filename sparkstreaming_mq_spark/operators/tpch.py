@@ -1078,3 +1078,69 @@ def ds2_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("(cf + 5000L) div 10000L") / F.lit(100.0)).alias("cum_f_rev"),
         (F.expr("(co + 5000L) div 10000L") / F.lit(100.0)).alias("cum_o_rev"),
     )
+
+
+DS3_ORACLE = """
+WITH agg AS (
+  SELECT p.p_type AS ptype, p.p_brand AS brand,
+         CAST(GROUPING(p.p_type) + GROUPING(p.p_brand) AS BIGINT)
+           AS lochierarchy,
+         CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))
+           AS BIGINT) AS rev_units
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY ROLLUP(p.p_type, p.p_brand)
+)
+SELECT ptype, brand, lochierarchy,
+       CAST((rev_units + 5000) // 10000 AS BIGINT) / 100.0 AS revenue,
+       CAST(rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN lochierarchy = 0 THEN ptype END
+         ORDER BY rev_units DESC) AS BIGINT) AS rank_within_parent
+FROM agg
+"""
+
+
+@query("ds3_hierarchy_rank", oracle=DS3_ORACLE)
+def ds3_hierarchy_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-Q36 shape: revenue ROLLUP over the (type, brand)
+    hierarchy with each node RANKED AMONG ITS SIBLINGS — brands
+    within their type, types within the grand total — via
+    ``grouping()`` arithmetic (lochierarchy) and a rank window whose
+    partition key switches on the hierarchy level. This is the one
+    canonical composite that makes the Expand-based rollup output
+    flow straight into a window: Catalyst plans scan → broadcast part
+    → Expand (3 grouping sets) → two-phase aggregate → ONE rank
+    exchange; no re-scan per level. Revenue stays in exact
+    cent·basis-point BIGINTs through the rollup AND the rank ordering
+    (integer ties rank identically on both engines), rounded once per
+    output row."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # rename BEFORE the rollup: grouping() resolves only plain
+        # grouping columns, not inline aliases
+        .withColumnRenamed("p_type", "ptype")
+        .withColumnRenamed("p_brand", "brand")
+    )
+    agg = (
+        joined.rollup("ptype", "brand")
+        .agg(
+            (F.grouping("ptype") + F.grouping("brand"))
+            .cast("long")
+            .alias("lochierarchy"),
+            F.sum(_revenue_units()).cast("long").alias("rev_units"),
+        )
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("ptype")),
+    ).orderBy(F.desc("rev_units"))
+    return agg.select(
+        "ptype",
+        "brand",
+        "lochierarchy",
+        (F.expr("(rev_units + 5000L) div 10000L") / F.lit(100.0)).alias("revenue"),
+        F.rank().over(w).cast("long").alias("rank_within_parent"),
+    )

@@ -718,6 +718,20 @@ def test_f15_params_bind_before_optimization(spark, sf_dir):
     """Parameter binding happens before Catalyst optimizes: the
     :min_size value must reach the parquet scan as a pushed filter and
     the ORDER BY + LIMIT :k must fuse to TakeOrderedAndProject."""
+    from sparkstreaming_mq_spark.operators.scalar_functions import F15_MIN_SIZE
+
     fp = formatted_plan(Q["f15_parameterized_sql"](spark, sf_dir))
-    assert "GreaterThanOrEqual(p_size,25)" in fp
+    assert f"GreaterThanOrEqual(p_size,{F15_MIN_SIZE})" in fp
     assert "TakeOrderedAndProject" in fp
+
+
+def test_ds3_rollup_flows_into_rank_window(spark, sf_dir):
+    """ds3's hierarchy comes from ONE Expand-based rollup (no re-scan
+    per level), part broadcasts, and the sibling ranking adds exactly
+    one more exchange — 2 total, no sort-merge join."""
+    plan = executed_plan(Q["ds3_hierarchy_rank"](spark, sf_dir))
+    assert plan.count("Expand") == 1
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Window") == 1
