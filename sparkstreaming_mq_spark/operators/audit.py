@@ -313,3 +313,56 @@ def x4_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag"),
     )
     return fingerprint_fold(li, payload, with_extremes=True)
+
+
+# --- X5: row-level lineage / positional checksum -------------------------------
+
+X5_MOD = 997  # small prime: keeps the positional products in exact BIGINT range
+
+
+@query(
+    "x5_row_lineage",
+    oracle=f"""
+SELECT 'orders.parquet' AS file_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_orderkey) AS BIGINT) AS min_ri,
+       CAST(max(o_orderkey) AS BIGINT) AS max_ri,
+       CAST(sum((o_orderkey + 1) * (o_orderkey % {X5_MOD})) AS BIGINT)
+         AS pos_checksum
+FROM orders
+""",
+)
+def x5_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level lineage audit via Spark's hidden ``_metadata`` file
+    columns: per source file, the row count, the row-index span, and a
+    POSITIONAL checksum (sum of (row_index+1) x keyed residue). x4's
+    bucketed XOR/SUM fold is deliberately order-free — it verifies
+    content equality across any repartitioning; this is its
+    complement: the position-weighted sum changes if a migration
+    reorders, drops, or duplicates rows WITHIN a file, the
+    copy-integrity direction order-free folds cannot see. The metadata
+    columns are generated by the scan itself (no window, no
+    row_number shuffle — lineage at 100 TB must not cost a global
+    ordering), so the plan is one scan plus one file-keyed exchange.
+
+    Oracle: the driver's DuckDB session exposes VIEWS, not file
+    provenance, so the oracle derives the expected positions from the
+    fixture identity ``file_row_number == o_orderkey`` (probed true at
+    every gate sf: the generator writes orders in key order) — i.e.,
+    the hash check asserts Spark's ``_metadata.row_index`` equals the
+    generator's write order. If either the fixture ordering or the
+    metadata column ever diverged, the hash fails loudly."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sel = df.select(
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("ri"),
+        "o_orderkey",
+    )
+    return sel.groupBy("file_name").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("ri").cast("long").alias("min_ri"),
+        F.max("ri").cast("long").alias("max_ri"),
+        F.sum((F.col("ri") + 1) * F.pmod(F.col("o_orderkey"), F.lit(X5_MOD)))
+        .cast("long")
+        .alias("pos_checksum"),
+    )

@@ -274,6 +274,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "f15_parameterized_sql",    # Spark 4 named-param SQL + IDENTIFIER binding (r7)
     "j16_stream_temporal_join", # stream-static SCD2 validity-interval join (r7)
     "ds3_hierarchy_rank",       # TPC-DS Q36 shape: rollup + rank-within-parent (r7)
+    "x5_row_lineage",           # _metadata row-level lineage + positional checksum (r7)
 )
 
 

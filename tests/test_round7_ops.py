@@ -495,3 +495,26 @@ def test_s12c_no_match_partition_returns_empty(spark, sf_dir):
     base = S.chunked_events_dir(spark, sf_dir, n_chunks=4, order="time")
     env = spark.read.format("mqreplay_pushdown").option("path", base).load()
     assert env.filter(F.col("part_id") == 99).count() == 0
+
+
+def test_x5_positional_checksum_detects_reorder(spark, sf_dir):
+    """The positional checksum is order-SENSITIVE where x4's fold is
+    order-free: recomputing it with two row positions swapped changes
+    the value (unless the swapped keys share a residue — pick a pair
+    that doesn't)."""
+    import pandas as pd
+
+    from sparkstreaming_mq_spark.operators.audit import X5_MOD
+
+    base = Q["x5_row_lineage"](spark, sf_dir).toPandas()
+    assert len(base) == 1 and base.iloc[0]["min_ri"] == 0
+    n = int(base.iloc[0]["n_rows"])
+    assert int(base.iloc[0]["max_ri"]) == n - 1
+    # swap keys at positions 0 and 1 (residues 0%997 != 1%997): the
+    # reference checksum computed over the swapped sequence differs
+    keys = list(range(n))
+    ref = sum((i + 1) * (k % X5_MOD) for i, k in enumerate(keys))
+    keys[0], keys[1] = keys[1], keys[0]
+    swapped = sum((i + 1) * (k % X5_MOD) for i, k in enumerate(keys))
+    assert ref == int(base.iloc[0]["pos_checksum"])
+    assert swapped != ref
