@@ -99,6 +99,9 @@ QUERIES = [
     "ts2_ohlc_bars",
     "s18_stream_ohlc",
     "s19_stream_gapfill",
+    "ts3_seasonal_profile",
+    "j16_stream_temporal_join",  # per-user containment pairs: measured 0.5x at 10x (warm)
+    "ds3_hierarchy_rank",
 ]
 
 
