@@ -62,6 +62,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "sparkstreaming_mq_spark.operators.cdc",
     "sparkstreaming_mq_spark.operators.audit",
     "sparkstreaming_mq_spark.operators.tpch",
+    "sparkstreaming_mq_spark.operators.tpch_derived",
     "sparkstreaming_mq_spark.operators.timeseries",
     "sparkstreaming_mq_spark.operators.graph",
     "sparkstreaming_mq_spark.operators.events_analytics",
