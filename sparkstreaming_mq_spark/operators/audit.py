@@ -303,13 +303,19 @@ def x4_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     stringify them identically (the verify-skill money rule applied to
     hashing)."""
     li = load_table(spark, sf_dir, "lineitem")
-    payload = F.concat_ws(
-        "|",
+    # F.concat, NOT concat_ws: the oracle's '||' propagates NULL to
+    # md5(NULL)=NULL, concat_ws silently skips NULLs — a future NULL in
+    # any payload column must diverge loudly on both engines, not fold a
+    # different string on one side only (ADVICE r7).
+    payload = F.concat(
         F.col("l_orderkey").cast("string"),
+        F.lit("|"),
         F.col("l_linenumber").cast("string"),
+        F.lit("|"),
         F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
         .cast("long")
         .cast("string"),
+        F.lit("|"),
         F.col("l_returnflag"),
     )
     return fingerprint_fold(li, payload, with_extremes=True)

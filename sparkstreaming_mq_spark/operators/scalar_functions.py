@@ -761,7 +761,11 @@ BEGIN
     SET total = total + (SELECT COALESCE(CAST(sum(CAST(floor(o_totalprice * 100
                            + 0.5) AS BIGINT)) AS BIGINT), 0)
                          FROM orders WHERE year(o_orderdate) = y);
-    SET n_years = n_years + 1;
+    -- count only years that HAVE rows, so the script states the same
+    -- invariant as the oracle's count(DISTINCT year) regardless of
+    -- which years a fixture generation happens to cover (ADVICE r7)
+    SET n_years = n_years + (SELECT CASE WHEN count(*) > 0 THEN 1 ELSE 0 END
+                             FROM orders WHERE year(o_orderdate) = y);
     SET y = y + 1;
   END WHILE;
   SELECT n_years AS n_years, CAST(total AS BIGINT) AS total_cents;

@@ -2476,11 +2476,15 @@ def s17_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time").select(
         "event_id", "user_id", "event_type", "value"
     )
-    payload = F.concat_ws(
-        "|",
+    # F.concat (NULL-propagating) to match the oracle's '||' — see
+    # x4_table_fingerprint's payload comment (ADVICE r7).
+    payload = F.concat(
         F.col("event_id").cast("string"),
+        F.lit("|"),
         F.col("user_id").cast("string"),
+        F.lit("|"),
         F.col("event_type"),
+        F.lit("|"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("string"),
     )
     store = tempfile.mkdtemp(prefix="sparkgraft_fp_")
@@ -2835,34 +2839,50 @@ def s12c_python_ds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     if MQPushdownDataSource is None:  # pragma: no cover - Spark < 4
         raise RuntimeError("Python DataSource API unavailable")
     ship_package(spark)
+    # filterPushdown is session-global state; set it only for the
+    # planning window and restore the caller's value afterwards
+    # (ADVICE r7: leaving it set is order-dependent state for every
+    # later Python DataSource read). The conf is consulted when the
+    # V2 scan is PLANNED, so force physical planning inside the
+    # try/finally — the cached executedPlan keeps the pushdown live
+    # when the caller later executes the returned DataFrame.
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
-        spark.dataSource.register(MQPushdownDataSource)
-    except Exception:
-        pass  # already registered in this session
-    base = chunked_events_dir(spark, sf_dir, n_chunks=4, order="time")
-    env = spark.read.format("mqreplay_pushdown").option("path", base).load()
-    return (
-        env.filter(
-            (F.col("part_id") == S12C_PART)
-            & (F.col("offset") >= S12C_LO)
-            & (F.col("offset") < S12C_HI)
-            & (F.pmod(F.col("offset"), F.lit(2)) == 0)
+        try:
+            spark.dataSource.register(MQPushdownDataSource)
+        except Exception:
+            pass  # already registered in this session
+        base = chunked_events_dir(spark, sf_dir, n_chunks=4, order="time")
+        env = spark.read.format("mqreplay_pushdown").option("path", base).load()
+        out = (
+            env.filter(
+                (F.col("part_id") == S12C_PART)
+                & (F.col("offset") >= S12C_LO)
+                & (F.col("offset") < S12C_HI)
+                & (F.pmod(F.col("offset"), F.lit(2)) == 0)
+            )
+            .select(
+                "topic",
+                "part_id",
+                "offset",
+                F.get_json_object("value", "$.k").cast("bigint").alias("k"),
+            )
+            .groupBy("topic", "part_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("offset").alias("min_offset"),
+                F.max("offset").alias("max_offset"),
+                F.sum("k").alias("sum_k"),
+            )
         )
-        .select(
-            "topic",
-            "part_id",
-            "offset",
-            F.get_json_object("value", "$.k").cast("bigint").alias("k"),
-        )
-        .groupBy("topic", "part_id")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("offset").alias("min_offset"),
-            F.max("offset").alias("max_offset"),
-            F.sum("k").alias("sum_k"),
-        )
-    )
+        out._jdf.queryExecution().executedPlan()  # plan now, under the conf
+        return out
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
 
 
 # --- J16: stream-static TEMPORAL (validity-interval) join ----------------------

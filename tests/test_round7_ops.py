@@ -518,3 +518,20 @@ def test_x5_positional_checksum_detects_reorder(spark, sf_dir):
     swapped = sum((i + 1) * (k % X5_MOD) for i, k in enumerate(keys))
     assert ref == int(base.iloc[0]["pos_checksum"])
     assert swapped != ref
+
+
+def test_x5_fixture_identity_probe(spark, sf_dir):
+    """Per-round probe of the fixture identity x5's oracle encodes
+    (ADVICE r7): orders is a SINGLE parquet file and the generator
+    wrote it in key order (``_metadata.row_index == o_orderkey``
+    everywhere). If a future fixture generation breaks either, this
+    test names the fixture as the cause instead of leaving x5's
+    hash-mismatch to be debugged as an operator defect."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("ri"),
+        "o_orderkey",
+    )
+    files = [r["file_name"] for r in df.select("file_name").distinct().collect()]
+    assert files == ["orders.parquet"], f"multi-file orders fixture: {files}"
+    assert df.filter(F.col("ri") != F.col("o_orderkey")).count() == 0
