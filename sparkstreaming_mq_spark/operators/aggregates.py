@@ -718,6 +718,209 @@ def a4c_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
 
 
+# --- A5c: re-aggregatable quantile sketch (deterministic KLL/MRL rollup) ------
+
+# Per-level buffer capacity. Weekly value counts at every gate/sweep sf
+# (sf0.1: ~20k) stay below it, so no buffer ever compacts: each day
+# sketch is ONE weight-1 sorted buffer, the weekly merge concatenates
+# them, and the weighted-interpolation estimator degenerates to the
+# exact interpolated quantile — which is what lets the exact
+# quantile_cont oracle hash-match while the plan exercised is the real
+# sketch accumulate→merge path (the a4b/a4c sparse-exact-regime
+# pattern). pytest forces capacity 64-256 on 100k-value streams to
+# exercise compaction and pin the lossy-regime rank-error bound.
+QS_CAPACITY = 65536
+
+
+def _qs_compact(levels, parities, capacity):
+    """Compact every over-capacity level of an MRL/KLL-style sketch in
+    place. ``levels[i]`` is a SORTED float64 array of weight 2^i;
+    compaction keeps every other element (alternating even/odd offset
+    per level via ``parities`` — the classic deterministic-KLL
+    de-biasing) and merges survivors into level i+1. Deterministic by
+    construction: no RNG, so the same input stream (and the same merge
+    order) always yields the same sketch — the property the DuckDB
+    oracle and the driver's value-hash require."""
+    import numpy as np
+
+    i = 0
+    while i < len(levels):
+        if len(levels[i]) > capacity:
+            buf = levels[i]
+            survivors = buf[parities[i] :: 2]
+            parities[i] ^= 1
+            levels[i] = buf[:0]
+            if i + 1 == len(levels):
+                levels.append(survivors)
+                parities.append(0)
+            else:
+                merged = np.concatenate([levels[i + 1], survivors])
+                merged.sort(kind="mergesort")
+                levels[i + 1] = merged
+        else:
+            i += 1
+    return levels, parities
+
+
+def _qs_from_values(vals, capacity):
+    """Accumulate phase: one sketch from a value array (one day's
+    stream), fed in capacity-sized chunks so compaction cascades the
+    way it would under true streaming insertion (bulk-compacting the
+    whole array at once would collapse everything to one coarsest-
+    weight buffer and waste the lower levels). Below capacity the
+    sketch IS the sorted data (exact regime); above it, every level
+    stays ≤ ``capacity`` float64s, so total state is
+    O(capacity * log(n / capacity)) regardless of stream length."""
+    import numpy as np
+
+    v = np.asarray(vals, dtype="float64")
+    levels: list = [np.empty(0, dtype="float64")]
+    parities: list = [0]
+    for start in range(0, len(v), capacity):
+        chunk = np.sort(v[start : start + capacity], kind="mergesort")
+        merged = np.concatenate([levels[0], chunk])
+        merged.sort(kind="mergesort")
+        levels[0] = merged
+        levels, parities = _qs_compact(levels, parities, capacity)
+    return levels, parities
+
+
+def _qs_merge(sketches, capacity):
+    """Merge phase: level-wise concatenation of already-built sketches
+    followed by the same deterministic compaction — sketches compose
+    exactly like a4b's HLL unions, so daily partials roll up to any
+    coarser granularity without re-scanning data. Callers must feed
+    sketches in a deterministic order (we sort by day) so compaction
+    offsets are reproducible."""
+    import numpy as np
+
+    out: list = []
+    parities: list = []
+    for levels in sketches:
+        for i, buf in enumerate(levels):
+            while len(out) <= i:
+                out.append(np.empty(0, dtype="float64"))
+                parities.append(0)
+            if len(buf):
+                merged = np.concatenate([out[i], np.asarray(buf, dtype="float64")])
+                merged.sort(kind="mergesort")
+                out[i] = merged
+    return _qs_compact(out, parities, capacity)
+
+
+def _qs_quantile(levels, q):
+    """Estimate phase: weighted linear interpolation over the sketch's
+    (value, 2^level) items. With all weights 1 (no compaction ever
+    ran) this is EXACTLY ``lower + frac * (upper - lower)`` at
+    position q*(n-1) — Spark ``percentile`` == DuckDB
+    ``quantile_cont`` — which the exact-regime oracle relies on."""
+    import numpy as np
+
+    vals = np.concatenate([np.asarray(b, dtype="float64") for b in levels if len(b)])
+    wts = np.concatenate(
+        [np.full(len(b), 1 << i, dtype="int64") for i, b in enumerate(levels) if len(b)]
+    )
+    order = np.argsort(vals, kind="mergesort")
+    v, w = vals[order], wts[order]
+    total = int(w.sum())
+    t = q * (total - 1)
+    lo = int(t)
+    frac = t - lo
+    cum = np.cumsum(w)
+    i_lo = min(int(np.searchsorted(cum, lo, side="right")), len(v) - 1)
+    i_hi = min(int(np.searchsorted(cum, lo + 1, side="right")), len(v) - 1)
+    return float(v[i_lo] + frac * (v[i_hi] - v[i_lo]))
+
+
+A5C_ORACLE = """
+SELECT date_trunc('week', date_trunc('day', ts)) AS week,
+       CAST(count(value) AS BIGINT) AS n_vals,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90
+FROM events
+WHERE value IS NOT NULL
+GROUP BY week
+"""
+
+
+@query("a5c_quantile_rollup", oracle=A5C_ORACLE)
+def a5c_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable quantiles: per-DAY deterministic KLL/MRL
+    quantile sketches of ``events.value``, merged up to per-WEEK
+    p50/p90 — the quantile member of the sketch-rollup family (a4b
+    distinct counts, a4c heavy hitters, a11 Space-Saving): daily
+    partials are built once and every coarser granularity is a cheap
+    level-wise merge, never a re-scan. The sketch is ours
+    (Manku-Rajagopalan-Lindsay buffers with the deterministic
+    alternating-offset compaction of the KLL line, Karnin-Lang-Liberty
+    FOCS'16): capacity-bounded sorted buffers of weight 2^level, so
+    per-group state is O(capacity * log n) however large a 100 TB
+    week is, and — unlike the built-in ``approx_percentile``, whose
+    internal GK summary Spark does not expose for re-aggregation —
+    the serialized levels are a first-class column that any coarser
+    rollup (or a foreachBatch sink, or next week's incremental job)
+    can keep merging.
+
+    Determinism note: compaction uses alternating fixed offsets, no
+    RNG, and days merge in sorted order — same corpus, same sketch,
+    same estimate, every run, which is what makes a value-hash oracle
+    possible at all (vs. the randomized-compaction KLL in
+    Datasketches). Oracle note: QS_CAPACITY exceeds every gate-scale
+    weekly count, so no compaction runs and the estimate is the exact
+    interpolated quantile (see QS_CAPACITY's comment); the lossy
+    regime is pinned by pytest at forced-small capacity."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.filter(F.col("value").isNotNull()).select(
+        F.date_trunc("day", "ts").alias("day"), "value"
+    )
+
+    def day_sketch(pdf: pd.DataFrame) -> pd.DataFrame:
+        levels, _ = _qs_from_values(pdf["value"].to_numpy(), QS_CAPACITY)
+        return pd.DataFrame(
+            {
+                "day": [pdf["day"].iloc[0]],
+                "n": [len(pdf)],
+                "levels": [[lvl.tolist() for lvl in levels]],
+            }
+        )
+
+    daily = days.groupBy("day").applyInPandas(
+        day_sketch, schema="day timestamp, n long, levels array<array<double>>"
+    )
+
+    def week_estimate(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")  # deterministic merge order
+        levels, _ = _qs_merge(list(pdf["levels"]), QS_CAPACITY)
+        return pd.DataFrame(
+            {
+                "week": [pdf["week"].iloc[0]],
+                "n_vals": [int(pdf["n"].sum())],
+                "p50": [_qs_quantile(levels, 0.5)],
+                "p90": [_qs_quantile(levels, 0.9)],
+            }
+        )
+
+    weekly = (
+        daily.withColumn("week", F.date_trunc("week", "day"))
+        .groupBy("week")
+        .applyInPandas(
+            week_estimate,
+            schema="week timestamp, n_vals long, p50 double, p90 double",
+        )
+    )
+    # raw doubles leave the UDF; rounding happens engine-side on BOTH
+    # engines (the a5 pattern — never round inside a pandas UDF)
+    return weekly.select(
+        "week",
+        "n_vals",
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+    )
+
+
 # --- A11 (bonus): custom mergeable Space-Saving heavy-hitter sketch ----------
 
 # Per-partition counter capacity. The fixture token vocabulary is ~31

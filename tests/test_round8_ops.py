@@ -109,3 +109,100 @@ def test_q21_no_fact_self_join(spark, sf_dir):
         "Inner", "LeftSemi", "LeftOuter", "LeftAnti", "FullOuter"
     ))
     assert n_joins == 4, plan
+
+
+# --- a5c: re-aggregatable quantile sketch --------------------------------------
+
+
+def _qs_true_rank_err(vals, levels, q):
+    import numpy as np
+
+    from sparkstreaming_mq_spark.operators.aggregates import _qs_quantile
+
+    est = _qs_quantile(levels, q)
+    s = np.sort(vals)
+    # ties: every rank in [first, last] occurrence of est is correct —
+    # error is the distance from the target rank to that interval
+    lo = int(np.searchsorted(s, est, side="left"))
+    hi = int(np.searchsorted(s, est, side="right"))
+    t = q * len(s)
+    return max(lo - t, t - hi, 0.0)
+
+
+def test_qs_exact_regime_matches_interpolated_quantile():
+    """Below capacity the sketch is the sorted data and the estimator
+    must equal numpy's linear interpolation bit-for-bit — the identity
+    the exact-regime oracle rests on."""
+    import numpy as np
+
+    from sparkstreaming_mq_spark.operators.aggregates import (
+        _qs_from_values,
+        _qs_quantile,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(3.0, 1.5, size=900)
+    levels, _ = _qs_from_values(vals, 1024)
+    assert len(levels) == 1 and len(levels[0]) == 900
+    for q in (0.0, 0.25, 0.5, 0.9, 0.99, 1.0):
+        assert _qs_quantile(levels, q) == float(np.quantile(vals, q))
+
+
+def test_qs_lossy_regime_rank_error_bounded_and_deterministic():
+    """Force compaction (100k values, capacity 256): multi-level
+    sketch, rank error within the deterministic-MRL bound
+    n*L/(2k), and the whole pipeline is run-to-run deterministic."""
+    import numpy as np
+
+    from sparkstreaming_mq_spark.operators.aggregates import (
+        _qs_from_values,
+        _qs_quantile,
+    )
+
+    rng = np.random.RandomState(11)
+    n, k = 100_000, 256
+    # half lognormal, half point mass: skew + ties
+    vals = np.concatenate(
+        [rng.lognormal(0, 2, size=n // 2), np.full(n // 2, 3.25)]
+    )
+    rng.shuffle(vals)
+    levels, _ = _qs_from_values(vals, k)
+    assert sum(len(b) > 0 for b in levels) > 1, "compaction never ran"
+    assert all(len(b) <= k for b in levels), "level over capacity"
+    L = len(levels)
+    bound = n * L / (2 * k) + 1
+    for q in (0.1, 0.5, 0.9, 0.99):
+        assert _qs_true_rank_err(vals, levels, q) <= bound
+    # determinism: identical rebuild, identical estimate
+    levels2, _ = _qs_from_values(vals.copy(), k)
+    for b1, b2 in zip(levels, levels2):
+        assert np.array_equal(b1, b2)
+    assert _qs_quantile(levels, 0.5) == _qs_quantile(levels2, 0.5)
+
+
+def test_qs_merge_composes_like_one_shot():
+    """The merge of 7 daily parts must stay within the same rank-error
+    bound as the one-shot sketch (sketches COMPOSE — the property that
+    makes the rollup legal), and merging the same parts twice is
+    bit-identical (deterministic merge order is the caller contract)."""
+    import numpy as np
+
+    from sparkstreaming_mq_spark.operators.aggregates import (
+        _qs_from_values,
+        _qs_merge,
+    )
+
+    rng = np.random.RandomState(23)
+    n, k = 70_000, 256
+    vals = rng.gamma(2.0, 10.0, size=n)
+    parts = np.array_split(vals, 7)
+    sketches = [_qs_from_values(p, k)[0] for p in parts]
+    merged, _ = _qs_merge(sketches, k)
+    assert all(len(b) <= k for b in merged)
+    L = max(len(merged), max(len(s) for s in sketches))
+    bound = n * (L + 7) / (2 * k) + 1  # each part's own compactions add error
+    for q in (0.1, 0.5, 0.9):
+        assert _qs_true_rank_err(vals, merged, q) <= bound
+    merged2, _ = _qs_merge([s for s in sketches], k)
+    for b1, b2 in zip(merged, merged2):
+        assert np.array_equal(b1, b2)
