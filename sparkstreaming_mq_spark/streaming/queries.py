@@ -2955,3 +2955,77 @@ def j16_stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n")
     )
     return run_stream_to_table(agg, "complete")
+
+
+# --- RocksDB + changelog checkpointing on the HEAVY stateful chains -----------
+#
+# t11 proves the provider swap on the tumbling agg; these wrappers put
+# the 100 TB state backend under the hardest state shapes the engine
+# has — the chained multi-stateful queries (t14 agg→agg, t15
+# join→agg, t16 union→dedup→agg) and the row-GENERATING
+# applyInPandasWithState gap-filler (s19) — with the ORIGINAL
+# measured-mechanics oracles attached verbatim (`_ORACLES[...]`), so
+# the driver hash-verifies that the provider changes nothing but the
+# storage layer. Changelog checkpointing is enabled too: per-batch
+# deltas upload instead of full RocksDB snapshots, the conf that makes
+# large-state checkpointing feasible at production scale.
+
+_ROCKSDB_CONFS = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
+def _run_under_rocksdb(spark: SparkSession, fn, *args):
+    """Run a streaming query function under the RocksDB provider +
+    changelog checkpointing, restoring every conf afterwards. Safe to
+    wrap because the wrapped functions execute their stream to
+    completion INSIDE the call (memory/file sink + awaitTermination)
+    — nothing stateful is left lazy when the confs roll back."""
+    prev = {k: spark.conf.get(k, None) for k in _ROCKSDB_CONFS}
+    for k, v in _ROCKSDB_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return fn(spark, *args)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@query("t14b_rocksdb_chain", oracle=_ORACLES["t14_chained_windows"])
+def t14b_rocksdb_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t14's agg→agg chained stateful query on the RocksDB state store
+    with changelog checkpointing — two stateful stages share the
+    backend, each with its own per-partition RocksDB instance. Result
+    must be hash-identical to t14 (same measured-mechanics oracle)."""
+    return _run_under_rocksdb(spark, t14_chained_windows, sf_dir)
+
+
+@query("t15b_rocksdb_join_chain", oracle=_ORACLES["t15_join_then_window"])
+def t15b_rocksdb_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t15's stream-stream join feeding a window agg, on RocksDB +
+    changelog checkpointing — join state (both sides' buffered rows)
+    is the largest state shape streaming has; the provider swap must
+    not change emission by a row."""
+    return _run_under_rocksdb(spark, t15_join_then_window, sf_dir)
+
+
+@query("t16b_rocksdb_union_chain", oracle=_ORACLES["t16_union_dedup_window"])
+def t16b_rocksdb_union_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t16's union→dedup→agg chain on RocksDB + changelog
+    checkpointing — dedup state is one key per event_id seen, the
+    highest-cardinality state in the suite."""
+    return _run_under_rocksdb(spark, t16_union_dedup_window, sf_dir)
+
+
+@query("s19b_rocksdb_gapfill", oracle=_ORACLES["s19_stream_gapfill"])
+def s19b_rocksdb_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s19's row-generating applyInPandasWithState gap-filler on
+    RocksDB + changelog checkpointing — arbitrary (pickled-Python)
+    state through the file-sink delivery path, unchanged output."""
+    return _run_under_rocksdb(spark, s19_stream_gapfill, sf_dir)

@@ -64,9 +64,17 @@ def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
     assert len(exchanges) == 1 and "o_orderpriority" in exchanges[0]
 
 
-def test_similarity_search_broadcasts_queries(spark, sf_dir):
+def test_similarity_search_vectorized_kernel_no_join(spark, sf_dir):
+    """l3's dense scoring must run in the Arrow mapInPandas kernel
+    with the bounded query matrix as a driver literal — no join of any
+    kind touches the corpus scan (the old broadcast-crossJoin + HOF
+    form was the interpreted-lambda N×K trap: 22.7 s at the 30×
+    smoke), and the only exchange feeds the final top-k window over
+    the batch-pruned candidate rows."""
     plan = executed_plan(Q["l3_cosine_topk"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_minhash_verify_joins_broadcast(spark, sf_dir, monkeypatch):
