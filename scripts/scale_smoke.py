@@ -103,6 +103,12 @@ QUERIES = [
     "ts3_seasonal_profile",
     "j16_stream_temporal_join",  # per-user containment pairs: measured 0.5x at 10x (warm)
     "ds3_hierarchy_rank",
+    # r8 additions: ds4 replicates through lineitem (output bounded at
+    # |types|*k by the group-limit); ds5's per-order supplier/return
+    # structure is copy-local so the semi-chain survivor set scales
+    # with the corpus.
+    "ds4_rollup_topk",
+    "ds5_semi_join_chain",
 ]
 
 

@@ -1144,3 +1144,165 @@ def ds3_hierarchy_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("(rev_units + 5000L) div 10000L") / F.lit(100.0)).alias("revenue"),
         F.rank().over(w).cast("long").alias("rank_within_parent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ds4 — TPC-DS Q67 shape: deep rollup + top-k per category
+# ---------------------------------------------------------------------------
+
+DS4_TOPK = 10
+
+DS4_ORACLE = f"""
+WITH src AS (
+  SELECT p.p_type AS ptype, p.p_brand AS brand,
+         CAST(year(l.l_shipdate) AS BIGINT)  AS yr,
+         CAST(month(l.l_shipdate) AS BIGINT) AS mo,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT))
+           AS units
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+agg AS (
+  SELECT ptype, brand, yr, mo,
+         CAST(sum(units) AS BIGINT) AS rev_units
+  FROM src
+  GROUP BY ROLLUP(ptype, brand, yr, mo)
+),
+ranked AS (
+  SELECT ptype, brand, yr, mo, rev_units,
+         CAST(rank() OVER (PARTITION BY ptype ORDER BY rev_units DESC)
+              AS BIGINT) AS rk
+  FROM agg
+)
+SELECT ptype, brand, yr, mo,
+       CAST((rev_units + 5000) // 10000 AS BIGINT) / 100.0 AS revenue,
+       rk
+FROM ranked
+WHERE rk <= {DS4_TOPK}
+"""
+
+
+@query("ds4_rollup_topk", oracle=DS4_ORACLE)
+def ds4_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-Q67 shape: revenue ROLLUP over the full
+    (type, brand, year, month) hierarchy, then the top-k hierarchy
+    nodes WITHIN EACH TYPE by revenue — subtotals compete with their
+    own children, exactly as Q67's rollup rows compete inside
+    i_category. Distinct from ds3 (Q36): the rank partition is the
+    top-level dimension only, the hierarchy is 4 levels deep (5
+    grouping sets in one Expand), and the rank feeds a k-filter, so
+    the window's sort is the last full pass before an output bounded
+    at k rows per type.
+
+    Scale: scan + broadcast(part) + ONE Expand-based two-phase
+    aggregate (5× fanout happens AFTER the map-side partial) + one
+    rank exchange hashed on ptype. The k-filter bounds the output at
+    |types|·k regardless of corpus size. Revenue stays in exact
+    cent·basis-point BIGINTs through rollup AND rank ordering (ties
+    rank identically on both engines — e.g. a subtotal over a single
+    child ties that child exactly); rounded once per output row.
+    grouping-NULL rows (yr/mo NULL above leaf level) are genuine
+    rollup output on both engines; the one all-NULL grand-total row
+    forms its own rank-1 partition."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    src = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # plain columns BEFORE rollup (grouping-column resolution rule)
+        .withColumnRenamed("p_type", "ptype")
+        .withColumnRenamed("p_brand", "brand")
+        .withColumn("yr", F.year("l_shipdate").cast("long"))
+        .withColumn("mo", F.month("l_shipdate").cast("long"))
+    )
+    agg = src.rollup("ptype", "brand", "yr", "mo").agg(
+        F.sum(_revenue_units()).cast("long").alias("rev_units")
+    )
+    w = Window.partitionBy("ptype").orderBy(F.desc("rev_units"))
+    return (
+        agg.withColumn("rk", F.rank().over(w).cast("long"))
+        .filter(F.col("rk") <= DS4_TOPK)
+        .select(
+            "ptype",
+            "brand",
+            "yr",
+            "mo",
+            (F.expr("(rev_units + 5000L) div 10000L") / F.lit(100.0)).alias(
+                "revenue"
+            ),
+            "rk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ds5 — TPC-DS Q95 shape: semi-join chain (multi-supplier orders with returns)
+# ---------------------------------------------------------------------------
+
+DS5_LO = "1997-01-01 00:00:00"
+DS5_HI = "1998-01-01 00:00:00"
+
+DS5_ORACLE = f"""
+SELECT o.o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS order_count,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) / 100.0 AS total_spend
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{DS5_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{DS5_HI}'
+  AND o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey
+                       HAVING count(DISTINCT l_suppkey) >= 2)
+  AND o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       WHERE l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("ds5_semi_join_chain", oracle=DS5_ORACLE)
+def ds5_semi_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-Q95 shape: one year of orders that (a) ship from at
+    least two distinct suppliers (Q95's ws_wh multi-warehouse EXISTS)
+    and (b) have at least one returned line (Q95's web_returns
+    EXISTS), rolled up per order priority.
+
+    Q95's canonical ws_wh is a lineitem SELF-JOIN on the order key
+    filtered to distinct suppliers — O(lines²/order) pairs just to
+    test "≥2 suppliers". The scale-correct form used here aggregates
+    count(DISTINCT l_suppkey) per order key instead: per-key state is
+    bounded by the 7-suppliers-per-order cap, the partial is map-side,
+    and no pair is ever materialized. Both EXISTS become LEFT SEMI
+    joins (duplicate-safe, so the returns side needs no distinct —
+    the returnflag filter is pushed to its scan). The two semi probes
+    and the multi-supplier aggregate all hash on the SAME order key,
+    so consecutive stages reuse the partitioning rather than
+    introducing new exchange keys; the date filter is pushed to the
+    orders scan. o_totalprice is summed in exact cents (one value per
+    surviving order row — no join fanout to double-count)."""
+    lo = F.lit(DS5_LO).cast("timestamp")
+    hi = F.lit(DS5_HI).cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("_ns"))
+        .filter(F.col("_ns") >= 2)
+        .select("l_orderkey")
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        o.join(multi, o.o_orderkey == multi.l_orderkey, "left_semi")
+        .join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("order_count"),
+            F.sum(cents).alias("_sc"),
+        )
+        .select(
+            "priority",
+            "order_count",
+            (F.col("_sc") / F.lit(100.0)).alias("total_spend"),
+        )
+    )

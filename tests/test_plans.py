@@ -743,3 +743,32 @@ def test_ds3_rollup_flows_into_rank_window(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("Window") == 1
+
+
+def test_ds4_deep_rollup_topk_plan(spark, sf_dir):
+    """ds4's 4-level hierarchy is ONE Expand (5 grouping sets, no
+    re-scan per level), part broadcasts, and the per-type ranking adds
+    exactly one more exchange; the k-filter runs above the window."""
+    plan = executed_plan(Q["ds4_rollup_topk"](spark, sf_dir))
+    assert plan.count("Expand") == 1
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the rank<=k filter lowers to a Partial+Final WindowGroupLimit
+    # pair — the map side prunes to top-k per type BEFORE the rank
+    # exchange, which is what keeps the window linear at 100 TB
+    assert plan.count("WindowGroupLimit") == 2
+    assert plan.count("Window [") == 1
+
+
+def test_ds5_semi_chain_no_self_join_pairs(spark, sf_dir):
+    """ds5 keeps both EXISTS as LEFT SEMI probes and replaces Q95's
+    lineitem self-join with a distinct-count aggregate: two semi
+    joins, the returnflag and date filters pushed to their scans, and
+    no inner join anywhere (nothing materializes line pairs)."""
+    plan = executed_plan(Q["ds5_semi_join_chain"](spark, sf_dir))
+    assert plan.count("LeftSemi") == 2
+    assert "Join Inner" not in plan and "SortMergeJoin Inner" not in plan
+    fp = formatted_plan(Q["ds5_semi_join_chain"](spark, sf_dir))
+    assert "EqualTo(l_returnflag,R)" in fp
+    assert "GreaterThanOrEqual(o_orderdate," in fp
