@@ -63,6 +63,11 @@ HEADLINES = {
     "ts2_ohlc_bars": "two rankings + bar aggregate on ONE (type, day) exchange",
     "ts3_seasonal_profile": "window baseline + rollup reuse one (type, hod) exchange, no join",
     "f15_parameterized_sql": "params bound pre-optimization: pushed size filter + fused top-k",
+    "ds3_hierarchy_rank": "ONE Expand rollup -> rank window: 2 exchanges, no per-level re-scan",
+    "ds4_rollup_topk": "5-set Expand + Partial/Final WindowGroupLimit: map-side top-k prune before the rank exchange",
+    "ds5_semi_join_chain": "distinct-count aggregate replaces the Q95 self-join; two LEFT SEMI probes on one key",
+    "ds6_multi_band_counts": "eight count FILTER cells from ONE scan (canonical Q88 scans 8x)",
+    "ds7_frequent_buyer_chain": "two HAVING-reduced cohorts gate the fact scan as LEFT SEMI probes",
 }
 
 

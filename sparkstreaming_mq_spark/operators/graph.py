@@ -98,18 +98,36 @@ def _g1_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     is identical), so one iteration is exactly one join + one
     aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
+    # Per-order part sets, then a map-side double explode — the
+    # CLAUDE.md "collect_set pair explode beats a postings self-join
+    # structurally" lesson applied here after the 30× smoke caught the
+    # original items-self-join superlinear (its two corpus-sized SMJ
+    # sorts took 65 s at 30× while the distinct edge set stayed
+    # constant at 2.39M). collect_set state is BOUNDED (parts per
+    # order ≤ the order's line count, single digits by construction —
+    # the l33 bounded-fanout exemption, not the l38 hot-key hazard),
+    # the partial runs map-side, and pair generation is pure codegen:
+    # ONE exchange on the order key + the pairs-sized distinct,
+    # versus distinct + two sort exchanges + SMJ + distinct before.
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("_ps"))
+        .filter(F.size("_ps") >= 2)
+    )
+    # The co-purchase relation is symmetric, so dedupe only the
+    # src<dst half (the filter runs BEFORE the distinct's exchange —
+    # half the rows through the one pair-sized shuffle) and mirror
+    # the surviving edges afterwards, a frame already reduced to
+    # distinct-edge cardinality.
+    half = (
+        baskets.select(F.explode("_ps").alias("src"), "_ps")
+        .select("src", F.explode("_ps").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .distinct()
+    )
+    pairs = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = pairs.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
     edges = pairs.join(deg, "src").localCheckpoint(eager=True)

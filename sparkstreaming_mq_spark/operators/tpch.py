@@ -1306,3 +1306,163 @@ def ds5_semi_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_sc") / F.lit(100.0)).alias("total_spend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ds6 — TPC-DS Q88 shape: N independent count cells from ONE scan
+# ---------------------------------------------------------------------------
+
+DS6_ORACLE = """
+SELECT
+  CAST(count(*) FILTER (WHERE l_quantity < 13 AND l_discount < 0.05) AS BIGINT) AS lo_lo,
+  CAST(count(*) FILTER (WHERE l_quantity < 13 AND l_discount >= 0.05) AS BIGINT) AS lo_hi,
+  CAST(count(*) FILTER (WHERE l_quantity >= 13 AND l_quantity < 25 AND l_discount < 0.05) AS BIGINT) AS mid1_lo,
+  CAST(count(*) FILTER (WHERE l_quantity >= 13 AND l_quantity < 25 AND l_discount >= 0.05) AS BIGINT) AS mid1_hi,
+  CAST(count(*) FILTER (WHERE l_quantity >= 25 AND l_quantity < 37 AND l_discount < 0.05) AS BIGINT) AS mid2_lo,
+  CAST(count(*) FILTER (WHERE l_quantity >= 25 AND l_quantity < 37 AND l_discount >= 0.05) AS BIGINT) AS mid2_hi,
+  CAST(count(*) FILTER (WHERE l_quantity >= 37 AND l_discount < 0.05) AS BIGINT) AS hi_lo,
+  CAST(count(*) FILTER (WHERE l_quantity >= 37 AND l_discount >= 0.05) AS BIGINT) AS hi_hi
+FROM lineitem
+WHERE l_returnflag = 'N'
+"""
+
+_DS6_BANDS = [
+    ("lo_lo", "l_quantity < 13 AND l_discount < 0.05"),
+    ("lo_hi", "l_quantity < 13 AND l_discount >= 0.05"),
+    ("mid1_lo", "l_quantity >= 13 AND l_quantity < 25 AND l_discount < 0.05"),
+    ("mid1_hi", "l_quantity >= 13 AND l_quantity < 25 AND l_discount >= 0.05"),
+    ("mid2_lo", "l_quantity >= 25 AND l_quantity < 37 AND l_discount < 0.05"),
+    ("mid2_hi", "l_quantity >= 25 AND l_quantity < 37 AND l_discount >= 0.05"),
+    ("hi_lo", "l_quantity >= 37 AND l_discount < 0.05"),
+    ("hi_hi", "l_quantity >= 37 AND l_discount >= 0.05"),
+]
+
+
+@query("ds6_multi_band_counts", oracle=DS6_ORACLE)
+def ds6_multi_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-Q88 shape: eight independent count cells (quantity band
+    × discount band), one output row. The canonical Q88 runs EIGHT
+    separate scans — one subquery per half-hour band — cross-joined
+    into a single row; at 100 TB that is eight passes over the fact
+    table for eight integers. The scale-correct form is ONE scan with
+    eight conditional aggregates: every band is a
+    `count(*) FILTER (WHERE …)` over the same pass, the shared
+    returnflag filter is pushed to the scan, the partials are
+    map-side, and the only exchange is the single-partition gather of
+    eight longs. Band predicates sit on raw doubles with constant
+    comparisons (no arithmetic) — exact and identical on both
+    engines; bands partition the domain so the cells are disjoint and
+    auditable against the scan row count."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "N"
+    )
+    aggs = [
+        F.count_if(F.expr(cond)).cast("long").alias(name)
+        for name, cond in _DS6_BANDS
+    ]
+    return li.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# ds7 — TPC-DS Q23 shape: frequent-item ∩ best-customer chain
+# ---------------------------------------------------------------------------
+
+DS7_FREQ_MIN = 5  # part is "frequent" with >= 5 shipped lines in the year
+DS7_BUYER_MIN = 3  # customer is a "best buyer" with >= 3 orders in the year
+DS7_YEAR_LO = "1996-01-01 00:00:00"
+DS7_YEAR_HI = "1997-01-01 00:00:00"
+DS7_TGT_LO = "1997-01-01 00:00:00"
+DS7_TGT_HI = "1997-07-01 00:00:00"
+
+DS7_ORACLE = f"""
+WITH frequent_parts AS (
+  SELECT l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{DS7_YEAR_LO}'
+    AND l_shipdate <  TIMESTAMP '{DS7_YEAR_HI}'
+  GROUP BY l_partkey
+  HAVING count(*) >= {DS7_FREQ_MIN}
+),
+best_buyers AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{DS7_YEAR_LO}'
+    AND o_orderdate <  TIMESTAMP '{DS7_YEAR_HI}'
+  GROUP BY o_custkey
+  HAVING count(*) >= {DS7_BUYER_MIN}
+)
+SELECT date_trunc('month', o.o_orderdate) AS order_month,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST((sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))
+             + 5000) // 10000 AS BIGINT) / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '{DS7_TGT_LO}'
+  AND o.o_orderdate <  TIMESTAMP '{DS7_TGT_HI}'
+  AND l.l_partkey IN (SELECT l_partkey FROM frequent_parts)
+  AND o.o_custkey IN (SELECT o_custkey FROM best_buyers)
+GROUP BY 1
+"""
+
+
+@query("ds7_frequent_buyer_chain", oracle=DS7_ORACLE)
+def ds7_frequent_buyer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-Q23 shape: target-period revenue restricted to
+    FREQUENTLY-SOLD parts bought by BEST customers, both cohorts
+    mined from the prior year. Two independent aggregate-reduced
+    build sides — a part cohort (bounded by |part|) and a customer
+    cohort (bounded by |customer|) — gate the fact scan through LEFT
+    SEMI probes on different keys, then the survivors roll up per
+    month in exact fixed point.
+
+    Scale: each cohort is a HAVING-filtered aggregate whose partial
+    runs map-side over a date-pruned scan, and each collapses to
+    dimension cardinality BEFORE touching the probe side — the fact
+    table is never joined to anything fact-sized. The target-period
+    date filters push to both fact scans; the lineitem⋈orders join is
+    the one genuine fact-fact shuffle (orders exceeds broadcast at
+    production scale), and both semi probes reuse already-shuffled
+    keys (partkey on the line side, custkey on the order side).
+    Revenue stays in cent·basis-point BIGINTs until one final
+    rounding per month row."""
+    year_lo = F.lit(DS7_YEAR_LO).cast("timestamp")
+    year_hi = F.lit(DS7_YEAR_HI).cast("timestamp")
+    tgt_lo = F.lit(DS7_TGT_LO).cast("timestamp")
+    tgt_hi = F.lit(DS7_TGT_HI).cast("timestamp")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    frequent_parts = (
+        li.filter((F.col("l_shipdate") >= year_lo) & (F.col("l_shipdate") < year_hi))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= DS7_FREQ_MIN)
+        .select("l_partkey")
+    )
+    best_buyers = (
+        orders.filter(
+            (F.col("o_orderdate") >= year_lo) & (F.col("o_orderdate") < year_hi)
+        )
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= DS7_BUYER_MIN)
+        .select("o_custkey")
+    )
+    tgt_orders = orders.filter(
+        (F.col("o_orderdate") >= tgt_lo) & (F.col("o_orderdate") < tgt_hi)
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+
+    gated_orders = tgt_orders.join(best_buyers, "o_custkey", "left_semi")
+    gated_lines = li.join(frequent_parts, "l_partkey", "left_semi")
+    return (
+        gated_lines.join(
+            gated_orders, gated_lines.l_orderkey == gated_orders.o_orderkey
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(_revenue_units()).alias("_rev_units"),
+        )
+        .withColumn("revenue", _revenue_final())
+        .drop("_rev_units")
+    )

@@ -772,3 +772,26 @@ def test_ds5_semi_chain_no_self_join_pairs(spark, sf_dir):
     fp = formatted_plan(Q["ds5_semi_join_chain"](spark, sf_dir))
     assert "EqualTo(l_returnflag,R)" in fp
     assert "GreaterThanOrEqual(o_orderdate," in fp
+
+
+def test_ds6_one_scan_eight_cells(spark, sf_dir):
+    """ds6 computes all eight band cells from ONE lineitem pass (the
+    canonical Q88 runs eight scans): a single parquet scan, no join,
+    and exactly the one single-partition gather of eight longs."""
+    plan = executed_plan(Q["ds6_multi_band_counts"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1  # matches FileScan parquet too
+    assert "Join" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    fp = formatted_plan(Q["ds6_multi_band_counts"](spark, sf_dir))
+    assert "EqualTo(l_returnflag,N)" in fp
+
+
+def test_ds7_cohorts_gate_fact_as_semi_probes(spark, sf_dir):
+    """ds7's two cohorts stay LEFT SEMI probes (aggregate-reduced
+    before touching the fact side), and the prior-year + target-period
+    date filters are pushed to the scans."""
+    plan = executed_plan(Q["ds7_frequent_buyer_chain"](spark, sf_dir))
+    assert plan.count("LeftSemi") == 2
+    fp = formatted_plan(Q["ds7_frequent_buyer_chain"](spark, sf_dir))
+    assert "GreaterThanOrEqual(o_orderdate," in fp
+    assert "GreaterThanOrEqual(l_shipdate," in fp
