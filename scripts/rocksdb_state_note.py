@@ -35,11 +35,16 @@ QUERIES = [
     "s19b_rocksdb_gapfill",
 ]
 
-# rocksdb custom metrics worth surfacing (bytes unless noted)
+# rocksdb custom metrics worth surfacing (the ones actually populated
+# at fixture state sizes — SST file size stays 0 below the memtable
+# flush threshold, so the engagement evidence is get/put counts,
+# bytes written, and the changelog writer's commit latency)
 CUSTOM = [
+    "rocksdbGetCount",
+    "rocksdbPutCount",
+    "rocksdbTotalBytesWritten",
+    "rocksdbChangeLogWriterCommitLatencyMs",
     "rocksdbSstFileSize",
-    "rocksdbTotalMemoryUsageBytes",
-    "rocksdbBytesCopied",  # changelog/snapshot upload volume
 ]
 
 
