@@ -324,3 +324,35 @@ def test_pagerank_bucketed_table_rebuilt_when_data_missing(spark, sf_dir, monkey
     }
     assert got == want
     assert os.path.exists(os.path.join(base, "_SUCCESS"))
+
+
+def test_edge_build_matches_naive_self_join(spark, sf_dir):
+    """The r8 collect_set pair-explode edge build must produce the
+    EXACT edge set (and outdegrees) of the reference formulation it
+    replaced — the items self-join on the order key (kept here as the
+    test reference, never shipped: its corpus-sized SMJ sorts were
+    the one superlinear found by the 30× smoke)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_mq_spark.operators.graph import _g1_edges
+    from sparkstreaming_mq_spark.tables import load_table
+
+    edges, nodes = _g1_edges(spark, sf_dir)
+    got = {(r.src, r.dst, r.outdeg) for r in edges.collect()}
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    deg = pairs.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    want = {(r.src, r.dst, r.outdeg) for r in pairs.join(deg, "src").collect()}
+    assert got == want
+    assert {r.src for r in nodes.collect()} == {s for s, _, _ in want}
