@@ -51,6 +51,25 @@ HEADLINE = [
     "t2_stream_tumbling",
 ]
 
+# Second headline set (r9, verdict item 4): the legacy 20-query sum
+# above is frozen for cross-round comparability (BASELINE.md's 2×
+# gate binds on it); this slice represents the r4-r9 growth the
+# legacy set predates — graph, TPC-DS shapes, postings-aggregate
+# dedup analytics, the mergeable quantile sketch, derived-dimension
+# TPC-H, and the chained-stateful / row-generating streams. Recorded
+# as value2/queries2 in the same JSON line; its own baseline row
+# lives in BASELINE.md (first measured run = baseline, same protocol).
+HEADLINE2 = [
+    "g1_pagerank",
+    "ds4_rollup_topk",
+    "ds5_semi_join_chain",
+    "l38_dup_density",
+    "a5c_quantile_rollup",
+    "q09_product_profit",
+    "t14_chained_windows",
+    "s19_stream_gapfill",
+]
+
 # timed runs (median) for fast queries. 3 since r6 (verdict item: a
 # median of 2 is just the midpoint of two samples — under the
 # documented VM-freshness drift a true median of 3 is the honest
@@ -88,31 +107,37 @@ def main() -> None:
     spark = get_spark(app_name="sparkgraft-bench")
     qs = registry.all_queries()
 
-    results: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        try:
-            # first (warmup) run also bounds the cost of slow queries:
-            # past SLOW_CUTOFF_S its own time is recorded and reruns are
-            # skipped, so one heavy entry can't blow the driver's bench
-            # window (a killed bench records nothing at all).
-            t0 = time.time()
-            materialize(fn(spark, sf_dir))
-            first = time.time() - t0
-            if first > SLOW_CUTOFF_S:
-                results[name] = round(first, 3)
-            else:
-                times = []
-                for _ in range(N_RUNS):
-                    t0 = time.time()
-                    materialize(fn(spark, sf_dir))
-                    times.append(time.time() - t0)
-                results[name] = round(statistics.median(times), 3)
-        except Exception as exc:  # keep the bench line parseable no matter what
-            print(f"[bench] {name} failed: {exc}", file=sys.stderr)
-            results[name] = -1.0
+    def run_set(names: list[str]) -> dict[str, float]:
+        results: dict[str, float] = {}
+        for name in names:
+            fn = qs[name]
+            try:
+                # first (warmup) run also bounds the cost of slow queries:
+                # past SLOW_CUTOFF_S its own time is recorded and reruns are
+                # skipped, so one heavy entry can't blow the driver's bench
+                # window (a killed bench records nothing at all).
+                t0 = time.time()
+                materialize(fn(spark, sf_dir))
+                first = time.time() - t0
+                if first > SLOW_CUTOFF_S:
+                    results[name] = round(first, 3)
+                else:
+                    times = []
+                    for _ in range(N_RUNS):
+                        t0 = time.time()
+                        materialize(fn(spark, sf_dir))
+                        times.append(time.time() - t0)
+                    results[name] = round(statistics.median(times), 3)
+            except Exception as exc:  # keep the bench line parseable no matter what
+                print(f"[bench] {name} failed: {exc}", file=sys.stderr)
+                results[name] = -1.0
+        return results
+
+    results = run_set(HEADLINE)
+    results2 = run_set(HEADLINE2)
 
     total = round(sum(t for t in results.values() if t >= 0), 3)
+    total2 = round(sum(t for t in results2.values() if t >= 0), 3)
     print(
         json.dumps(
             {
@@ -120,6 +145,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "value2": total2,
+                "queries2": results2,
                 "sf": os.path.basename(os.path.normpath(sf_dir)),
                 "machine": machine_freshness(),
             }

@@ -51,15 +51,18 @@ CUSTOM = [
 class _StateCapture(StreamingQueryListener):
     def __init__(self) -> None:
         self.progress: list[dict] = []
+        self.parse_failures = 0
 
     def onQueryStarted(self, event) -> None:  # noqa: N802
         pass
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
+        # count (never silently swallow) parse failures: a dropped
+        # progress event would otherwise be invisible in the maxima
         try:
             self.progress.append(json.loads(event.progress.json))
         except Exception:
-            pass
+            self.parse_failures += 1
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
@@ -107,13 +110,17 @@ def main() -> int:
         cap = _StateCapture()
         spark.streams.addListener(cap)
         t0 = time.time()
-        n = registry.QUERIES[name](spark, sf_dir).count()
+        try:
+            n = registry.QUERIES[name](spark, sf_dir).count()
+        finally:
+            # never leak the listener into the next iteration's capture
+            spark.streams.removeListener(cap)
         wall = round(time.time() - t0, 2)
-        spark.streams.removeListener(cap)
         out[name] = {
             "wall_s": wall,
             "rows_out": n,
             "batches": len(cap.progress),
+            "progress_parse_failures": cap.parse_failures,
             "state": summarize(cap.progress),
         }
         print(json.dumps({name: out[name]}, indent=2))

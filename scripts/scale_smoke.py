@@ -109,6 +109,11 @@ QUERIES = [
     # with the corpus.
     "ds4_rollup_topk",
     "ds5_semi_join_chain",
+    # r9: a5c after the accumulate rework — events replicate with a
+    # longer timeline (more days/weeks), partials stay Arrow-batch
+    # bounded and only sketch rows shuffle; count() cannot prune the
+    # grouped-map stages, so the sketch pipeline runs in full.
+    "a5c_quantile_rollup",
 ]
 
 

@@ -862,13 +862,26 @@ def a5c_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     can keep merging.
 
     Determinism note: compaction uses alternating fixed offsets, no
-    RNG, and days merge in sorted order — same corpus, same sketch,
+    RNG, and partials merge in sorted order — same corpus, same sketch,
     same estimate, every run, which is what makes a value-hash oracle
     possible at all (vs. the randomized-compaction KLL in
     Datasketches). Oracle note: QS_CAPACITY exceeds every gate-scale
     weekly count, so no compaction runs and the estimate is the exact
     interpolated quantile (see QS_CAPACITY's comment); the lossy
-    regime is pinned by pytest at forced-small capacity."""
+    regime is pinned by pytest at forced-small capacity.
+
+    Scale shape (reworked r9): the accumulate phase is mapInPandas —
+    each Arrow batch (~10k rows) becomes one sketch partial per day it
+    contains, so NO task ever materializes a whole day of raw values
+    (the r8 verdict's one weak component: groupBy(day).applyInPandas
+    handed an entire day's value frame to a single task — exactly the
+    collect_list hazard in grouped-map form). Only sketch-sized rows
+    (O(capacity·log n) doubles each) cross the shuffle; the per-day
+    merge frame is (#partials × sketch size), itself tree-mergeable if
+    a day's partial count ever mattered. Exact-regime results are
+    hash-identical to the old plan because below capacity every
+    partial is one weight-1 sorted buffer and merging is
+    concat-and-sort — order-insensitive."""
     import numpy as np
     import pandas as pd
 
@@ -877,18 +890,44 @@ def a5c_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").alias("day"), "value"
     )
 
-    def day_sketch(pdf: pd.DataFrame) -> pd.DataFrame:
-        levels, _ = _qs_from_values(pdf["value"].to_numpy(), QS_CAPACITY)
+    def partition_partials(batches):
+        # one sketch partial per (Arrow batch, day): input bounded by
+        # the Arrow batch size regardless of how hot a day is
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_day, out_n, out_levels = [], [], []
+            for day, grp in pdf.groupby("day", sort=True):
+                levels, _ = _qs_from_values(grp["value"].to_numpy(), QS_CAPACITY)
+                out_day.append(day)
+                out_n.append(len(grp))
+                out_levels.append([lvl.tolist() for lvl in levels])
+            yield pd.DataFrame({"day": out_day, "n": out_n, "levels": out_levels})
+
+    partials = days.mapInPandas(
+        partition_partials,
+        schema="day timestamp, n long, levels array<array<double>>",
+    )
+
+    def day_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic merge order: sort partials by content (count,
+        # then the level buffers themselves) — batch boundaries are not
+        # stable across runs, so day order alone is not a key here
+        parts = sorted(
+            (int(n), tuple(tuple(float(x) for x in lvl) for lvl in lv))
+            for n, lv in zip(pdf["n"], pdf["levels"])
+        )
+        levels, _ = _qs_merge([p[1] for p in parts], QS_CAPACITY)
         return pd.DataFrame(
             {
                 "day": [pdf["day"].iloc[0]],
-                "n": [len(pdf)],
+                "n": [int(pdf["n"].sum())],
                 "levels": [[lvl.tolist() for lvl in levels]],
             }
         )
 
-    daily = days.groupBy("day").applyInPandas(
-        day_sketch, schema="day timestamp, n long, levels array<array<double>>"
+    daily = partials.groupBy("day").applyInPandas(
+        day_merge, schema="day timestamp, n long, levels array<array<double>>"
     )
 
     def week_estimate(pdf: pd.DataFrame) -> pd.DataFrame:

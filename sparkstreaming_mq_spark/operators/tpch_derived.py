@@ -142,6 +142,37 @@ def load_part_x(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_partsupp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp materialized ONCE through the o10 bucketed write path
+    (operators/storage.py machinery, same N_BUCKETS/catalog-name
+    pattern): bucketBy(ps_partkey) + sortBy, cached per sf per
+    process. This proves load_partsupp's deployment note instead of
+    just stating it — in production the derived dim is a table, not a
+    per-query recomputation: the derivation's distinct shuffle is paid
+    at WRITE time only, and every downstream groupBy/join on
+    ps_partkey inherits the bucket distribution with NO Exchange
+    (q11b's plan pin asserts exactly that)."""
+    import os
+    import tempfile
+
+    from sparkstreaming_mq_spark.operators.storage import N_BUCKETS
+    from sparkstreaming_mq_spark.tables import cache_key
+
+    key = cache_key(sf_dir, "lineitem")
+    name = f"sg_partsupp_b_{key}"
+    if not spark.catalog.tableExists(name):
+        base = os.path.join(tempfile.gettempdir(), "sparkgraft_buckets", key)
+        (
+            load_partsupp(spark, sf_dir)
+            .write.mode("overwrite")
+            .option("path", os.path.join(base, "partsupp"))
+            .bucketBy(N_BUCKETS, "ps_partkey")
+            .sortBy("ps_partkey")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Q2 shape: minimum-cost supplier per part in a region.
 # ---------------------------------------------------------------------------
@@ -331,24 +362,14 @@ ORDER BY value_cents DESC, part_key
 """
 
 
-@query("q11_important_stock", oracle=Q11_ORACLE)
-def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q11 shape: parts whose nation-local inventory value is an
-    outlier vs the nation mean.
-
-    Spark-first: one groupBy over the nation-filtered partsupp frame
-    produces per-part values; the global (total, n_parts) pair is a
-    1-row aggregate crossJoin-broadcast back (the bounded-crossJoin
-    pattern the repo uses everywhere); the HAVING is an exact integer
-    cross-multiplication. partsupp is derived once and reused for both
-    branches — at scale the per-part aggregate is the only shuffle.
-    """
+def _q11_body(spark: SparkSession, sf_dir: str, ps: DataFrame) -> DataFrame:
+    """Shared Q11 plan over any partsupp frame (derived or bucketed)."""
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat_dim = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_7"
     )
     nat = (
-        load_partsupp(spark, sf_dir)
+        ps
         .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat_dim), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -367,6 +388,32 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ps_partkey").alias("part_key"), "value_cents")
         .orderBy(F.desc("value_cents"), "part_key")
     )
+
+
+@query("q11_important_stock", oracle=Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 shape: parts whose nation-local inventory value is an
+    outlier vs the nation mean.
+
+    Spark-first: one groupBy over the nation-filtered partsupp frame
+    produces per-part values; the global (total, n_parts) pair is a
+    1-row aggregate crossJoin-broadcast back (the bounded-crossJoin
+    pattern the repo uses everywhere); the HAVING is an exact integer
+    cross-multiplication. partsupp is derived once and reused for both
+    branches — at scale the per-part aggregate is the only shuffle.
+    """
+    return _q11_body(spark, sf_dir, load_partsupp(spark, sf_dir))
+
+
+@query("q11b_important_stock_bucketed", oracle=Q11_ORACLE)
+def q11b_important_stock_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 probing the MATERIALIZED partsupp (bucketed by ps_partkey,
+    o10 write path): the per-part aggregate — q11's only data-sized
+    shuffle — inherits the bucket distribution, so the plan has NO
+    Exchange on ps_partkey at all (plan-pinned); only the 1-row global
+    aggregate and the final sort exchange anything. Same oracle as
+    q11: materialization must not change a single value."""
+    return _q11_body(spark, sf_dir, load_partsupp_bucketed(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -451,16 +498,8 @@ ORDER BY supplier_cnt DESC, brand, part_type, part_size
 """
 
 
-@query("q16_parts_supplier", oracle=Q16_ORACLE)
-def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q16 shape: distinct supplier counts per part attribute
-    combination, excluding complaint-flagged suppliers.
-
-    The complaint exclusion is a broadcast LEFT ANTI join (supplier is
-    dimension-sized at any scale); the brand/type/size filters land on
-    the broadcast part side; the only shuffle is the distinct-count
-    aggregate by the 3 grouping columns.
-    """
+def _q16_body(spark: SparkSession, sf_dir: str, ps: DataFrame) -> DataFrame:
+    """Shared Q16 plan over any partsupp frame (derived or bucketed)."""
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#13")
         & (F.col("p_type") != "PROMO")
@@ -472,7 +511,7 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        load_partsupp(spark, sf_dir)
+        ps
         .join(
             F.broadcast(complaints),
             F.col("ps_suppkey") == F.col("s_suppkey"),
@@ -487,6 +526,30 @@ def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "brand", "part_type", "part_size")
     )
+
+
+@query("q16_parts_supplier", oracle=Q16_ORACLE)
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape: distinct supplier counts per part attribute
+    combination, excluding complaint-flagged suppliers.
+
+    The complaint exclusion is a broadcast LEFT ANTI join (supplier is
+    dimension-sized at any scale); the brand/type/size filters land on
+    the broadcast part side; the only shuffle is the distinct-count
+    aggregate by the 3 grouping columns.
+    """
+    return _q16_body(spark, sf_dir, load_partsupp(spark, sf_dir))
+
+
+@query("q16b_parts_supplier_bucketed", oracle=Q16_ORACLE)
+def q16b_parts_supplier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 probing the MATERIALIZED partsupp (bucketed, o10 write
+    path): the probe's scan reads bucket files directly — the
+    derivation's DISTINCT shuffle over the lineitem fact never appears
+    in the plan (plan-pinned: no lineitem scan at all). The group-agg
+    shuffle on (brand, type, size) remains, as it must — it is
+    grouping by different keys than the bucket. Same oracle as q16."""
+    return _q16_body(spark, sf_dir, load_partsupp_bucketed(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -276,6 +276,13 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "j16_stream_temporal_join", # stream-static SCD2 validity-interval join (r7)
     "ds3_hierarchy_rank",       # TPC-DS Q36 shape: rollup + rank-within-parent (r7)
     "x5_row_lineage",           # _metadata row-level lineage + positional checksum (r7)
+    "ds4_rollup_topk",          # TPC-DS Q67 shape: deep rollup + windowed top-k (r8)
+    "ds5_semi_join_chain",      # TPC-DS Q95 shape: multi-semi-join chain (r8)
+    "ds6_multi_band_counts",    # TPC-DS Q88 shape: one-pass banded counts (r8)
+    "ds7_frequent_buyer_chain", # TPC-DS Q23 shape: frequent-item CTE chain (r8)
+    "a5c_quantile_rollup",      # mergeable KLL/MRL quantile rollup (r8, reshaped r9)
+    "q11b_important_stock_bucketed",  # materialized bucketed partsupp probe (r9)
+    "q16b_parts_supplier_bucketed",   # materialized bucketed partsupp probe (r9)
 )
 
 

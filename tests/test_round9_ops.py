@@ -1,0 +1,117 @@
+"""Round-9 additions: the a5c accumulate-shape rework (the r8
+verdict's one weak component) plus the round's new plan pins.
+
+The value-level gate stays the DuckDB oracle sweep
+(scripts/check_oracle.py — a5c re-verified green at sf0.001/0.01/0.1
+after the rework); these tests pin the STRUCTURE that makes the fix
+real: no value-sized frame ever reaches a grouped-map task, and no
+shuffle carries raw values."""
+
+from __future__ import annotations
+
+import re
+
+from sparkstreaming_mq_spark import registry
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _plan_sections(plan: str) -> list[str]:
+    """Split a formatted plan into its per-node detail sections
+    ('(4) MapInPandas\nInput ...' blocks)."""
+    return re.split(r"\n\(\d+\) ", plan)
+
+
+def test_a5c_no_value_sized_grouped_map(spark, sf_dir):
+    """The r9 rework contract: the accumulate phase is mapInPandas
+    (input bounded by the Arrow batch), both grouped-map stages see
+    only sketch partials, and NO Exchange input schema contains the
+    raw `value` column — i.e. only O(capacity*log n) sketch rows ever
+    cross a shuffle. This is the structural fix for the r8 verdict's
+    'whole day of values in one pandas frame' straggler."""
+    plan = _formatted(Q["a5c_quantile_rollup"](spark, sf_dir))
+    secs = _plan_sections(plan)
+    assert sum(s.startswith("MapInPandas") for s in secs) == 1, plan
+    assert sum(s.startswith("FlatMapGroupsInPandas") for s in secs) == 2, plan
+    n_exchanges = 0
+    for sec in _plan_sections(plan):
+        if not sec.startswith("Exchange"):
+            continue
+        n_exchanges += 1
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", sec)
+        assert m is not None, sec
+        assert "value#" not in m.group(1), (
+            "raw values crossing a shuffle: " + sec
+        )
+    # day merge + week merge: exactly two sketch-row shuffles
+    assert n_exchanges == 2, plan
+    # and the value column is consumed by MapInPandas directly above
+    # the scan, never by a grouped-map stage
+    for sec in _plan_sections(plan):
+        if sec.startswith("FlatMapGroupsInPandas"):
+            m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", sec)
+            assert m and "value#" not in m.group(1), sec
+
+
+def test_q11b_bucketed_probe_zero_exchange_on_partkey(spark, sf_dir):
+    """The materialized-partsupp contract (r9 verdict item 5): q11b's
+    per-part aggregate — the only data-sized shuffle in q11 — must
+    inherit the bucket distribution, i.e. the plan contains NO
+    shuffle Exchange hash-partitioned on ps_partkey; the only shuffle
+    Exchanges are the 1-row global aggregate and the final sort. The
+    scan must be the bucketed catalog table, bucket-decoded."""
+    plan = _formatted(Q["q11b_important_stock_bucketed"](spark, sf_dir))
+    assert "Bucketed: true" in plan, plan
+    assert "sg_partsupp_b_" in plan, plan
+    for sec in _plan_sections(plan):
+        if sec.startswith("Exchange"):
+            m = re.search(r"hashpartitioning\(([^,)]*)", sec)
+            if m:
+                assert not m.group(1).startswith("ps_partkey"), sec
+
+
+def test_q16b_bucketed_probe_skips_derivation(spark, sf_dir):
+    """q16b reads the materialized partsupp: the derivation's DISTINCT
+    over the lineitem fact is paid at write time only — the probe plan
+    scans NO lineitem at all and exactly one bucketed table."""
+    plan = _formatted(Q["q16b_parts_supplier_bucketed"](spark, sf_dir))
+    assert "lineitem" not in plan, plan
+    secs = _plan_sections(plan)
+    bucketed_scans = [
+        s for s in secs if s.startswith("Scan parquet") and "sg_partsupp_b_" in s
+    ]
+    assert len(bucketed_scans) == 1 and "Bucketed: true" in bucketed_scans[0], plan
+
+
+def test_a5c_partials_merge_order_insensitive_exact_regime(spark, sf_dir):
+    """Exact-regime identity the oracle hash rests on: merging
+    per-batch weight-1 partials in ANY order gives the same sketch as
+    one-shot accumulation, because below capacity merge is
+    concat-and-sort. Pinned helper-level (batch boundaries are not
+    reproducible from pytest)."""
+    import numpy as np
+
+    from sparkstreaming_mq_spark.operators.aggregates import (
+        _qs_from_values,
+        _qs_merge,
+        _qs_quantile,
+    )
+
+    rng = np.random.RandomState(41)
+    vals = rng.lognormal(2.0, 1.0, size=3000)
+    one_shot, _ = _qs_from_values(vals, 65536)
+    # simulate arbitrary Arrow batch boundaries, shuffled arrival order
+    cuts = np.sort(rng.choice(np.arange(1, 3000), size=9, replace=False))
+    parts = [_qs_from_values(p, 65536)[0] for p in np.split(vals, cuts)]
+    rng.shuffle(parts)
+    merged, _ = _qs_merge(parts, 65536)
+    assert len(merged) == 1 and np.array_equal(merged[0], one_shot[0])
+    for q in (0.1, 0.5, 0.9, 0.99):
+        assert _qs_quantile(merged, q) == _qs_quantile(one_shot, q)
