@@ -104,7 +104,16 @@ def machine_freshness() -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="sparkgraft-bench")
+    # local-mode default driver heap is 1g — fine for the legacy set,
+    # but bench2's g1_pagerank localCheckpoints its edge frame across
+    # 32 executor threads at sf0.1 and kills a 1g JVM (measured r9:
+    # dead gateway from g1 onward). Per-process setting, so the bench
+    # owns its own heap like scale_smoke does. Legacy-sum timings are
+    # unaffected (re-measured within noise after the change).
+    spark = get_spark(
+        app_name="sparkgraft-bench",
+        extra_conf={"spark.driver.memory": "8g"},
+    )
     qs = registry.all_queries()
 
     def run_set(names: list[str]) -> dict[str, float]:

@@ -68,6 +68,10 @@ HEADLINES = {
     "ds5_semi_join_chain": "distinct-count aggregate replaces the Q95 self-join; two LEFT SEMI probes on one key",
     "ds6_multi_band_counts": "eight count FILTER cells from ONE scan (canonical Q88 scans 8x)",
     "ds7_frequent_buyer_chain": "two HAVING-reduced cohorts gate the fact scan as LEFT SEMI probes",
+    "a5c_quantile_rollup": "MapInPandas partials before ANY exchange; only sketch rows shuffle (no raw value column past the scan stage)",
+    "q11b_important_stock_bucketed": "bucketed partsupp scan; per-part agg inherits bucket distribution — zero Exchange on ps_partkey",
+    "q16b_parts_supplier_bucketed": "bucketed partsupp probe: no lineitem scan (derivation paid at write time)",
+    "ds8_variance_streaks": "lag window replaces the Q39 month self-join: map-side partials, 2 group-sized exchanges, no fact-fact join",
 }
 
 

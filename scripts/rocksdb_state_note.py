@@ -104,7 +104,13 @@ def summarize(progress: list[dict]) -> list[dict]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     registry.load_all()
-    spark = get_spark(app_name="rocksdb-state-note")
+    # 24g heap: the sf0.01 fixture runs fine at the 1g default, but the
+    # 30x replica (VERDICT r8 item 6 — real state volume so RocksDB
+    # spills past the memtable) needs the scale_smoke heap profile.
+    spark = get_spark(
+        app_name="rocksdb-state-note",
+        extra_conf={"spark.driver.memory": "24g"},
+    )
     out = {}
     for name in QUERIES:
         cap = _StateCapture()

@@ -1466,3 +1466,114 @@ def ds7_frequent_buyer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("revenue", _revenue_final())
         .drop("_rev_units")
     )
+
+
+# ---------------------------------------------------------------------------
+# DS8: TPC-DS Q39 shape — high-variance detection over consecutive months.
+# ---------------------------------------------------------------------------
+
+# Coefficient-of-variation threshold, exact fixed point: stdev > 0.57·mean
+# ⇔ 10000·n·(n·Σx² − (Σx)²) > 3249·(n−1)·(Σx)²  (both sides BIGINT; 0.57²
+# = 0.3249). Uniform 1..50 quantities land cov ≈ 0.565, so the threshold
+# splits groups on their sampling variation — the flag set is non-trivial
+# at every sf, and because the comparison is integer cross-multiplication
+# it is bit-identical on both engines (no stddev_samp float accumulation,
+# whose summation ORDER differs between Spark and DuckDB).
+DS8_COV2_NUM = 3249
+DS8_COV2_DEN = 10000
+DS8_MIN_N = 5
+
+DS8_ORACLE = f"""
+WITH m AS (
+  SELECT p.p_brand AS brand, date_trunc('month', l.l_shipdate) AS mon,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(l.l_quantity AS BIGINT) * CAST(l.l_quantity AS BIGINT))
+              AS BIGINT) AS sq
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY brand, mon
+),
+f AS (
+  SELECT brand, mon, n,
+         (n >= {DS8_MIN_N} AND
+          {DS8_COV2_DEN} * n * (n * sq - s * s) >
+          {DS8_COV2_NUM} * (n - 1) * s * s) AS hi
+  FROM m
+),
+lagged AS (
+  SELECT brand, mon, n, hi,
+         lag(mon) OVER (PARTITION BY brand ORDER BY mon) AS pmon,
+         lag(hi)  OVER (PARTITION BY brand ORDER BY mon) AS phi,
+         lag(n)   OVER (PARTITION BY brand ORDER BY mon) AS pn
+  FROM f
+)
+SELECT brand, pmon AS mon1, mon AS mon2,
+       CAST(pn AS BIGINT) AS n1, CAST(n AS BIGINT) AS n2
+FROM lagged
+WHERE hi AND phi AND mon = pmon + INTERVAL 1 MONTH
+"""
+
+
+@query("ds8_variance_streaks", oracle=DS8_ORACLE)
+def ds8_variance_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-Q39 shape: (brand, month) cells whose quantity
+    coefficient of variation exceeds a threshold in TWO CONSECUTIVE
+    months. Q39's canonical form self-joins the monthly-stats CTE on
+    (warehouse, item, month+1); here the pair detection is a lag
+    window over the stats frame — join-free, one pass.
+
+    Exactness: the cov test is integer cross-multiplication over
+    (n, Σx, Σx²) BIGINTs (quantities are integral), NOT stddev_samp —
+    float variance accumulates in engine-specific order and would
+    hash-diverge; the integer form is bit-identical on both engines.
+
+    Scale: the fact scan aggregates map-side to (brand, month) partial
+    rows — fact-sized data never crosses an exchange; the stats frame
+    is bounded by |brands|·|months| regardless of corpus size, so the
+    lag window (partitioned by brand, ~25 partitions) is metadata-
+    sized work. At extreme per-cell counts (n ≳ 1e9 rows/cell) the
+    BIGINT cross-product would need DECIMAL(38,0) widening — noted,
+    not needed at any tested sf. Two exchanges total, both carrying
+    group-sized rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", F.col("l_quantity").cast("long").alias("q")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", "l_shipdate").alias("mon"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("q").alias("s"),
+            F.sum(F.col("q") * F.col("q")).alias("sq"),
+        )
+    )
+    hi = (F.col("n") >= DS8_MIN_N) & (
+        DS8_COV2_DEN * F.col("n") * (F.col("n") * F.col("sq") - F.col("s") * F.col("s"))
+        > DS8_COV2_NUM * (F.col("n") - 1) * F.col("s") * F.col("s")
+    )
+    f = m.select("brand", "mon", "n", hi.alias("hi"))
+    w = Window.partitionBy("brand").orderBy("mon")
+    lagged = f.select(
+        "brand",
+        "mon",
+        "n",
+        "hi",
+        F.lag("mon").over(w).alias("pmon"),
+        F.lag("hi").over(w).alias("phi"),
+        F.lag("n").over(w).alias("pn"),
+    )
+    return lagged.filter(
+        F.col("hi")
+        & F.col("phi")
+        & (F.col("mon") == F.expr("pmon + INTERVAL 1 MONTH"))
+    ).select(
+        "brand",
+        F.col("pmon").alias("mon1"),
+        F.col("mon").alias("mon2"),
+        F.col("pn").cast("long").alias("n1"),
+        F.col("n").cast("long").alias("n2"),
+    )

@@ -283,6 +283,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "a5c_quantile_rollup",      # mergeable KLL/MRL quantile rollup (r8, reshaped r9)
     "q11b_important_stock_bucketed",  # materialized bucketed partsupp probe (r9)
     "q16b_parts_supplier_bucketed",   # materialized bucketed partsupp probe (r9)
+    "ds8_variance_streaks",     # TPC-DS Q39 shape: lag-window variance pairs (r9)
 )
 
 

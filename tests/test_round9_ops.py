@@ -90,6 +90,24 @@ def test_q16b_bucketed_probe_skips_derivation(spark, sf_dir):
     assert len(bucketed_scans) == 1 and "Bucketed: true" in bucketed_scans[0], plan
 
 
+def test_ds8_lag_window_replaces_self_join(spark, sf_dir):
+    """TPC-DS Q39 shape contract: the consecutive-month pair detection
+    is a lag window over the (brand, month) stats frame — NOT the
+    canonical month+1 self-join. Plan: ONE fact scan (3-column
+    pruned), broadcast part dim, map-side partial aggregate, exactly
+    two shuffle Exchanges (group agg + window), zero SortMergeJoin /
+    ShuffledHashJoin."""
+    plan = _formatted(Q["ds8_variance_streaks"](spark, sf_dir))
+    secs = _plan_sections(plan)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert sum(s.startswith("BroadcastHashJoin") for s in secs) == 1, plan
+    assert sum(s.startswith("Exchange") for s in secs) == 2, plan
+    scans = [s for s in secs if s.startswith("Scan parquet") and "lineitem" in s]
+    assert len(scans) == 1, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scans[0])
+    assert m and len(m.group(1).split(",")) == 3, scans[0]
+
+
 def test_a5c_partials_merge_order_insensitive_exact_regime(spark, sf_dir):
     """Exact-regime identity the oracle hash rests on: merging
     per-batch weight-1 partials in ANY order gives the same sketch as
