@@ -3029,3 +3029,102 @@ def s19b_rocksdb_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     RocksDB + changelog checkpointing — arbitrary (pickled-Python)
     state through the file-sink delivery path, unchanged output."""
     return _run_under_rocksdb(spark, s19_stream_gapfill, sf_dir)
+
+
+# --- T17: mergeable quantile sketch as STREAMING state (r9) -------------------
+
+from sparkstreaming_mq_spark.operators.aggregates import (  # noqa: E402
+    A5C_ORACLE as _A5C_ORACLE,
+)
+
+
+@query("t17_stream_quantile_sketch", oracle=_A5C_ORACLE)
+def t17_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a5c's deterministic KLL/MRL quantile sketch as STREAMING state:
+    ``applyInPandasWithState`` keyed by week holds (n, levels) in the
+    checkpointed state store, merges each micro-batch's values into
+    the sketch, and emits the running per-week estimate every batch —
+    the incremental-quantiles complement to t7's sessionizer (counter
+    state) and s19's gap-filler (generator state). This is exactly how
+    a production pipeline keeps percentile dashboards over an infinite
+    stream with O(capacity·log n) memory per key: the sketch REPLACES
+    the raw values, so state never grows with the data.
+
+    Full oracle (the a4b/a5c exact-regime pattern): a week's final
+    emission carries its complete sketch — n_vals strictly increases
+    per emission, so the batch-side keeps each week's max-n_vals row —
+    and below QS_CAPACITY the estimate equals the exact interpolated
+    quantile, making a5c's own DuckDB oracle (quantile_cont per week)
+    value-exact while the path exercised is real streaming sketch
+    maintenance. Merge order across micro-batches is irrelevant in the
+    exact regime (concat-and-sort); the lossy regime's batch-boundary
+    sensitivity is the same caveat a5c's partials document, pinned by
+    the helper-level pytest suite.
+
+    Rounding happens engine-side AFTER the stream (never in the UDF —
+    the a5 rule); raw doubles cross the sink."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from sparkstreaming_mq_spark.operators.aggregates import (
+        QS_CAPACITY,
+        _qs_from_values,
+        _qs_merge,
+        _qs_quantile,
+    )
+
+    stream = (
+        read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.date_trunc("week", F.date_trunc("day", "ts")).alias("week"), "value"
+        )
+    )
+
+    def update_sketch(key, pdf_iter, state: GroupState):
+        (week,) = key
+        if state.exists:
+            n, levels = state.get
+            levels = [list(lvl) for lvl in levels]
+        else:
+            n, levels = 0, []
+        chunks = list(pdf_iter)
+        if chunks:
+            vals = pd.concat(chunks)["value"].to_numpy()
+            batch_levels, _ = _qs_from_values(vals, QS_CAPACITY)
+            merged, _ = _qs_merge(
+                ([levels] if levels else []) + [batch_levels], QS_CAPACITY
+            )
+            n += len(vals)
+            levels = [lvl.tolist() for lvl in merged]
+            state.update((n, levels))
+            yield pd.DataFrame(
+                {
+                    "week": [week],
+                    "n_vals": [n],
+                    "p50": [_qs_quantile(merged, 0.5)],
+                    "p90": [_qs_quantile(merged, 0.9)],
+                }
+            )
+
+    out = stream.groupBy("week").applyInPandasWithState(
+        update_sketch,
+        outputStructType="week timestamp, n_vals long, p50 double, p90 double",
+        stateStructType="n long, levels array<array<double>>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = run_stream_to_table(out, "update")
+    # final estimate per week = the emission carrying the full sketch
+    # (n_vals strictly increases within a week, so max is unique)
+    w = Window.partitionBy("week").orderBy(F.desc("n_vals"))
+    return (
+        res.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "week",
+            "n_vals",
+            F.round("p50", 4).alias("p50"),
+            F.round("p90", 4).alias("p90"),
+        )
+    )
