@@ -72,6 +72,7 @@ HEADLINES = {
     "q11b_important_stock_bucketed": "bucketed partsupp scan; per-part agg inherits bucket distribution — zero Exchange on ps_partkey",
     "q16b_parts_supplier_bucketed": "bucketed partsupp probe: no lineitem scan (derivation paid at write time)",
     "ds8_variance_streaks": "lag window replaces the Q39 month self-join: map-side partials, 2 group-sized exchanges, no fact-fact join",
+    "ds9_banded_trips": "HAVING band collapses the aggregate before any join; orders join reuses the orderkey partitioning",
 }
 
 

@@ -1577,3 +1577,60 @@ def ds8_variance_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pn").cast("long").alias("n1"),
         F.col("n").cast("long").alias("n2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DS9: TPC-DS Q73/Q34 shape — banded trip counts joined back to customers.
+# ---------------------------------------------------------------------------
+
+DS9_LO, DS9_HI = 5, 7
+
+DS9_ORACLE = f"""
+WITH t AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY l_orderkey
+  HAVING count(*) BETWEEN {DS9_LO} AND {DS9_HI}
+)
+SELECT c.c_name AS cust_name, c.c_mktsegment AS segment,
+       o.o_orderkey AS order_key, t.n_items
+FROM t
+JOIN orders o   ON t.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@query("ds9_banded_trips", oracle=DS9_ORACLE)
+def ds9_banded_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-Q73/Q34 shape: orders whose item count falls in a band,
+    returned one row per qualifying trip with the buying customer's
+    attributes — the "which households make N-item trips" report.
+
+    Scale: the line count aggregates map-side (partial count before
+    the orderkey exchange), and the HAVING band collapses the
+    aggregate BEFORE any join — only banded order keys reach the
+    orders join, which reuses the aggregate's orderkey partitioning
+    on the build side (one new shuffle: orders). customer joins as a
+    broadcast dim (Q73's star pattern); at a scale where customer
+    outgrows broadcast, AQE demotes it to a shuffled join on custkey
+    without a plan change here. No fact-sized frame is ever joined to
+    another fact-sized frame un-reduced."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    trips = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_items"))
+        .filter(F.col("n_items").between(DS9_LO, DS9_HI))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return (
+        trips.join(orders, trips.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_name").alias("cust_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderkey").alias("order_key"),
+            "n_items",
+        )
+    )

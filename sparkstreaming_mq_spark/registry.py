@@ -284,7 +284,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "q11b_important_stock_bucketed",  # materialized bucketed partsupp probe (r9)
     "q16b_parts_supplier_bucketed",   # materialized bucketed partsupp probe (r9)
     "ds8_variance_streaks",     # TPC-DS Q39 shape: lag-window variance pairs (r9)
-    "t17_stream_quantile_sketch",  # KLL/MRL sketch as streaming state (r9)
+    "t18_stream_quantile_sketch",  # KLL/MRL sketch as streaming state (r9)
+    "ds9_banded_trips",         # TPC-DS Q73/Q34 shape: banded trip counts (r9)
 )
 
 

@@ -3038,8 +3038,8 @@ from sparkstreaming_mq_spark.operators.aggregates import (  # noqa: E402
 )
 
 
-@query("t17_stream_quantile_sketch", oracle=_A5C_ORACLE)
-def t17_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("t18_stream_quantile_sketch", oracle=_A5C_ORACLE)
+def t18_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a5c's deterministic KLL/MRL quantile sketch as STREAMING state:
     ``applyInPandasWithState`` keyed by week holds (n, levels) in the
     checkpointed state store, merges each micro-batch's values into

@@ -108,17 +108,17 @@ def test_ds8_lag_window_replaces_self_join(spark, sf_dir):
     assert m and len(m.group(1).split(",")) == 3, scans[0]
 
 
-def test_t17_streaming_sketch_equals_batch_rollup(spark, sf_dir):
-    """The streaming-state sketch (t17) and the batch rollup (a5c)
+def test_t18_streaming_sketch_equals_batch_rollup(spark, sf_dir):
+    """The streaming-state sketch (t18) and the batch rollup (a5c)
     must agree bit-for-bit: same corpus, same sketch construction,
-    same exact-regime estimates — the invariant that lets t17 carry
+    same exact-regime estimates — the invariant that lets t18 carry
     a5c's DuckDB oracle. (Cross-batch state maintenance is inherent to
     the 4-chunk time-ordered replay: every week beyond the first spans
     chunk boundaries, so its final emission is a state merge, not a
     single-batch build.)"""
     stream_rows = {
         r["week"]: (r["n_vals"], r["p50"], r["p90"])
-        for r in Q["t17_stream_quantile_sketch"](spark, sf_dir).collect()
+        for r in Q["t18_stream_quantile_sketch"](spark, sf_dir).collect()
     }
     batch_rows = {
         r["week"]: (r["n_vals"], r["p50"], r["p90"])
