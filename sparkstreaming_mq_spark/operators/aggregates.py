@@ -871,14 +871,20 @@ def a5c_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     regime is pinned by pytest at forced-small capacity.
 
     Scale shape (reworked r9): the accumulate phase is mapInPandas —
-    each Arrow batch (~10k rows) becomes one sketch partial per day it
-    contains, so NO task ever materializes a whole day of raw values
-    (the r8 verdict's one weak component: groupBy(day).applyInPandas
-    handed an entire day's value frame to a single task — exactly the
-    collect_list hazard in grouped-map form). Only sketch-sized rows
-    (O(capacity·log n) doubles each) cross the shuffle; the per-day
-    merge frame is (#partials × sketch size), itself tree-mergeable if
-    a day's partial count ever mattered. Exact-regime results are
+    ONE sketch partial per (task partition, day), accumulated across
+    the partition's whole Arrow-batch iterator, so NO task ever
+    materializes a whole day of raw values (the r8 verdict's one weak
+    component: groupBy(day).applyInPandas handed an entire day's value
+    frame to a single task — the collect_list hazard in grouped-map
+    form) AND the per-day merge fan-in is bounded by the number of
+    scan partitions — the same O(partitions) fan-in Spark's own
+    two-phase aggregate has, NOT one row per Arrow batch (a per-batch
+    formulation would re-create a value-sized merge frame, because a
+    10k-row batch never exceeds QS_CAPACITY and so never compresses).
+    Per-task memory is bounded by the partition's input bytes
+    (spark.sql.files.maxPartitionBytes) in the exact regime and by
+    O(days_in_partition · capacity · log n) once compaction engages.
+    Only sketch rows cross the shuffle. Exact-regime results are
     hash-identical to the old plan because below capacity every
     partial is one weight-1 sorted buffer and merging is
     concat-and-sort — order-insensitive."""
@@ -891,18 +897,32 @@ def a5c_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def partition_partials(batches):
-        # one sketch partial per (Arrow batch, day): input bounded by
-        # the Arrow batch size regardless of how hot a day is
+        # day -> [n, levels]; grows by one entry per distinct day in
+        # THIS partition, each entry a capacity-bounded sketch
+        sketches: dict = {}
         for pdf in batches:
             if not len(pdf):
                 continue
-            out_day, out_n, out_levels = [], [], []
             for day, grp in pdf.groupby("day", sort=True):
-                levels, _ = _qs_from_values(grp["value"].to_numpy(), QS_CAPACITY)
-                out_day.append(day)
-                out_n.append(len(grp))
-                out_levels.append([lvl.tolist() for lvl in levels])
-            yield pd.DataFrame({"day": out_day, "n": out_n, "levels": out_levels})
+                vals = grp["value"].to_numpy()
+                batch_levels, _ = _qs_from_values(vals, QS_CAPACITY)
+                entry = sketches.get(day)
+                if entry is None:
+                    sketches[day] = [len(vals), batch_levels]
+                else:
+                    merged, _ = _qs_merge([entry[1], batch_levels], QS_CAPACITY)
+                    entry[0] += len(vals)
+                    entry[1] = merged
+        if sketches:
+            yield pd.DataFrame(
+                {
+                    "day": list(sketches),
+                    "n": [v[0] for v in sketches.values()],
+                    "levels": [
+                        [lvl.tolist() for lvl in v[1]] for v in sketches.values()
+                    ],
+                }
+            )
 
     partials = days.mapInPandas(
         partition_partials,
