@@ -1267,34 +1267,42 @@ def ds5_semi_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Q95's canonical ws_wh is a lineitem SELF-JOIN on the order key
     filtered to distinct suppliers — O(lines²/order) pairs just to
-    test "≥2 suppliers". The scale-correct form used here aggregates
-    count(DISTINCT l_suppkey) per order key instead: per-key state is
-    bounded by the 7-suppliers-per-order cap, the partial is map-side,
-    and no pair is ever materialized. Both EXISTS become LEFT SEMI
-    joins (duplicate-safe, so the returns side needs no distinct —
-    the returnflag filter is pushed to its scan). The two semi probes
-    and the multi-supplier aggregate all hash on the SAME order key,
-    so consecutive stages reuse the partitioning rather than
-    introducing new exchange keys; the date filter is pushed to the
-    orders scan. o_totalprice is summed in exact cents (one value per
-    surviving order row — no join fanout to double-count)."""
+    test "≥2 suppliers". Two reworks landed here, both r9 300×-rung
+    findings (174 s at 300× originally):
+
+    - "≥2 DISTINCT suppliers" needs no distinct at all — it is exactly
+      ``min(l_suppkey) != max(l_suppkey)``: a plain min/max aggregate,
+      fully map-side combinable, O(16 bytes)/key state, no two-phase
+      distinct Expand and no (orderkey, suppkey) pre-dedup shuffle.
+    - Both EXISTS tests fuse into that ONE aggregate pass: the
+      returned-line test is ``max(l_returnflag = 'R')`` in the same
+      groupBy, so lineitem is scanned ONCE and shuffled ONCE, and a
+      single LEFT SEMI probe replaces the two-probe chain (the probe
+      hashes on the same order key the aggregate produced, so it
+      reuses that partitioning).
+
+    The date filter is pushed to the orders scan. o_totalprice is
+    summed in exact cents (one value per surviving order row — no
+    join fanout to double-count)."""
     lo = F.lit(DS5_LO).cast("timestamp")
     hi = F.lit(DS5_HI).cast("timestamp")
     li = load_table(spark, sf_dir, "lineitem")
-    multi = (
+    qualifying = (
         li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("_ns"))
-        .filter(F.col("_ns") >= 2)
+        .agg(
+            F.min("l_suppkey").alias("_s_lo"),
+            F.max("l_suppkey").alias("_s_hi"),
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("_has_r"),
+        )
+        .filter((F.col("_s_lo") != F.col("_s_hi")) & (F.col("_has_r") == 1))
         .select("l_orderkey")
     )
-    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
     )
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return (
-        o.join(multi, o.o_orderkey == multi.l_orderkey, "left_semi")
-        .join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        o.join(qualifying, o.o_orderkey == qualifying.l_orderkey, "left_semi")
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
             F.count("*").cast("long").alias("order_count"),

@@ -762,15 +762,18 @@ def test_ds4_deep_rollup_topk_plan(spark, sf_dir):
 
 
 def test_ds5_semi_chain_no_self_join_pairs(spark, sf_dir):
-    """ds5 keeps both EXISTS as LEFT SEMI probes and replaces Q95's
-    lineitem self-join with a distinct-count aggregate: two semi
-    joins, the returnflag and date filters pushed to their scans, and
-    no inner join anywhere (nothing materializes line pairs)."""
+    """ds5 replaces Q95's lineitem self-join with ONE fused aggregate
+    pass (min/max suppkey + any-returned flag — no distinct Expand)
+    gating the orders scan through a SINGLE LEFT SEMI probe: lineitem
+    scanned once, shuffled once, date filter pushed to orders, no
+    inner join anywhere (nothing materializes line pairs). Reworked r9
+    off the 300x rung (two scans + two probes → one of each)."""
     plan = executed_plan(Q["ds5_semi_join_chain"](spark, sf_dir))
-    assert plan.count("LeftSemi") == 2
+    assert plan.count("LeftSemi") == 1
     assert "Join Inner" not in plan and "SortMergeJoin Inner" not in plan
+    assert "Expand" not in plan  # no two-phase distinct rewrite
     fp = formatted_plan(Q["ds5_semi_join_chain"](spark, sf_dir))
-    assert "EqualTo(l_returnflag,R)" in fp
+    assert fp.count("lineitem.parquet") == 1  # ONE lineitem scan
     assert "GreaterThanOrEqual(o_orderdate," in fp
 
 
