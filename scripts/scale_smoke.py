@@ -114,6 +114,13 @@ QUERIES = [
     # bounded and only sketch rows shuffle; count() cannot prune the
     # grouped-map stages, so the sketch pipeline runs in full.
     "a5c_quantile_rollup",
+    # r9 additions: ds8's stats frame is bounded by |brands|x|months|
+    # (months grow with the replicated timeline); ds9's band filter
+    # collapses before the joins; t18 replays the grown events table
+    # through the chunked source with sketch state per week.
+    "ds8_variance_streaks",
+    "ds9_banded_trips",
+    "t18_stream_quantile_sketch",
 ]
 
 
