@@ -73,6 +73,8 @@ HEADLINES = {
     "q16b_parts_supplier_bucketed": "bucketed partsupp probe: no lineitem scan (derivation paid at write time)",
     "ds8_variance_streaks": "lag window replaces the Q39 month self-join: map-side partials, 2 group-sized exchanges, no fact-fact join",
     "ds9_banded_trips": "HAVING band collapses the aggregate before any join; orders join reuses the orderkey partitioning",
+    "f16_sql_pipe_syntax": "pipe stages lower to the classic plan: pushed status filter + two-phase aggregate",
+    "g4_recursive_rollup": "native UnionLoop recursion from the per-user aggregate: join-free levels, two shuffles total",
 }
 
 

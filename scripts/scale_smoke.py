@@ -121,6 +121,9 @@ QUERIES = [
     "ds8_variance_streaks",
     "ds9_banded_trips",
     "t18_stream_quantile_sketch",
+    # g4: recursion depth grows log(max remapped key) at 10x/30x (the
+    # user_id shift pushes keys to ~50M -> ~26 levels vs ~14 at sf0.1)
+    "g4_recursive_rollup",
 ]
 
 

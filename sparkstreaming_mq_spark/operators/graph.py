@@ -438,3 +438,76 @@ def g3_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         if G3_CKPT_INTERMEDIATE and k < G3_HOPS:
             reached = reached.localCheckpoint(eager=True)
     return reached
+
+
+# --- G4: recursive CTE hierarchy rollup (Spark 4.1 WITH RECURSIVE) ------------
+
+G4_ORACLE = """
+WITH RECURSIVE peruser AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY user_id
+),
+chain AS (
+  SELECT user_id AS node, cnt, cents FROM peruser
+  UNION ALL
+  SELECT node // 2, cnt, cents FROM chain WHERE node > 1
+)
+SELECT node,
+       CAST(sum(cnt) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM chain
+GROUP BY node
+"""
+
+
+@query("g4_recursive_rollup", oracle=G4_ORACLE)
+def g4_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 ``WITH RECURSIVE``): every user's event
+    count and exact-cent value rolled up to ALL ancestors in the
+    implicit binary hierarchy ``parent(u) = u div 2`` — the org-chart /
+    BOM-explosion rollup pattern, executed by Spark's native recursion
+    (UnionLoop) instead of a hand-unrolled join ladder (g3's k-hop) or
+    a driver-side loop (g1's fixed-point iteration), completing the
+    module's three iterative-execution styles.
+
+    Scale: the recursion starts from the per-user AGGREGATE (one
+    map-side-combinable shuffle over events), so each recursion level
+    is a narrow projection of at most |users| rows with NO join — the
+    whole walk is |users| x log2(max_key) generated rows — and the
+    closing rollup is the only other shuffle. Depth is data-logarithmic
+    (~14 at sf0.1, ~26 at the 30x replica's remapped keys), far under
+    the recursion limit, and independent of event count.
+
+    Exactness: integer keys, integer division (Spark ``DIV`` == DuckDB
+    ``//`` on BIGINT), fixed-point cents — bit-identical rollups on
+    both engines at any depth. The UNION ALL recursion guard
+    ``node > 1`` makes key 1 (and a possible key 0) terminal, so the
+    walk provably halts on both engines."""
+    from sparkstreaming_mq_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        WITH RECURSIVE peruser AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events
+          GROUP BY user_id
+        ),
+        chain AS (
+          SELECT user_id AS node, cnt, cents FROM peruser
+          UNION ALL
+          SELECT node DIV 2, cnt, cents FROM chain WHERE node > 1
+        )
+        SELECT node,
+               CAST(sum(cnt) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM chain
+        GROUP BY node
+        """
+    )

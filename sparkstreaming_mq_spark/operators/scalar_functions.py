@@ -891,3 +891,44 @@ def f15_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "part", "min_size": F15_MIN_SIZE, "k": F15_TOPK},
     )
+
+
+# --- F16: SQL pipe syntax (Spark 4 |> operator chains) -------------------------
+
+F16_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@query("f16_sql_pipe_syntax", oracle=F16_ORACLE)
+def f16_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 GA, SQL:2023-style ``|>`` chains): the
+    same report expressed as a linear FROM→WHERE→EXTEND→AGGREGATE→
+    ORDER BY pipeline — the query-authoring surface dataflow users
+    expect from an engine, covered here so the SQL-text API parity is
+    tested, not assumed. Pipe stages lower to the SAME logical plan as
+    the classic form (the pushed status filter and the two-phase
+    aggregate are unchanged — Catalyst sees no difference), which is
+    exactly what the classic-SQL DuckDB oracle verifies. Money in
+    exact fixed-point cents (module recipe)."""
+    from sparkstreaming_mq_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> EXTEND CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS _cents
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(_cents) AS BIGINT) AS cents
+           GROUP BY o_orderpriority AS priority
+        |> ORDER BY priority
+        """
+    )

@@ -286,6 +286,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "ds8_variance_streaks",     # TPC-DS Q39 shape: lag-window variance pairs (r9)
     "t18_stream_quantile_sketch",  # KLL/MRL sketch as streaming state (r9)
     "ds9_banded_trips",         # TPC-DS Q73/Q34 shape: banded trip counts (r9)
+    "f16_sql_pipe_syntax",      # Spark 4 SQL pipe-operator chains (r9)
+    "g4_recursive_rollup",      # Spark 4.1 WITH RECURSIVE hierarchy rollup (r9)
 )
 
 
