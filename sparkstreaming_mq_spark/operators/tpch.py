@@ -1504,8 +1504,9 @@ WITH m AS (
 f AS (
   SELECT brand, mon, n,
          (n >= {DS8_MIN_N} AND
-          {DS8_COV2_DEN} * n * (n * sq - s * s) >
-          {DS8_COV2_NUM} * (n - 1) * s * s) AS hi
+          {DS8_COV2_DEN} * CAST(n AS HUGEINT) *
+            (CAST(n AS HUGEINT) * sq - CAST(s AS HUGEINT) * s) >
+          {DS8_COV2_NUM} * (CAST(n AS HUGEINT) - 1) * s * s) AS hi
   FROM m
 ),
 lagged AS (
@@ -1539,10 +1540,13 @@ def ds8_variance_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — fact-sized data never crosses an exchange; the stats frame
     is bounded by |brands|·|months| regardless of corpus size, so the
     lag window (partitioned by brand, ~25 partitions) is metadata-
-    sized work. At extreme per-cell counts (n ≳ 1e9 rows/cell) the
-    BIGINT cross-product would need DECIMAL(38,0) widening — noted,
-    not needed at any tested sf. Two exchanges total, both carrying
-    group-sized rows."""
+    sized work. The cross-product is widened to DECIMAL(38,0) /
+    HUGEINT on the two engines BEFORE multiplying — the r9 100× rung
+    caught the BIGINT form overflowing at ~29k rows/cell (ANSI
+    ARITHMETIC_OVERFLOW); 38 digits holds to ~1.6e10 rows/cell, and
+    the widened values live only inside the boolean test, never in
+    the output. Two exchanges total, both carrying group-sized
+    rows."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_shipdate", F.col("l_quantity").cast("long").alias("q")
     )
@@ -1559,9 +1563,14 @@ def ds8_variance_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("q") * F.col("q")).alias("sq"),
         )
     )
+    # DECIMAL(38,0) operands: exact integer compare up to ~1.6e10
+    # rows/cell (BIGINT overflowed at the 100x rung's ~29k rows/cell)
+    nD = F.col("n").cast("decimal(38,0)")
+    sD = F.col("s").cast("decimal(38,0)")
+    sqD = F.col("sq").cast("decimal(38,0)")
     hi = (F.col("n") >= DS8_MIN_N) & (
-        DS8_COV2_DEN * F.col("n") * (F.col("n") * F.col("sq") - F.col("s") * F.col("s"))
-        > DS8_COV2_NUM * (F.col("n") - 1) * F.col("s") * F.col("s")
+        F.lit(DS8_COV2_DEN) * nD * (nD * sqD - sD * sD)
+        > F.lit(DS8_COV2_NUM) * (nD - 1) * sD * sD
     )
     f = m.select("brand", "mon", "n", hi.alias("hi"))
     w = Window.partitionBy("brand").orderBy("mon")
