@@ -75,6 +75,8 @@ HEADLINES = {
     "ds9_banded_trips": "HAVING band collapses the aggregate before any join; orders join reuses the orderkey partitioning",
     "f16_sql_pipe_syntax": "pipe stages lower to the classic plan: pushed status filter + two-phase aggregate",
     "g4_recursive_rollup": "native UnionLoop recursion from the per-user aggregate: join-free levels, two shuffles total",
+    "j17_lateral_topk": "LATERAL decorrelated to rank window + Partial/Final WindowGroupLimit — no per-outer-row re-execution",
+    "ds10_moving_deviation": "lag+lead in ONE window over group-sized cells (no monthly self-joins); TakeOrderedAndProject top-k",
 }
 
 

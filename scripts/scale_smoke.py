@@ -124,6 +124,11 @@ QUERIES = [
     # g4: recursion depth grows log(max remapped key) at 10x/30x (the
     # user_id shift pushes keys to ~50M -> ~26 levels vs ~14 at sf0.1)
     "g4_recursive_rollup",
+    # j17's lateral decorrelates to a part-scan window (part is a dim,
+    # fixed across copies — ratio should be ~flat); ds10 aggregates the
+    # replicated fact to brand-month cells before its window.
+    "j17_lateral_topk",
+    "ds10_moving_deviation",
 ]
 
 

@@ -828,3 +828,41 @@ def j8b_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(gap <= J8B_TOL_US, gap).alias("err_gap_us"),
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_cents"),
     )
+
+
+# --- J17: LATERAL correlated subquery (per-outer-row top-k) -------------------
+
+J17_SQL = """
+SELECT b.brand, t.p_partkey AS part_key, t.cents
+FROM (SELECT DISTINCT p_brand AS brand FROM part) b,
+LATERAL (
+  SELECT p_partkey, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part
+  WHERE p_brand = b.brand
+  ORDER BY cents DESC, p_partkey
+  LIMIT 2
+) t
+"""
+
+
+@query("j17_lateral_topk", oracle=J17_SQL)
+def j17_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL:1999 lateral derived table,
+    Spark 4 `LATERAL` join): for every brand, the subquery re-executes
+    with the outer row in scope and returns that brand's top-2 parts
+    by exact-cent price — the per-outer-row top-k idiom analysts write
+    directly, completing the join family's SQL surface (J4's
+    DataFrame-API theta joins, W4's window form, now the lateral
+    form). The SQL text IS the oracle: DuckDB executes the identical
+    statement, so this also pins that Spark's decorrelation preserves
+    lateral semantics (ties, limits, ordering) bit-for-bit.
+
+    Scale: Catalyst DECORRELATES the lateral into a window/rank over
+    one part scan partitioned by brand — no per-outer-row re-execution
+    survives planning, so cost is one shuffle on the correlation key
+    regardless of outer cardinality (the same plan W4 gets), not
+    |outer| subquery runs."""
+    from sparkstreaming_mq_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(J17_SQL)

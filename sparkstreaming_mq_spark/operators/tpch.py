@@ -1651,3 +1651,105 @@ def ds9_banded_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DS10: TPC-DS Q47/Q57 shape — largest deviations from the moving average.
+# ---------------------------------------------------------------------------
+
+DS10_TOPK = 20
+
+DS10_ORACLE = f"""
+WITH m AS (
+  SELECT p.p_brand AS brand, date_trunc('month', l.l_shipdate) AS mon,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                             + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY brand, mon
+),
+w AS (
+  SELECT brand, mon, cents,
+         lag(cents)  OVER (PARTITION BY brand ORDER BY mon) AS prev_c,
+         lead(cents) OVER (PARTITION BY brand ORDER BY mon) AS next_c,
+         lag(mon)  OVER (PARTITION BY brand ORDER BY mon) AS prev_m,
+         lead(mon) OVER (PARTITION BY brand ORDER BY mon) AS next_m
+  FROM m
+),
+d AS (
+  SELECT brand, mon, cents,
+         abs(3 * cents - (prev_c + cents + next_c)) AS dev3
+  FROM w
+  WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+    AND mon = prev_m + INTERVAL 1 MONTH
+    AND next_m = mon + INTERVAL 1 MONTH
+)
+SELECT brand, mon, cents, CAST(dev3 AS BIGINT) AS dev3
+FROM d
+ORDER BY dev3 DESC, brand, mon
+LIMIT {DS10_TOPK}
+"""
+
+
+@query("ds10_moving_deviation", oracle=DS10_ORACLE)
+def ds10_moving_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-Q47/Q57 shape: the (brand, month) revenue cells that
+    deviate most from their centered 3-month moving average — the
+    anomaly-report pattern. Q47's canonical form self-joins the
+    monthly CTE twice (month-1 and month+1 aliases); here both
+    neighbors come from ONE lag+lead window, and the gap test (both
+    neighbors must be the ADJACENT calendar month) keeps sparse series
+    honest without a calendar join.
+
+    Exactness: revenue is fixed-point cents; the deviation is
+    |3·cur − (prev+cur+next)| — the moving average scaled by 3 so no
+    division ever happens (BIGINT-safe: 3·cents of a brand-month is
+    far under int64 even at 100 TB, ~1e14 cents/cell at 1e9
+    rows/cell). Integer ties rank identically on both engines through
+    the (dev3, brand, mon) tiebreak.
+
+    Scale: fact rows aggregate map-side to |brands|·|months| cells
+    before the window (the ds8 shape); the top-k lowers to
+    TakeOrderedAndProject — group-sized exchanges only."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+        .cast("long")
+        .alias("_c"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", "l_shipdate").alias("mon"),
+        )
+        .agg(F.sum("_c").alias("cents"))
+    )
+    w = Window.partitionBy("brand").orderBy("mon")
+    d = (
+        m.select(
+            "brand",
+            "mon",
+            "cents",
+            F.lag("cents").over(w).alias("prev_c"),
+            F.lead("cents").over(w).alias("next_c"),
+            F.lag("mon").over(w).alias("prev_m"),
+            F.lead("mon").over(w).alias("next_m"),
+        )
+        .filter(
+            F.col("prev_c").isNotNull()
+            & F.col("next_c").isNotNull()
+            & (F.col("mon") == F.expr("prev_m + INTERVAL 1 MONTH"))
+            & (F.col("next_m") == F.expr("mon + INTERVAL 1 MONTH"))
+        )
+        .select(
+            "brand",
+            "mon",
+            "cents",
+            F.abs(3 * F.col("cents") - (F.col("prev_c") + F.col("cents") + F.col("next_c")))
+            .cast("long")
+            .alias("dev3"),
+        )
+    )
+    return d.orderBy(F.desc("dev3"), "brand", "mon").limit(DS10_TOPK)

@@ -288,6 +288,8 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "ds9_banded_trips",         # TPC-DS Q73/Q34 shape: banded trip counts (r9)
     "f16_sql_pipe_syntax",      # Spark 4 SQL pipe-operator chains (r9)
     "g4_recursive_rollup",      # Spark 4.1 WITH RECURSIVE hierarchy rollup (r9)
+    "j17_lateral_topk",         # LATERAL correlated subquery top-k (r9)
+    "ds10_moving_deviation",    # TPC-DS Q47/Q57 shape: moving-average deviation (r9)
 )
 
 

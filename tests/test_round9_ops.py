@@ -127,6 +127,31 @@ def test_t18_streaming_sketch_equals_batch_rollup(spark, sf_dir):
     assert stream_rows == batch_rows and len(stream_rows) > 0
 
 
+def test_j17_lateral_decorrelates_to_window(spark, sf_dir):
+    """The LATERAL top-k must not survive as per-outer-row
+    re-execution: Catalyst decorrelates it into a rank window over ONE
+    part scan with the map-side WindowGroupLimit prune (Partial+Final
+    pair) — the same linear shape W4 gets — joined back to the
+    distinct-brand side."""
+    plan = _formatted(Q["j17_lateral_topk"](spark, sf_dir))
+    secs = _plan_sections(plan)
+    assert sum(s.startswith("Window\n") or s.startswith("Window ") for s in secs) == 1, plan
+    assert sum(s.startswith("WindowGroupLimit") for s in secs) >= 2, plan
+    assert sum(s.startswith("Scan parquet") for s in secs) == 2, plan
+
+
+def test_ds10_group_sized_window_and_fused_topk(spark, sf_dir):
+    """Q47 shape contract: both moving-average neighbors come from ONE
+    lag+lead window over the (brand, month) aggregate (no monthly-CTE
+    self-joins), and the top-k lowers to TakeOrderedAndProject."""
+    plan = _formatted(Q["ds10_moving_deviation"](spark, sf_dir))
+    secs = _plan_sections(plan)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert sum(s.startswith("Window") for s in secs) == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert sum(s.startswith("BroadcastHashJoin") for s in secs) == 1, plan
+
+
 def test_a5c_partials_merge_order_insensitive_exact_regime(spark, sf_dir):
     """Exact-regime identity the oracle hash rests on: merging
     per-batch weight-1 partials in ANY order gives the same sketch as
