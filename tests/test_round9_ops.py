@@ -177,3 +177,33 @@ def test_a5c_partials_merge_order_insensitive_exact_regime(spark, sf_dir):
     assert len(merged) == 1 and np.array_equal(merged[0], one_shot[0])
     for q in (0.1, 0.5, 0.9, 0.99):
         assert _qs_quantile(merged, q) == _qs_quantile(one_shot, q)
+
+
+def test_ds8_integer_cov_test_matches_float_definition():
+    """Property: ds8's integer cross-multiplication equals the float
+    definition stdev_samp/mean > 0.57 whenever the sample is not
+    razor-thin on the boundary (the integer form is the ground truth —
+    it cannot lose precision; the float form can, which is exactly why
+    the query uses the integer form)."""
+    import math
+    import random
+
+    from sparkstreaming_mq_spark.operators.tpch import (
+        DS8_COV2_DEN,
+        DS8_COV2_NUM,
+        DS8_MIN_N,
+    )
+
+    rng = random.Random(97)
+    for _ in range(500):
+        n = rng.randint(DS8_MIN_N, 60)
+        xs = [rng.randint(1, 50) for _ in range(n)]
+        s, sq = sum(xs), sum(x * x for x in xs)
+        int_hi = DS8_COV2_DEN * n * (n * sq - s * s) > DS8_COV2_NUM * (n - 1) * s * s
+        mean = s / n
+        var = (sq - n * mean * mean) / (n - 1)
+        cov = math.sqrt(max(var, 0.0)) / mean
+        if abs(cov - math.sqrt(DS8_COV2_NUM / DS8_COV2_DEN)) > 1e-9:
+            assert int_hi == (cov > math.sqrt(DS8_COV2_NUM / DS8_COV2_DEN)), (
+                n, s, sq, cov, int_hi,
+            )
