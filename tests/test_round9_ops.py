@@ -207,3 +207,42 @@ def test_ds8_integer_cov_test_matches_float_definition():
             assert int_hi == (cov > math.sqrt(DS8_COV2_NUM / DS8_COV2_DEN)), (
                 n, s, sq, cov, int_hi,
             )
+
+
+def test_priority_plan_hygiene_no_stray_python(spark, sf_dir):
+    """Repo-wide anti-pattern regression net: no driver-scored BATCH
+    query may silently grow a Python eval node. The only PRIORITY
+    plans allowed to cross the Python boundary are the designed
+    extension points (U1/U4/U5/U6 demonstrators and l3's Arrow
+    top-k kernel); everything else must stay whole-JVM. A future edit
+    that swaps a codegen expression for a UDF — the classic 10-100x
+    hot-path regression — fails here, not in a bench three rounds
+    later. (Streaming queries are excluded: building them runs the
+    stream; their shapes are pinned by their own tests.)"""
+    ALLOWED = {
+        "u1_python_udfs",        # U1/U2: the scalar-UDF surface itself
+        "u4_apply_in_pandas",    # U4 grouped map
+        "u5_map_in_pandas",      # U5
+        "u6_udtf_tokenize",      # U6
+        "a10_udaf_geomean",      # U3 grouped-agg UDF
+        "l3_cosine_topk",        # designed Arrow/numpy top-k kernel
+    }
+    STREAMING = (
+        "s1", "s2", "s4", "s7", "s8", "s9",
+        "t2", "t4", "t5", "t6", "t7", "t8", "t10",
+        "j9_", "j10",
+    )
+    PY_NODES = (
+        "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+        "MapInPandas", "AggregateInPandas", "PythonUDTF", "MapInArrow",
+        "FlatMapCoGroupsInPandas",
+    )
+    offenders = {}
+    for name in registry.PRIORITY:
+        if name in ALLOWED or name.startswith(STREAMING):
+            continue
+        plan = _formatted(Q[name](spark, sf_dir))
+        nodes = sorted({n for n in PY_NODES if n in plan})
+        if nodes:
+            offenders[name] = nodes
+    assert not offenders, offenders
