@@ -80,6 +80,7 @@ QUERIES = [
     # pipeline (first run pays the one-off chunk materialization).
     "t14_chained_windows",
     "t16_union_dedup_window",
+    "t15_join_then_window",  # stream-stream join chain: the largest state shape
     # ANN family: embeddings replicate 10x (20k vecs), which crosses
     # ANN_SMALL_N — K jumps to floor(sqrt(N)) = 141 and the >64-centroid
     # broadcast-join assignment/probe paths run in anger instead of the

@@ -290,6 +290,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "g4_recursive_rollup",      # Spark 4.1 WITH RECURSIVE hierarchy rollup (r9)
     "j17_lateral_topk",         # LATERAL correlated subquery top-k (r9)
     "ds10_moving_deviation",    # TPC-DS Q47/Q57 shape: moving-average deviation (r9)
+    "t18b_rocksdb_quantile_sketch",  # RocksDB twin of t18 (r9)
 )
 
 

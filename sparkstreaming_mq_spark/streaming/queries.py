@@ -3128,3 +3128,13 @@ def t18_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p90", 4).alias("p90"),
         )
     )
+
+
+@query("t18b_rocksdb_quantile_sketch", oracle=_A5C_ORACLE)
+def t18b_rocksdb_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t18's streaming quantile sketch on the RocksDB state store with
+    changelog checkpointing — pickled-Python sketch state (the levels
+    arrays) through the provider swap, same oracle, completing the
+    RocksDB twin matrix (t14b agg chain, t15b join chain, t16b dedup
+    chain, s19b generator state, now sketch state)."""
+    return _run_under_rocksdb(spark, t18_stream_quantile_sketch, sf_dir)
