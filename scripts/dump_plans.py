@@ -65,7 +65,7 @@ HEADLINES = {
     "f15_parameterized_sql": "params bound pre-optimization: pushed size filter + fused top-k",
     "ds3_hierarchy_rank": "ONE Expand rollup -> rank window: 2 exchanges, no per-level re-scan",
     "ds4_rollup_topk": "5-set Expand + Partial/Final WindowGroupLimit: map-side top-k prune before the rank exchange",
-    "ds5_semi_join_chain": "distinct-count aggregate replaces the Q95 self-join; two LEFT SEMI probes on one key",
+    "ds5_semi_join_chain": "ONE fused min/max+flag aggregate replaces the Q95 self-join; single LEFT SEMI probe, lineitem scanned once",
     "ds6_multi_band_counts": "eight count FILTER cells from ONE scan (canonical Q88 scans 8x)",
     "ds7_frequent_buyer_chain": "two HAVING-reduced cohorts gate the fact scan as LEFT SEMI probes",
     "a5c_quantile_rollup": "MapInPandas partials before ANY exchange; only sketch rows shuffle (no raw value column past the scan stage)",
@@ -77,6 +77,7 @@ HEADLINES = {
     "g4_recursive_rollup": "native UnionLoop recursion from the per-user aggregate: join-free levels, two shuffles total",
     "j17_lateral_topk": "LATERAL decorrelated to rank window + Partial/Final WindowGroupLimit — no per-outer-row re-execution",
     "ds10_moving_deviation": "lag+lead in ONE window over group-sized cells (no monthly self-joins); TakeOrderedAndProject top-k",
+    "q02b_min_cost_supplier_bucketed": "bucketed window probe: ZERO shuffle Exchanges — min-cost window rides the bucket distribution",
 }
 
 

@@ -202,25 +202,15 @@ LIMIT 100
 """
 
 
-@query("q02_min_cost_supplier", oracle=Q02_ORACLE)
-def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q2 shape: cheapest regional supplier per qualifying part.
-
-    Spark-first: the correlated min subquery becomes a window
-    ``min() OVER (PARTITION BY ps_partkey)`` on the region-filtered
-    partsupp frame — one shuffle by part key instead of a self-join.
-    supplier/nation/region broadcast; the size/type-filtered part side
-    is tiny and broadcasts into the final join. Cost ties keep ALL
-    minimum-cost suppliers (canonical semantics), and the final
-    ORDER BY+LIMIT lowers to TakeOrderedAndProject.
-    """
+def _q02_body(spark: SparkSession, sf_dir: str, ps: DataFrame) -> DataFrame:
+    """Shared Q2 plan over any partsupp frame (derived or bucketed)."""
     supp = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
     )
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eu = (
-        load_partsupp(spark, sf_dir)
+        ps
         .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -246,6 +236,33 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("acct_bal"), "nation_name", "supp_name", "part_key")
         .limit(100)
     )
+
+
+@query("q02_min_cost_supplier", oracle=Q02_ORACLE)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape: cheapest regional supplier per qualifying part.
+
+    Spark-first: the correlated min subquery becomes a window
+    ``min() OVER (PARTITION BY ps_partkey)`` on the region-filtered
+    partsupp frame — one shuffle by part key instead of a self-join.
+    supplier/nation/region broadcast; the size/type-filtered part side
+    is tiny and broadcasts into the final join. Cost ties keep ALL
+    minimum-cost suppliers (canonical semantics), and the final
+    ORDER BY+LIMIT lowers to TakeOrderedAndProject.
+    """
+    return _q02_body(spark, sf_dir, load_partsupp(spark, sf_dir))
+
+
+@query("q02b_min_cost_supplier_bucketed", oracle=Q02_ORACLE)
+def q02b_min_cost_supplier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 probing the MATERIALIZED partsupp: the bucketed layout
+    serves WINDOWS too, not just aggregates — the ``min() OVER
+    (PARTITION BY ps_partkey)`` window's required distribution is
+    satisfied by the bucket scan (broadcast dim joins preserve it), so
+    Q2's only data-sized shuffle disappears: the plan has NO Exchange
+    hash-partitioned on ps_partkey (plan-pinned; the fused top-100 is
+    the only ordering exchange left). Same oracle as q02."""
+    return _q02_body(spark, sf_dir, load_partsupp_bucketed(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

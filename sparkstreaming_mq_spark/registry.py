@@ -291,6 +291,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "j17_lateral_topk",         # LATERAL correlated subquery top-k (r9)
     "ds10_moving_deviation",    # TPC-DS Q47/Q57 shape: moving-average deviation (r9)
     "t18b_rocksdb_quantile_sketch",  # RocksDB twin of t18 (r9)
+    "q02b_min_cost_supplier_bucketed",  # bucketed partsupp window probe (r9)
 )
 
 

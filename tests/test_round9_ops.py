@@ -246,3 +246,17 @@ def test_priority_plan_hygiene_no_stray_python(spark, sf_dir):
         if nodes:
             offenders[name] = nodes
     assert not offenders, offenders
+
+
+def test_q02b_bucketed_window_zero_exchange(spark, sf_dir):
+    """The bucketed layout serves WINDOWS too: q02b's min() OVER
+    (PARTITION BY ps_partkey) is satisfied by the bucket scan through
+    the broadcast dim joins, and the top-100 fuses to
+    TakeOrderedAndProject — the plan contains ZERO shuffle Exchange
+    nodes of any kind."""
+    plan = _formatted(Q["q02b_min_cost_supplier_bucketed"](spark, sf_dir))
+    assert "Bucketed: true" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not [
+        s for s in _plan_sections(plan) if s.startswith("Exchange")
+    ], plan
