@@ -11,7 +11,9 @@ O(join) and O(shuffle both tables) every time the tables are joined.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,31 +24,76 @@ from sparkstreaming_mq_spark.tables import cache_key, load_table
 N_BUCKETS = 8
 
 
+def materialize_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_col: str,
+) -> None:
+    """Cross-process-safe bucketed materialization (ADVICE r9: the old
+    check-then-overwrite let two processes clobber each other's bucket
+    files mid-scan).
+
+    Protocol: write the bucketed files to a UNIQUE temp dir beside the
+    final path, then `os.rename` into place — atomic on one
+    filesystem, so the first publisher wins and a loser just discards
+    its temp dir; an already-published dir (_SUCCESS present) is never
+    rewritten. The catalog entry is then registered OVER the published
+    path via DDL with the bucket spec (CLUSTERED BY ... INTO n
+    BUCKETS), which preserves the zero-Exchange scan property — the
+    files carry Spark's bucketed-writer naming, so the spec is
+    faithful regardless of which process produced them."""
+    if spark.catalog.tableExists(table_name):
+        return
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp_tbl = f"{table_name}_w{os.getpid()}_{uuid.uuid4().hex[:6]}"
+        tmp_path = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        (
+            df.write.mode("overwrite")
+            .option("path", tmp_path)
+            .bucketBy(N_BUCKETS, bucket_col)
+            .sortBy(bucket_col)
+            .saveAsTable(tmp_tbl)
+        )
+        # external table: dropping the catalog entry keeps the files
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        try:
+            os.rename(tmp_path, path)
+        except OSError:
+            # another process published first — ours is redundant
+            shutil.rmtree(tmp_path, ignore_errors=True)
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table_name} ({cols}) USING parquet "
+        f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
+        f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'"
+    )
+
+
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Materialize orders+lineitem bucketed by the join key (once per
     sf per process); returns the catalog table names."""
     key = cache_key(sf_dir, "orders")
     t_orders = f"sg_orders_b_{key}"
     t_lineitem = f"sg_lineitem_b_{key}"
-    catalog = spark.catalog
-    if not catalog.tableExists(t_orders):
-        base = os.path.join(tempfile.gettempdir(), "sparkgraft_buckets", key)
-        (
-            load_table(spark, sf_dir, "orders")
-            .write.mode("overwrite")
-            .option("path", os.path.join(base, "orders"))
-            .bucketBy(N_BUCKETS, "o_orderkey")
-            .sortBy("o_orderkey")
-            .saveAsTable(t_orders)
-        )
-        (
-            load_table(spark, sf_dir, "lineitem")
-            .write.mode("overwrite")
-            .option("path", os.path.join(base, "lineitem"))
-            .bucketBy(N_BUCKETS, "l_orderkey")
-            .sortBy("l_orderkey")
-            .saveAsTable(t_lineitem)
-        )
+    base = os.path.join(tempfile.gettempdir(), "sparkgraft_buckets", key)
+    materialize_bucketed(
+        spark,
+        load_table(spark, sf_dir, "orders"),
+        t_orders,
+        os.path.join(base, "orders"),
+        "o_orderkey",
+    )
+    materialize_bucketed(
+        spark,
+        load_table(spark, sf_dir, "lineitem"),
+        t_lineitem,
+        os.path.join(base, "lineitem"),
+        "l_orderkey",
+    )
     return t_orders, t_lineitem
 
 

@@ -1627,10 +1627,14 @@ def ds9_banded_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate BEFORE any join — only banded order keys reach the
     orders join, which reuses the aggregate's orderkey partitioning
     on the build side (one new shuffle: orders). customer joins as a
-    broadcast dim (Q73's star pattern); at a scale where customer
-    outgrows broadcast, AQE demotes it to a shuffled join on custkey
-    without a plan change here. No fact-sized frame is ever joined to
-    another fact-sized frame un-reduced."""
+    broadcast dim (Q73's star pattern) — deliberately WITHOUT an
+    explicit F.broadcast() hint, because customer scales with sf
+    (unlike part, which the scale harness holds fixed): below
+    autoBroadcastJoinThreshold the planner/AQE picks broadcast on its
+    own, and past it the join degrades gracefully to a shuffled hash
+    join on custkey instead of pinning an OOM-sized broadcast. No
+    fact-sized frame is ever joined to another fact-sized frame
+    un-reduced."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     trips = (
         li.groupBy("l_orderkey")
@@ -1643,7 +1647,7 @@ def ds9_banded_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         trips.join(orders, trips.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             F.col("c_name").alias("cust_name"),
             F.col("c_mktsegment").alias("segment"),

@@ -151,25 +151,26 @@ def load_partsupp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query recomputation: the derivation's distinct shuffle is paid
     at WRITE time only, and every downstream groupBy/join on
     ps_partkey inherits the bucket distribution with NO Exchange
-    (q11b's plan pin asserts exactly that)."""
+    (q11b's plan pin asserts exactly that). Publication goes through
+    storage.materialize_bucketed (unique temp dir + atomic rename) so
+    concurrent processes can't clobber each other's bucket files
+    (ADVICE r9)."""
     import os
     import tempfile
 
-    from sparkstreaming_mq_spark.operators.storage import N_BUCKETS
+    from sparkstreaming_mq_spark.operators.storage import materialize_bucketed
     from sparkstreaming_mq_spark.tables import cache_key
 
     key = cache_key(sf_dir, "lineitem")
     name = f"sg_partsupp_b_{key}"
-    if not spark.catalog.tableExists(name):
-        base = os.path.join(tempfile.gettempdir(), "sparkgraft_buckets", key)
-        (
-            load_partsupp(spark, sf_dir)
-            .write.mode("overwrite")
-            .option("path", os.path.join(base, "partsupp"))
-            .bucketBy(N_BUCKETS, "ps_partkey")
-            .sortBy("ps_partkey")
-            .saveAsTable(name)
-        )
+    base = os.path.join(tempfile.gettempdir(), "sparkgraft_buckets", key)
+    materialize_bucketed(
+        spark,
+        load_partsupp(spark, sf_dir),
+        name,
+        os.path.join(base, "partsupp"),
+        "ps_partkey",
+    )
     return spark.table(name)
 
 

@@ -227,11 +227,18 @@ def test_priority_plan_hygiene_no_stray_python(spark, sf_dir):
         "a10_udaf_geomean",      # U3 grouped-agg UDF
         "l3_cosine_topk",        # designed Arrow/numpy top-k kernel
     }
-    STREAMING = (
-        "s1", "s2", "s4", "s7", "s8", "s9",
-        "t2", "t4", "t5", "t6", "t7", "t8", "t10",
-        "j9_", "j10",
-    )
+    # exact PRIORITY streaming names (NOT bare prefixes — "s1"/"t2"
+    # would also match a future batch query named s12_*/t20_* and
+    # silently exempt it from this regression net; ADVICE r9)
+    STREAMING = {
+        "s1_stream_replay", "s2_rate_source", "s4_json_csv_scan",
+        "s7_stream_foreachbatch", "s8_python_mq_sink",
+        "s9_checkpoint_recovery", "t2_stream_windows",
+        "t4_stream_session", "t5_stream_dedup", "t6_stream_late_data",
+        "t7_stateful_sessionize", "t8_stream_update_mode",
+        "t10_stream_progress", "j9_stream_static_join",
+        "j10_stream_stream_join",
+    }
     PY_NODES = (
         "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
         "MapInPandas", "AggregateInPandas", "PythonUDTF", "MapInArrow",
@@ -239,7 +246,7 @@ def test_priority_plan_hygiene_no_stray_python(spark, sf_dir):
     )
     offenders = {}
     for name in registry.PRIORITY:
-        if name in ALLOWED or name.startswith(STREAMING):
+        if name in ALLOWED or name in STREAMING:
             continue
         plan = _formatted(Q[name](spark, sf_dir))
         nodes = sorted({n for n in PY_NODES if n in plan})
