@@ -103,6 +103,9 @@ def summarize(progress: list[dict]) -> list[dict]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # optional extra args: explicit query names (default: the r8 heavy
+    # chains; r10 adds t18b's sketch-state twin via this path)
+    names = sys.argv[2:] or QUERIES
     registry.load_all()
     # 24g heap: the sf0.01 fixture runs fine at the 1g default, but the
     # 30x replica (VERDICT r8 item 6 — real state volume so RocksDB
@@ -112,7 +115,7 @@ def main() -> int:
         extra_conf={"spark.driver.memory": "24g"},
     )
     out = {}
-    for name in QUERIES:
+    for name in names:
         cap = _StateCapture()
         spark.streams.addListener(cap)
         t0 = time.time()
