@@ -130,6 +130,12 @@ QUERIES = [
     # replicated fact to brand-month cells before its window.
     "j17_lateral_topk",
     "ds10_moving_deviation",
+    # r10 skew-mitigation operators on UNIFORM replicas (their skew-dir
+    # behavior is skew_smoke.py's job): j18's count pass + cold join
+    # must stay linear; w6's two windows must stay linear with the
+    # phase-2 frame bounded at |types|·32·k.
+    "j18_hybrid_skew_join",
+    "w6_twophase_topk",
 ]
 
 

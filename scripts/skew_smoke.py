@@ -68,6 +68,12 @@ QUERIES = [
     "ds4_rollup_topk",       # rank exchange control (part keys untouched)
     "l38_dup_density",       # fp-keyed postings exchange with hot shingles
     "l42_novelty_attribution",
+    # r10 skew-mitigation operators: j18 routes the 20%-hot order key
+    # through its broadcast branch (default 100k threshold trips at
+    # this scale); w6 spreads the intrinsically-huge event_type window
+    # partitions over 32 salt buckets.
+    "j18_hybrid_skew_join",
+    "w6_twophase_topk",
 ]
 
 

@@ -866,3 +866,90 @@ def j17_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("part",))
     return spark.sql(J17_SQL)
+
+
+# --- J18: hybrid broadcast-hot / shuffle-cold skew join ----------------------
+
+J18_HOT_MIN = 100_000   # fact rows per key before a key counts as hot
+J18_DATE_LO = "1995-01-01 00:00:00"
+
+
+@query(
+    "j18_hybrid_skew_join",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       count(*) AS n_lines,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '{J18_DATE_LO}'
+GROUP BY o.o_orderpriority
+""",
+)
+def j18_hybrid_skew_join(
+    spark: SparkSession, sf_dir: str, hot_min: int | None = None
+) -> DataFrame:
+    """Hybrid skew join: route HOT fact keys through a broadcast join
+    and the cold remainder through the normal shuffle join — the
+    third rung of the skew ladder measured in the r10 skew rung
+    (broadcast > AQE split > salt): AQE's split needs the hot
+    partition to cross a byte threshold post-compression, and J11's
+    salt taxes EVERY row; the hybrid pays a bounded broadcast for
+    exactly the keys that need it and leaves the cold path untouched.
+
+    Mechanics: one map-side-combinable count pass finds keys with ≥
+    ``hot_min`` fact rows — at most N/hot_min keys, a frame bounded
+    small by construction (100k default → ≤ 10 hot keys per 1M-row
+    key span; in production this comes from a maintained stats table
+    or CMS sketch instead of a rescan). The hot-key frame broadcasts
+    three ways: a LEFT SEMI to carve the hot fact slice, a LEFT ANTI
+    for the cold slice, and a LEFT SEMI on the dim to carve the ≤
+    |hot keys| matching dim rows, which then BROADCAST-join the hot
+    fact slice — hot rows never shuffle at all. Cold rows take the
+    planner's normal join. The union feeds one aggregate; semantics
+    are exactly the plain inner join, which is what the oracle runs.
+    Fixture corpora are uniform (max ~7 lines/order), so the gate
+    exercises the cold path + empty-hot degenerate; tests force
+    ``hot_min`` low to oracle-check the split itself, and the r10
+    skew dataset (one key = 20% of lineitem) is the measured hot-path
+    evidence in BASELINE.md.
+    """
+    hot_min = J18_HOT_MIN if hot_min is None else hot_min
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(J18_DATE_LO).cast("timestamp")
+    ).select("o_orderkey", "o_orderpriority")
+
+    hot = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= hot_min)
+        .select("l_orderkey")
+    )
+    li_hot = li.join(F.broadcast(hot), "l_orderkey", "left_semi")
+    li_cold = li.join(F.broadcast(hot), "l_orderkey", "left_anti")
+    o_hot = o.join(
+        F.broadcast(hot.withColumnRenamed("l_orderkey", "o_orderkey")),
+        "o_orderkey",
+        "left_semi",
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    hot_joined = li_hot.join(
+        F.broadcast(o_hot), F.col("l_orderkey") == F.col("o_orderkey")
+    ).select("o_orderpriority", cents.alias("__cents"))
+    cold_joined = li_cold.join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select("o_orderpriority", cents.alias("__cents"))
+    return (
+        hot_joined.unionByName(cold_joined)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("__cents").cast("long").alias("revenue_cents"),
+        )
+    )

@@ -359,3 +359,73 @@ def w5_reset_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("run_cents"),
     )
+
+
+# --- W6: two-phase (salted) per-group top-k for hot window partitions --------
+
+W6_TOPK = 3
+W6_SALTS = 32
+
+
+@query(
+    "w6_twophase_topk",
+    oracle=f"""
+SELECT event_type, event_id, round(value, 4) AS val, rn
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+WHERE rn <= {W6_TOPK}
+""",
+)
+def w6_twophase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k where the groups are FEW and HUGE — the window
+    shape AQE cannot help with: `row_number() OVER (PARTITION BY
+    event_type ...)` hash-partitions on event_type, so a group owning
+    20% of the corpus serializes onto ONE task (skew-join splitting
+    applies to joins, never to window exchanges — measured in the r10
+    skew rung).
+
+    The portable rewrite is two-phase top-k, the window analogue of
+    J11's salting: phase 1 ranks within (group, salt) — 32 salt
+    buckets spread a hot group over 32 tasks, and any global top-k
+    row is necessarily in the top-k of its bucket — phase 2 re-ranks
+    the ≤ 32·k bucket survivors per group, a frame bounded by
+    |groups|·32·k rows regardless of corpus size. Salt is
+    deterministic (xxhash64 of the unique id, no RNG — repeatable
+    across task retries), the tie-break (value DESC, event_id) is
+    total, so the result is bit-identical to the single-window form —
+    which is exactly what the oracle runs. Cost: two window exchanges
+    instead of one, but the second moves a bounded frame; wall-clock
+    under a 20%-hot group is ~1/min(salts, cores) of the serialized
+    form on the hot path.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    salted = ev.withColumn(
+        "__salt", F.pmod(F.xxhash64("event_id"), F.lit(W6_SALTS)).cast("int")
+    )
+    w_local = Window.partitionBy("event_type", "__salt").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    survivors = (
+        salted.withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= W6_TOPK)
+        .drop("__salt", "__lrn")
+    )
+    w_global = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        survivors.withColumn("rn", F.row_number().over(w_global))
+        .filter(F.col("rn") <= W6_TOPK)
+        .select(
+            "event_type",
+            "event_id",
+            F.round("value", 4).alias("val"),
+            "rn",
+        )
+    )

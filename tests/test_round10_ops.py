@@ -123,3 +123,106 @@ class TestDs9NoBroadcastPin:
             "customer broadcast is hint-pinned; it must demote when "
             "the threshold forbids broadcast"
         )
+
+
+class TestSkewOperators:
+    """w6/j18 — the round-10 skew-mitigation additions. Fixture data is
+    uniform, so these force the hot/salted paths explicitly."""
+
+    def test_j18_hot_path_matches_plain_join(self, spark):
+        """hot_min=2 makes nearly every order key hot (fixture orders
+        average ~4 lines) — the broadcast-hot branch carries almost the
+        whole corpus and must still equal the plain join."""
+        from sparkstreaming_mq_spark.operators.joins import (
+            J18_DATE_LO,
+            j18_hybrid_skew_join,
+        )
+
+        hybrid = j18_hybrid_skew_join(spark, SF_DIR, hot_min=2)
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderdate") >= F.lit(J18_DATE_LO).cast("timestamp")
+        )
+        cents = F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+        ).cast("long")
+        plain = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("o_orderpriority", cents.alias("__cents"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.sum("__cents").cast("long").alias("revenue_cents"),
+            )
+        )
+        got = {tuple(r) for r in hybrid.collect()}
+        want = {tuple(r) for r in plain.collect()}
+        assert got == want
+        # the hot branch must actually be a broadcast join
+        plan = _formatted(hybrid)
+        assert "BroadcastHashJoin" in plan
+
+    def test_j18_empty_hot_degenerates_to_cold_path(self, spark):
+        """At the default threshold no fixture key is hot: the hot
+        slice is empty and the result must still match the oracle path
+        (the degenerate case a stats-driven splitter hits daily)."""
+        from sparkstreaming_mq_spark.operators.joins import j18_hybrid_skew_join
+
+        df = j18_hybrid_skew_join(spark, SF_DIR)  # default 100k threshold
+        rows = df.collect()
+        assert len(rows) == 5  # all five order priorities survive
+        assert all(r.n_lines > 0 for r in rows)
+
+    def test_w6_bit_identical_to_single_window(self, spark):
+        from sparkstreaming_mq_spark.operators.windows import (
+            W6_TOPK,
+            w6_twophase_topk,
+        )
+
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_type", "event_id", "value"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("value").desc(), F.col("event_id")
+        )
+        plain = (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= W6_TOPK)
+            .select(
+                "event_type",
+                "event_id",
+                F.round("value", 4).alias("val"),
+                "rn",
+            )
+        )
+        got = {tuple(r) for r in w6_twophase_topk(spark, SF_DIR).collect()}
+        want = {tuple(r) for r in plain.collect()}
+        assert got == want
+
+    def test_w6_salt_bounds_phase2_frame(self, spark):
+        """Phase-2 input is ≤ |groups|·salts·k rows no matter the
+        corpus — the bound the rewrite exists for."""
+        from sparkstreaming_mq_spark.operators.windows import (
+            W6_SALTS,
+            W6_TOPK,
+        )
+        from sparkstreaming_mq_spark.tables import load_table as lt
+
+        ev = lt(spark, SF_DIR, "events")
+        n_groups = ev.select("event_type").distinct().count()
+        salted = ev.withColumn(
+            "__salt", F.pmod(F.xxhash64("event_id"), F.lit(W6_SALTS)).cast("int")
+        )
+        from pyspark.sql import Window
+
+        w_local = Window.partitionBy("event_type", "__salt").orderBy(
+            F.col("value").desc(), F.col("event_id")
+        )
+        survivors = (
+            salted.withColumn("__lrn", F.row_number().over(w_local))
+            .filter(F.col("__lrn") <= W6_TOPK)
+            .count()
+        )
+        assert survivors <= n_groups * W6_SALTS * W6_TOPK
