@@ -136,6 +136,10 @@ QUERIES = [
     # phase-2 frame bounded at |types|·32·k.
     "j18_hybrid_skew_join",
     "w6_twophase_topk",
+    # t19: t15's interval join with the time bucket in the equality
+    # key — on uniform replicas the 2× probe explode is the only cost
+    # (t15 is the control; the skew-dir contrast is skew_smoke's job).
+    "t19_bucketed_interval_join",
 ]
 
 

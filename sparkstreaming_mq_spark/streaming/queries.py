@@ -2029,6 +2029,113 @@ def t15_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- T19: skew-resistant (time-bucketed) stream-stream interval join --------
+
+T19_BUCKET_S = 7200  # = the 2 h interval span, so a pair spans ≤ 2 buckets
+
+
+@query(
+    "t19_bucketed_interval_join",
+    oracle=f"""
+WITH c AS (
+  SELECT ts, event_id, user_id, event_type, value,
+         ntile({T15_CHUNKS}) OVER (ORDER BY ts, event_id) - 1 AS chunk
+  FROM events
+),
+wm AS (
+  SELECT least(
+           (SELECT max(ts) FROM c WHERE chunk <= {T15_CHUNKS - 2}
+            AND event_type = 'signup'),
+           (SELECT max(ts) FROM c WHERE chunk <= {T15_CHUNKS - 2}
+            AND event_type = 'purchase')
+         ) - INTERVAL 4 HOUR AS w
+),
+pairs AS (
+  SELECT p.ts AS pts, p.value AS value
+  FROM c s JOIN c p
+    ON s.user_id = p.user_id
+   AND s.event_type = 'signup' AND p.event_type = 'purchase'
+   AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+)
+SELECT date_trunc('day', pts) AS day_start,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM pairs, wm
+WHERE date_trunc('day', pts) + INTERVAL 1 DAY <= wm.w
+GROUP BY day_start
+""",
+)
+def t19_bucketed_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15's interval join made HOT-KEY-SAFE: the r10 skew rung
+    measured t15 at ≥15× its uniform wall when one user owns 10% of
+    events, because stream-stream join state is keyed by the EQUALITY
+    columns only (user_id) — the time-interval condition filters
+    AFTER the state lookup, so every hot-key arrival rescans every
+    buffered hot-key row: O(hot²) comparisons, serialized on the hot
+    key's single state partition.
+
+    The lossless rewrite buckets event time at the interval span
+    (2 h) and puts the bucket INTO the join key: a valid pair has
+    p_ts ∈ [s_ts, s_ts+2h], hence floor(p/τ) − floor(s/τ) ∈ {{0, 1}}
+    for τ = the 2 h span — so the purchase side probes exactly two
+    buckets (its own and the previous) via a 2-row explode, the join
+    keys on (user, bucket), and each pair matches in EXACTLY one
+    bucket (the signup's own), so no dedup is needed and the emitted
+    pairs — and the daily rollup the join feeds — are bit-identical
+    to t15's, which is why the oracle is t15's verbatim. State scans
+    drop from O(all buffered rows per user) to O(rows per user per
+    2 h bucket), and the hot user's state spreads over timeline
+    buckets instead of one state partition. Cost on uniform data: 2×
+    the probe-side rows through the join shuffle (cheap, measured in
+    the skew table); the watermark columns, delays, eager inner-join
+    emission, and the final W cut are unchanged, so the replay
+    mechanics oracle transfers unchanged.
+
+    Bucket arithmetic uses integer epoch SECONDS (unix_timestamp):
+    bucket boundaries sit on whole-second multiples of τ, so the
+    µs-truncation can never move a row across a boundary.
+    """
+    base = read_events_stream_chunked(
+        spark, sf_dir, n_chunks=T15_CHUNKS, order="time"
+    )
+    bkt = lambda col: F.floor(F.unix_timestamp(F.col(col)) / T19_BUCKET_S)  # noqa: E731
+    signups = (
+        base.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+        .withColumn("s_bucket", bkt("s_ts"))
+        .withWatermark("s_ts", T15_DELAY)
+    )
+    purchases = (
+        read_events_stream_chunked(spark, sf_dir, n_chunks=T15_CHUNKS, order="time")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withColumn(
+            "p_bucket",
+            F.explode(F.array(bkt("p_ts"), bkt("p_ts") - F.lit(1))),
+        )
+        .withWatermark("p_ts", T15_DELAY)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("s_bucket") == F.col("p_bucket"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    daily = joined.groupBy(F.window("p_ts", "1 day")).agg(
+        F.count("*").alias("n_pairs"), F.sum(cents).alias("total_cents")
+    )
+    out = run_stream_to_table(daily, "append")
+    return out.select(
+        F.col("window.start").alias("day_start"), "n_pairs", "total_cents"
+    )
+
+
 # --- T16: chained stateful III — union -> watermarked dedup -> window agg ----
 
 T16_CHUNKS = 4

@@ -226,3 +226,32 @@ class TestSkewOperators:
             .count()
         )
         assert survivors <= n_groups * W6_SALTS * W6_TOPK
+
+
+class TestBucketedIntervalJoin:
+    def test_t19_bit_identical_to_t15(self, spark):
+        """The bucket rewrite is lossless: identical daily rollup rows
+        (each valid pair matches in exactly ONE bucket — the signup's
+        own — so no dup and no loss)."""
+        t15 = registry.QUERIES["t15_join_then_window"]
+        t19 = registry.QUERIES["t19_bucketed_interval_join"]
+        a = {tuple(r) for r in t15(spark, SF_DIR).collect()}
+        b = {tuple(r) for r in t19(spark, SF_DIR).collect()}
+        assert a == b
+
+    def test_bucket_arithmetic_covers_interval_edge(self, spark):
+        """p_ts = s_ts + exactly 2h lands in bucket(s)+1; p_ts = s_ts
+        lands in bucket(s): the two-candidate explode covers both
+        extremes (floor(a+d) - floor(a) ∈ {0,1} for d ∈ [0,1])."""
+        from sparkstreaming_mq_spark.streaming.queries import T19_BUCKET_S
+
+        rows = [
+            (0, 0),                      # same instant
+            (0, T19_BUCKET_S),           # exactly +2h
+            (T19_BUCKET_S - 1, T19_BUCKET_S),  # crosses boundary by 1s
+        ]
+        for s_sec, p_sec in rows:
+            sb = s_sec // T19_BUCKET_S
+            pb = p_sec // T19_BUCKET_S
+            assert pb - sb in (0, 1)
+            assert sb in (pb, pb - 1)
