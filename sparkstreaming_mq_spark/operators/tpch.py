@@ -1757,3 +1757,54 @@ def ds10_moving_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.orderBy(F.desc("dev3"), "brand", "mon").limit(DS10_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# DS11: TPC-DS Q88 shape — N time-band counts fused into one scan.
+# ---------------------------------------------------------------------------
+
+DS11_BANDS = [(8, 10), (10, 12), (12, 14), (14, 16), (16, 18), (18, 20), (20, 22), (22, 24)]
+DS11_MIN_VALUE = 50.0
+
+DS11_ORACLE = f"""
+SELECT
+{','.join(
+    f'''  CAST(count(CASE WHEN extract(hour FROM ts) >= {lo}
+       AND extract(hour FROM ts) < {hi} THEN 1 END) AS BIGINT) AS h{lo}_{hi}'''
+    for lo, hi in DS11_BANDS
+)}
+FROM events
+WHERE event_type = 'purchase' AND value >= {DS11_MIN_VALUE}
+"""
+
+
+@query("ds11_timeband_counts", oracle=DS11_ORACLE)
+def ds11_timeband_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-Q88 shape: customer activity counted in 8 disjoint
+    time-of-day bands. Q88's canonical form is EIGHT scalar
+    subqueries, each a full fact scan filtered to one band, glued by
+    a cross join — on 100 TB that's eight scans of store_sales.
+
+    Spark-first fusion: the bands become ONE conditional-aggregation
+    pass — a single pushed-predicate scan (event_type + value reach
+    the parquet reader as PushedFilters), eight `count(CASE WHEN
+    band)` columns computed in the same whole-stage-codegen loop, one
+    single-row global aggregate, ZERO joins and ZERO repeated I/O.
+    The per-band conditions are disjoint hour ranges, so each input
+    row increments at most one counter; Catalyst evaluates all eight
+    in one pass over the scan — the shape generalizes to any
+    "N subquery scans of the same fact" report. The oracle is the
+    same fused form in ANSI SQL (DuckDB executes the CASE-fused scan
+    directly), so correctness covers both the filter and every band
+    boundary (hours are half-open [lo, hi))."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= DS11_MIN_VALUE)
+    )
+    hour = F.hour("ts")
+    aggs = [
+        F.count(F.when((hour >= lo) & (hour < hi), F.lit(1)))
+        .cast("long")
+        .alias(f"h{lo}_{hi}")
+        for lo, hi in DS11_BANDS
+    ]
+    return ev.agg(*aggs)
