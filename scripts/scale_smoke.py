@@ -140,6 +140,10 @@ QUERIES = [
     # key — on uniform replicas the 2× probe explode is the only cost
     # (t15 is the control; the skew-dir contrast is skew_smoke's job).
     "t19_bucketed_interval_join",
+    # ds11: one pushed-filter scan + single-row conditional agg — the
+    # flattest possible ladder shape; a superlinear step here would
+    # mean scan-layer trouble, nothing else.
+    "ds11_timeband_counts",
 ]
 
 
