@@ -953,3 +953,75 @@ def j18_hybrid_skew_join(
             F.sum("__cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+# --- J20: binned pure-range join (no equality key) ---------------------------
+
+J20_BIN_S = 3600  # = the ±1 h range span
+
+
+@query(
+    "j20_binned_range_join",
+    oracle="""
+SELECT e.event_id AS err_id,
+       CAST(count(*) AS BIGINT) AS n_nearby
+FROM events e JOIN events p
+  ON e.event_type = 'error' AND p.event_type = 'purchase'
+ AND p.ts >= e.ts - INTERVAL 1 HOUR
+ AND p.ts <= e.ts + INTERVAL 1 HOUR
+GROUP BY e.event_id
+""",
+)
+def j20_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join — no equality key at all: purchases within ±1 h
+    of each error event, corpus-wide (the temporal-proximity shape
+    behind incident correlation). Spark's planner has no hash key to
+    work with here, so the naive form is a BroadcastNestedLoopJoin —
+    O(|errors|·|purchases|) comparisons and a broadcast that dies when
+    neither side is dim-sized. t19's bucketing idea works in batch
+    too and J5's equi+residual trick is the mechanism: bin event time
+    at the range span (1 h), explode the PROBE side to {bin−1, bin,
+    bin+1}, hash-join on bin EQUALITY, and keep the range test as a
+    residual. |Δts| ≤ span ⇒ bin difference ∈ {−1, 0, +1}, and each
+    qualifying pair matches at exactly ONE candidate bin (the
+    neighbor's own), so no dedup is needed — semantics are exactly
+    the nested-loop join's, which is what the oracle runs. Cost is
+    O(pairs sharing a ±1 bin) — density-bounded, not |A|·|B| — and
+    the join is an ordinary shuffled hash/SMJ that partitions on the
+    TIME bin, so it scales out and a hot moment in time spreads no
+    worse than the data itself. The plan pin (tests) asserts no
+    BroadcastNestedLoopJoin/CartesianProduct survives.
+
+    Bin arithmetic uses integer epoch seconds (unix_timestamp):
+    boundaries sit on whole-second multiples of the span, so µs
+    truncation never moves a row across a bin edge; the residual
+    compares the full-precision timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_of = lambda c: F.floor(F.unix_timestamp(F.col(c)) / J20_BIN_S)  # noqa: E731
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("err_id"), F.col("ts").alias("e_ts"))
+        .withColumn(
+            "bin",
+            F.explode(
+                F.array(
+                    bin_of("e_ts") - F.lit(1), bin_of("e_ts"), bin_of("e_ts") + F.lit(1)
+                )
+            ),
+        )
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("ts").alias("p_ts"))
+        .withColumn("bin", bin_of("p_ts"))
+    )
+    return (
+        errors.join(
+            purchases,
+            (errors.bin == purchases.bin)
+            & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("err_id")
+        .agg(F.count("*").cast("long").alias("n_nearby"))
+    )

@@ -255,3 +255,34 @@ class TestBucketedIntervalJoin:
             pb = p_sec // T19_BUCKET_S
             assert pb - sb in (0, 1)
             assert sb in (pb, pb - 1)
+
+
+class TestBinnedRangeJoin:
+    def test_j20_matches_nested_loop_form(self, spark):
+        """The binned rewrite must equal the naive theta join (each
+        qualifying pair matches at exactly one candidate bin)."""
+        j20 = registry.QUERIES["j20_binned_range_join"]
+        ev = load_table(spark, SF_DIR, "events")
+        e = ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("err_id"), F.col("ts").alias("e_ts")
+        )
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("ts").alias("p_ts")
+        )
+        naive = (
+            e.join(
+                p,
+                (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
+                & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 1 HOUR")),
+            )
+            .groupBy("err_id")
+            .agg(F.count("*").cast("long").alias("n_nearby"))
+        )
+        got = {tuple(r) for r in j20(spark, SF_DIR).collect()}
+        want = {tuple(r) for r in naive.collect()}
+        assert got == want
+
+    def test_j20_plan_has_no_nested_loop(self, spark):
+        plan = _formatted(registry.QUERIES["j20_binned_range_join"](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
