@@ -144,6 +144,13 @@ QUERIES = [
     # flattest possible ladder shape; a superlinear step here would
     # mean scan-layer trouble, nothing else.
     "ds11_timeband_counts",
+    # j20: pure range join via time-span binning — pair count is
+    # density-bounded (events/hour grows ~3× on the stretched 10×
+    # timeline), so the ratio tracks output pairs, not |A|·|B|.
+    "j20_binned_range_join",
+    # ds12: one conditional-agg scan reduces to day grain before the
+    # running windows — O(days) frames after the first exchange.
+    "ds12_cumulative_crossover",
 ]
 
 

@@ -1808,3 +1808,99 @@ def ds11_timeband_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lo, hi in DS11_BANDS
     ]
     return ev.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# DS12: TPC-DS Q51 shape — cumulative channel crossover.
+# ---------------------------------------------------------------------------
+
+DS12_TOPK = 30
+
+DS12_ORACLE = f"""
+WITH clicks AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c_cents
+  FROM events WHERE event_type = 'click' GROUP BY d
+),
+purchases AS (
+  SELECT date_trunc('day', ts) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS p_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY d
+),
+merged AS (
+  SELECT coalesce(c.d, p.d) AS d,
+         coalesce(c.c_cents, 0) AS c_cents,
+         coalesce(p.p_cents, 0) AS p_cents
+  FROM clicks c FULL OUTER JOIN purchases p ON c.d = p.d
+),
+cum AS (
+  SELECT d,
+         CAST(sum(c_cents) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_click,
+         CAST(sum(p_cents) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_purch
+  FROM merged
+)
+SELECT CAST(d AS TIMESTAMP) AS day_start, cum_click, cum_purch,
+       cum_purch - cum_click AS lead_cents
+FROM cum
+WHERE cum_purch > cum_click
+ORDER BY lead_cents DESC, day_start
+LIMIT {DS12_TOPK}
+"""
+
+
+@query("ds12_cumulative_crossover", oracle=DS12_ORACLE)
+def ds12_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-Q51 shape: two channels aggregated to a common grain,
+    FULL OUTER joined on it, running totals compared — "days where
+    cumulative purchase revenue leads cumulative click value, ranked
+    by the lead". Q51 does web vs store sales per item; here the
+    channels are event types over the shared day grain.
+
+    Scale: each channel reduces map-side to AT MOST one row per day
+    BEFORE any join — the full-outer join and both running windows
+    operate on day-grain frames (O(days), thousands of rows at any
+    corpus size), so the only fact-sized work is two pushed-filter
+    scans fused... actually ONE scan: both channel aggregates come
+    from a single conditional-aggregation pass (ds11's trick applied
+    to Q51), so lineitem-style double-scanning never happens. The
+    full-outer join of Q51 degenerates to the conditional aggregate's
+    day rows (a day missing one channel holds a zero) — same
+    semantics, zero join; the oracle keeps the canonical
+    two-CTE + FULL OUTER form, proving the fusion equivalent.
+    Exact-cent fixed point; the unbounded windows order by the day
+    key alone (unique per row, so the frame is total-order stable).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day_start"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+            .cast("long")
+            .alias("c_cents"),
+            F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+            .cast("long")
+            .alias("p_cents"),
+        )
+    )
+    w = Window.orderBy("day_start").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = daily.select(
+        "day_start",
+        F.sum("c_cents").over(w).cast("long").alias("cum_click"),
+        F.sum("p_cents").over(w).cast("long").alias("cum_purch"),
+    )
+    return (
+        cum.filter(F.col("cum_purch") > F.col("cum_click"))
+        .select(
+            "day_start",
+            "cum_click",
+            "cum_purch",
+            (F.col("cum_purch") - F.col("cum_click")).cast("long").alias("lead_cents"),
+        )
+        .orderBy(F.desc("lead_cents"), "day_start")
+        .limit(DS12_TOPK)
+    )
