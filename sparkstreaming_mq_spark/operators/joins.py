@@ -928,6 +928,12 @@ def j18_hybrid_skew_join(
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") >= hot_min)
         .select("l_orderkey")
+        # the frame is bounded (≤ N/hot_min rows) but REFERENCED THREE
+        # times (fact semi, fact anti, dim semi): without lineage
+        # truncation each broadcast would re-run the fact count-scan.
+        # localCheckpoint materializes it once (lazy — first use pays
+        # the one job; the g1/l8 trade-off, here on a tiny frame).
+        .localCheckpoint(eager=False)
     )
     li_hot = li.join(F.broadcast(hot), "l_orderkey", "left_semi")
     li_cold = li.join(F.broadcast(hot), "l_orderkey", "left_anti")
