@@ -78,6 +78,11 @@ HEADLINES = {
     "j17_lateral_topk": "LATERAL decorrelated to rank window + Partial/Final WindowGroupLimit — no per-outer-row re-execution",
     "ds10_moving_deviation": "lag+lead in ONE window over group-sized cells (no monthly self-joins); TakeOrderedAndProject top-k",
     "q02b_min_cost_supplier_bucketed": "bucketed window probe: ZERO shuffle Exchanges — min-cost window rides the bucket distribution",
+    "w6_twophase_topk": "two Window exchanges; the second moves only the |groups|*salts*k bucket survivors",
+    "j18_hybrid_skew_join": "hot keys take BroadcastHashJoin (never shuffle); cold remainder keeps the planner's join; one union aggregate",
+    "j20_binned_range_join": "pure range predicate planned as a hash join on the time bin — NO BroadcastNestedLoopJoin/CartesianProduct",
+    "ds11_timeband_counts": "eight count(CASE) cells from ONE pushed-filter scan (canonical Q88 scans 8x)",
+    "ds12_cumulative_crossover": "ONE conditional-agg scan replaces both channel CTEs and the FULL OUTER join; windows on O(days) frames",
 }
 
 
