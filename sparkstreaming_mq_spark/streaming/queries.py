@@ -3245,3 +3245,96 @@ def t18b_rocksdb_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     RocksDB twin matrix (t14b agg chain, t15b join chain, t16b dedup
     chain, s19b generator state, now sketch state)."""
     return _run_under_rocksdb(spark, t18_stream_quantile_sketch, sf_dir)
+
+
+# --- T20: streaming CDC apply — per-batch MERGE into a keyed store -----------
+
+T20_CHUNKS = 4
+
+
+@query(
+    "t20_stream_cdc_upsert",
+    oracle="""
+SELECT user_id,
+       date_trunc('second', ts) AS last_ts,
+       event_type AS last_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS last_cents
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def t20_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC APPLY: each micro-batch MERGES into a keyed store
+    so the materialized "current state per user" table is maintained
+    batch-by-batch — the Delta-style `MERGE INTO` loop (and the
+    streaming twin of m1_merge_upsert), not s7's post-hoc log
+    compaction: mid-stream the store is a queryable consistent
+    snapshot, and the final table IS the answer with no second pass
+    over the log.
+
+    Merge rule is greatest-wins CDC, not blind overwrite: per batch
+    the arriving changes first collapse to one row per key (max
+    (ts, event_id) — the within-batch dedup every CDC applier needs),
+    then a FULL OUTER merge against the store keeps whichever side is
+    newer by the same total order. That makes the result independent
+    of replay order — correct even though this time-ordered replay
+    happens to deliver monotonically increasing timestamps. Each
+    epoch writes a NEW version directory and an atomic pointer swap
+    publishes it (the o13 manifest idea, one version per epoch), so a
+    retried epoch rewrites its own version idempotently and readers
+    never see a half-written store. State per key is O(1); the store
+    is user-cardinality; versions are garbage for a vacuum, exactly
+    like any LSM/Delta table. The oracle is the batch SQL "last row
+    per key" — the invariant the incremental merge must preserve.
+    """
+    import os
+    import tempfile
+
+    stream = read_events_stream_chunked(
+        spark, sf_dir, n_chunks=T20_CHUNKS, order="time"
+    ).select("user_id", "ts", "event_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="sparkgraft_cdc_")
+    latest: list[str] = []  # driver-side pointer (one process; o13 uses a file)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        delta = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if latest:
+            cur = batch_df.sparkSession.read.parquet(latest[-1])
+            merged = (
+                cur.unionByName(delta)
+                .withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy("user_id").orderBy(
+                            F.col("ts").desc(), F.col("event_id").desc()
+                        )
+                    ),
+                )
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            merged = delta
+        v = os.path.join(base, f"v{epoch_id}")
+        merged.write.mode("overwrite").parquet(v)
+        latest.append(v)
+
+    run_stream_foreach_batch(stream, apply_batch)
+    final = spark.read.parquet(latest[-1])
+    return final.select(
+        "user_id",
+        F.date_trunc("second", "ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("last_cents"),
+    )

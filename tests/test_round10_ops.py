@@ -286,3 +286,31 @@ class TestBinnedRangeJoin:
         plan = _formatted(registry.QUERIES["j20_binned_range_join"](spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestStreamCdcUpsert:
+    def test_t20_store_versions_and_final_state(self, spark):
+        """Each epoch publishes a new version; the final version holds
+        exactly one row per user and equals the batch last-per-key."""
+        t20 = registry.QUERIES["t20_stream_cdc_upsert"]
+        out = t20(spark, SF_DIR)
+        rows = out.collect()
+        users = [r.user_id for r in rows]
+        assert len(users) == len(set(users))  # one row per key
+        ev = load_table(spark, SF_DIR, "events")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        want = {
+            (r.user_id, r.last_type)
+            for r in ev.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select(
+                "user_id", F.col("event_type").alias("last_type")
+            )
+            .collect()
+        }
+        got = {(r.user_id, r.last_type) for r in rows}
+        assert got == want
