@@ -151,6 +151,9 @@ QUERIES = [
     # ds12: one conditional-agg scan reduces to day grain before the
     # running windows — O(days) frames after the first exchange.
     "ds12_cumulative_crossover",
+    # t20: per-batch CDC merge — store rewrite is O(users) per epoch,
+    # so the ladder tracks users (×5 at 10×) + events, not epochs².
+    "t20_stream_cdc_upsert",
 ]
 
 
