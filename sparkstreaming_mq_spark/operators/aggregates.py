@@ -1413,3 +1413,49 @@ def a15_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sxy - sx * sy / n) / (n - F.lit(1))).alias("covar_samp"),
         ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope_cents_per_qty"),
     )
+
+
+# --- A15: exact grouped mode (most frequent value per group) -----------------
+
+
+@query(
+    "a15_grouped_mode",
+    oracle="""
+SELECT user_id, event_type AS mode_type, n
+FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events
+  GROUP BY user_id, event_type
+)
+WHERE rn = 1
+""",
+)
+def a15_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group — the classic descriptive statistic the
+    a2/a11/a14 family lacked: each user's most frequent event type,
+    with a deterministic tie-break (higher count first, then type
+    name) so both engines pick the same winner.
+
+    Scale: the (user, type) count aggregate is map-side combinable
+    (state = one counter per live pair, bounded by |users|·|types|);
+    the rank window then partitions by user over frames of ≤ |types|
+    rows — so the second exchange moves GROUP-cardinality data, never
+    event-cardinality, and its per-partition frames are constant-size
+    (no hot-window risk even for a 20%-hot user: that user still has
+    ≤ |types| rows here). The same two-exchange shape is Spark's own
+    `mode()` aggregate, written out so the tie-break is explicit and
+    cross-engine deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
