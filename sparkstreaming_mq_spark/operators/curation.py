@@ -1646,3 +1646,85 @@ def l42_novelty_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_novel * 10000) div n_shingles").alias("novelty_bp"),
         )
     )
+
+
+# --- L47: shingle-df skew profile (the o18 of the text pipeline) -------------
+
+L47_HOT_PPM = 100_000  # df >= 10% of docs -> "boilerplate tier"
+
+
+@query(
+    "l47_shingle_df_profile",
+    oracle=f"""
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - {L38_NGRAM} + 2, 1)),
+           i -> array_to_string(toks[i:i + {L38_NGRAM} - 1], ' ')))) AS ng
+  FROM tokd
+),
+freq AS (
+  SELECT ng, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY ng
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM tokd)
+SELECT CAST(count(*) AS BIGINT)                         AS n_shingles,
+       CAST(sum(df) AS BIGINT)                          AS n_postings,
+       CAST(max(df) AS BIGINT)                          AS max_df,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossdoc,
+       CAST(sum(CASE WHEN df * 1000000 >= {L47_HOT_PPM} * nd.n_docs
+                     THEN 1 ELSE 0 END) AS BIGINT)      AS n_boilerplate,
+       CAST((max(df) * 1000000) // nd.n_docs AS BIGINT) AS max_df_ppm
+FROM freq, nd
+GROUP BY nd.n_docs
+""",
+)
+def l47_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The o18_skew_profile of the TEXT pipeline: the document-
+    frequency distribution of the corpus's 8-token shingles — the
+    metadata-cheap pre-flight that tells a dedup run whether its
+    fp-keyed exchanges (l38/l42) and LSH bands (l2) face boilerplate
+    hot keys BEFORE paying for them. `n_boilerplate` counts shingles
+    owned by ≥10% of docs (the planted r10 skew-rung sentence shows
+    up here as 13 such shingles); `max_df_ppm` is the single hottest
+    shingle's reach in parts-per-million of the corpus — the number
+    that decides between the map-side-combinable formulations the
+    repo already uses (safe at any df, measured 1.0-1.1× under 20%
+    skew) and df-capped "stop-shingle" exclusion when even the
+    posting EXPLODE becomes the cost.
+
+    Scale: one NGram map pass (compiled, the interpreted-HOF trap
+    documented on `_shingle_postings`), one map-side-combinable df
+    aggregate, then a SIX-counter global rollup — the profile frame
+    after the first exchange is |distinct shingles|, and output is
+    one row. All counters exact integers (ppm in integer math), so
+    the oracle is the identical fused form."""
+    d = load_table(spark, sf_dir, "documents")
+    dngs = _distinct_shingle_arrays(d, L38_NGRAM, "doc_id")
+    n_docs = d.count()  # one scalar; the fixture/doc count, not data
+    freq = (
+        dngs.select(F.explode("_dngs").alias("ng"))
+        .groupBy("ng")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    return freq.agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.max("df").cast("long").alias("max_df"),
+        F.sum((F.col("df") >= 2).cast("long")).cast("long").alias("n_crossdoc"),
+        # BOTH literals cast to BIGINT before the product: at 100×
+        # n_docs=500k and 100_000 × 500_000 overflows an INT32 fold
+        # under ANSI (the ds8 lesson; caught by this round's 100×
+        # rung before the operator ever shipped un-laddered)
+        F.sum(
+            (
+                F.col("df") * F.lit(1_000_000).cast("long")
+                >= F.lit(L47_HOT_PPM).cast("long") * F.lit(int(n_docs)).cast("long")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_boilerplate"),
+        F.expr(f"(max(df) * 1000000) div {n_docs}").cast("long").alias("max_df_ppm"),
+    )
