@@ -70,6 +70,20 @@ HEADLINE2 = [
     "s19_stream_gapfill",
 ]
 
+# Third headline set (r11, VERDICT r10 item 4): the round-10
+# operators existed only in one-off ladder snapshots, so the driver's
+# per-round BENCH could never see a regression in them. The 4 heaviest
+# (t19's bucketed interval join, j18's hybrid skew join, j20's pure
+# range join, t20's delta-pruned CDC merge) get their own slice,
+# recorded as value3/queries3; its first measured run is its BASELINE
+# row, same protocol as bench2.
+HEADLINE3 = [
+    "t19_bucketed_interval_join",
+    "j18_hybrid_skew_join",
+    "j20_binned_range_join",
+    "t20_stream_cdc_upsert",
+]
+
 # timed runs (median) for fast queries. 3 since r6 (verdict item: a
 # median of 2 is just the midpoint of two samples — under the
 # documented VM-freshness drift a true median of 3 is the honest
@@ -144,9 +158,11 @@ def main() -> None:
 
     results = run_set(HEADLINE)
     results2 = run_set(HEADLINE2)
+    results3 = run_set(HEADLINE3)
 
     total = round(sum(t for t in results.values() if t >= 0), 3)
     total2 = round(sum(t for t in results2.values() if t >= 0), 3)
+    total3 = round(sum(t for t in results3.values() if t >= 0), 3)
     print(
         json.dumps(
             {
@@ -156,6 +172,8 @@ def main() -> None:
                 "queries": results,
                 "value2": total2,
                 "queries2": results2,
+                "value3": total3,
+                "queries3": results3,
                 "sf": os.path.basename(os.path.normpath(sf_dir)),
                 "machine": machine_freshness(),
             }

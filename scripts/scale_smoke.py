@@ -151,9 +151,13 @@ QUERIES = [
     # ds12: one conditional-agg scan reduces to day grain before the
     # running windows — O(days) frames after the first exchange.
     "ds12_cumulative_crossover",
-    # t20: per-batch CDC merge — store rewrite is O(users) per epoch,
-    # so the ladder tracks users (×5 at 10×) + events, not epochs².
+    # t20: per-batch CDC merge — since r11 delta-pruned (only touched
+    # buckets rewrite), so the ladder tracks users (×5 at 10×) +
+    # events, not epochs²; rewrite-BYTES evidence is cdc_rewrite_probe.
     "t20_stream_cdc_upsert",
+    # a15 (r11, VERDICT r10 item 5): two-exchange grouped-mode shape is
+    # group-bounded — the rung proves the flatness claim.
+    "a15_grouped_mode",
 ]
 
 

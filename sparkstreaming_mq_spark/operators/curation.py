@@ -1709,7 +1709,7 @@ def l47_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ng")
         .agg(F.count("*").cast("long").alias("df"))
     )
-    return freq.agg(
+    prof = freq.agg(
         F.count("*").cast("long").alias("n_shingles"),
         F.sum("df").cast("long").alias("n_postings"),
         F.max("df").cast("long").alias("max_df"),
@@ -1728,3 +1728,8 @@ def l47_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_boilerplate"),
         F.expr(f"(max(df) * 1000000) div {n_docs}").cast("long").alias("max_df_ppm"),
     )
+    # Degenerate-corpus parity (ADVICE r10): with zero 8-token
+    # shingles Spark's global agg still emits one (0, null, ...) row,
+    # but the oracle's GROUP BY over the empty freq×nd join emits
+    # none — drop the empty-profile row so both engines agree.
+    return prof.filter(F.col("n_shingles") > 0)

@@ -888,7 +888,10 @@ GROUP BY o.o_orderpriority
 """,
 )
 def j18_hybrid_skew_join(
-    spark: SparkSession, sf_dir: str, hot_min: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    hot_min: int | None = None,
+    key_profile: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid skew join: route HOT fact keys through a broadcast join
     and the cold remainder through the normal shuffle join — the
@@ -901,8 +904,15 @@ def j18_hybrid_skew_join(
     Mechanics: one map-side-combinable count pass finds keys with ≥
     ``hot_min`` fact rows — at most N/hot_min keys, a frame bounded
     small by construction (100k default → ≤ 10 hot keys per 1M-row
-    key span; in production this comes from a maintained stats table
-    or CMS sketch instead of a rescan). The hot-key frame broadcasts
+    key span). Since r11 (VERDICT r10 item 6) the count pass is
+    SKIPPABLE: pass ``key_profile`` — a (key, cnt) per-key count
+    frame, exactly o18_skew_profile's intermediate and the shape a
+    maintained stats table serves — and the hot-key frame derives
+    from the profile instead of a fact rescan, leaving the cold path
+    with ONE lineitem scan (pytest pins the scan count). The
+    registered no-argument form keeps the self-computed pass so the
+    oracle and driver behavior are unchanged. The hot-key frame
+    broadcasts
     three ways: a LEFT SEMI to carve the hot fact slice, a LEFT ANTI
     for the cold slice, and a LEFT SEMI on the dim to carve the ≤
     |hot keys| matching dim rows, which then BROADCAST-join the hot
@@ -923,18 +933,33 @@ def j18_hybrid_skew_join(
         F.col("o_orderdate") >= F.lit(J18_DATE_LO).cast("timestamp")
     ).select("o_orderkey", "o_orderpriority")
 
-    hot = (
-        li.groupBy("l_orderkey")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") >= hot_min)
-        .select("l_orderkey")
-        # the frame is bounded (≤ N/hot_min rows) but REFERENCED THREE
-        # times (fact semi, fact anti, dim semi): without lineage
-        # truncation each broadcast would re-run the fact count-scan.
-        # localCheckpoint materializes it once (lazy — first use pays
-        # the one job; the g1/l8 trade-off, here on a tiny frame).
-        .localCheckpoint(eager=False)
-    )
+    if key_profile is not None:
+        # stats-table path: the profile already holds per-key counts
+        # (o18's (key, cnt) frame) — no fact rescan at all
+        hot = (
+            key_profile.filter(F.col("cnt") >= hot_min)
+            .select(F.col("key").alias("l_orderkey"))
+        )
+    else:
+        hot = (
+            li.groupBy("l_orderkey")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") >= hot_min)
+            .select("l_orderkey")
+            # the frame is bounded (≤ N/hot_min rows) but REFERENCED
+            # THREE times (fact semi, fact anti, dim semi): without
+            # lineage truncation each broadcast would re-run the fact
+            # count-scan. localCheckpoint materializes it once (lazy —
+            # first use pays the one job; the g1/l8 trade-off, here on
+            # a tiny frame). Caveat (ADVICE r10): localCheckpoint
+            # blocks live on executors — on a cluster that can LOSE
+            # executors mid-query the three consumers would fail
+            # rather than recompute; there, persist()+count() or a
+            # reliable checkpoint (or the key_profile path above,
+            # which removes the shared frame entirely) is the right
+            # form. Acceptable in this single-JVM harness.
+            .localCheckpoint(eager=False)
+        )
     li_hot = li.join(F.broadcast(hot), "l_orderkey", "left_semi")
     li_cold = li.join(F.broadcast(hot), "l_orderkey", "left_anti")
     o_hot = o.join(

@@ -61,8 +61,19 @@ def materialize_bucketed(
         try:
             os.rename(tmp_path, path)
         except OSError:
-            # another process published first — ours is redundant
+            # rename refused because `path` exists. Under THIS protocol
+            # that means another process published first (its dir is
+            # complete: rename is atomic). But a dir left by a crashed
+            # pre-r10 in-place writer would also trip this — verify the
+            # winner is complete before registering a catalog table
+            # over it (ADVICE r10: never DDL over a partial dir).
             shutil.rmtree(tmp_path, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise RuntimeError(
+                    f"bucketed publish target {path} exists without "
+                    "_SUCCESS — stale partial dir from a non-atomic "
+                    "writer; remove it and retry"
+                )
     cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )

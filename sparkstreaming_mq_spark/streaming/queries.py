@@ -1939,6 +1939,9 @@ T15_DELAY = "4 hours"
 
 
 @query(
+    # NEGATIVE CONTROL: equality-key-only interval-join state — the
+    # measured O(hot²) skew pathology. Production form = t19 (bucketed
+    # key). Slot + oracle deliberately retained; see docstring.
     "t15_join_then_window",
     oracle=f"""
 WITH c AS (
@@ -1988,12 +1991,20 @@ def t15_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the ntile chunking, both per-side watermark
     maxima, the batch-equal inner join, and that single cut.
 
-    Scale: join state is bounded by the 2 h interval condition × the
-    4 h delay per user; the day-level agg state is a handful of rows
-    per day. The join shuffle keys both sides on user_id and the
-    rollup reuses the joined stream without re-reading the source —
-    the one-query replacement for a join-job + rollup-job pipeline
-    with an intermediate topic.
+    Scale — **DOCUMENTED NEGATIVE CONTROL (r10 disposition; do NOT
+    copy this shape for production interval joins — use t19)**: the
+    join state here is keyed by the EQUALITY columns only (user_id);
+    the time condition filters AFTER the per-key state scan. Per-user
+    state is bounded by the 2 h interval × 4 h delay only under
+    uniform arrivals — a hot user is O(hot²) state rescans serialized
+    on ONE state partition. Measured (BASELINE.md "Streaming-state
+    skew"): 790.5 s at skew-30×, ABORTED ≥48 min at skew-100×
+    (uniform-100× is 110.7 s). t19_bucketed_interval_join is the
+    lossless production form — event-time bucket IN the equality key,
+    1.03× under the same skew, bit-identical output, and 4× faster
+    even on uniform data. t15 stays registered, slot and oracle
+    unchanged, precisely so the pathology and its fix remain a
+    measured, regression-checked pair.
     """
     base = read_events_stream_chunked(
         spark, sf_dir, n_chunks=T15_CHUNKS, order="time"
@@ -2277,6 +2288,113 @@ def j10c_stream_outer_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = signups.join(
         purchases,
         (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+        "left_outer",
+    ).select(
+        "user_id",
+        F.date_trunc("second", "s_ts").alias("signup_ts"),
+        F.date_trunc("second", "p_ts").alias("purchase_ts"),
+        F.round("value", 4).alias("value"),
+    )
+    return run_stream_to_table(joined, "append")
+
+
+# --- J10d: skew-resistant (time-bucketed) stream-stream LEFT OUTER join ------
+
+
+@query(
+    "j10d_bucketed_outer_join",
+    oracle=f"""
+WITH c AS (
+  SELECT ts, event_id, user_id, event_type, value,
+         ntile({J10C_CHUNKS}) OVER (ORDER BY ts, event_id) - 1 AS chunk
+  FROM events
+),
+wm AS (
+  SELECT least(
+           (SELECT max(ts) FROM c WHERE chunk <= {J10C_CHUNKS - 2}
+            AND event_type = 'signup'),
+           (SELECT max(ts) FROM c WHERE chunk <= {J10C_CHUNKS - 2}
+            AND event_type = 'purchase')
+         ) - INTERVAL 4 HOUR AS w
+),
+s AS (SELECT user_id, ts AS s_ts FROM c WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts AS p_ts, value FROM c WHERE event_type = 'purchase'),
+matched AS (
+  SELECT s.user_id,
+         date_trunc('second', s.s_ts) AS signup_ts,
+         date_trunc('second', p.p_ts) AS purchase_ts,
+         round(p.value, 4) AS value
+  FROM s JOIN p ON s.user_id = p.user_id
+   AND p.p_ts >= s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 2 HOUR
+),
+nulls AS (
+  SELECT u.user_id,
+         date_trunc('second', u.s_ts) AS signup_ts,
+         CAST(NULL AS TIMESTAMP) AS purchase_ts,
+         CAST(NULL AS DOUBLE) AS value
+  FROM s u, wm
+  WHERE NOT EXISTS (
+          SELECT 1 FROM p WHERE p.user_id = u.user_id
+           AND p.p_ts >= u.s_ts AND p.p_ts <= u.s_ts + INTERVAL 2 HOUR)
+    AND u.s_ts + INTERVAL 2 HOUR < wm.w
+)
+SELECT * FROM matched UNION ALL SELECT * FROM nulls
+""",
+)
+def j10d_bucketed_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j10c's LEFT OUTER stream-stream join made hot-key-safe by the
+    t19 rewrite (VERDICT r10 item 3: j10b/j10c buffer state keyed by
+    user_id only — exactly t15's measured O(hot²) pathology shape):
+    event time floors to the 2 h interval span, the bucket goes INTO
+    the equality key, and the PROBE (purchase) side explodes to
+    {{bucket, bucket−1}} so every valid pair meets in exactly the
+    signup's bucket.
+
+    Outer-emission mechanics RE-MEASURED for the bucketed key (not
+    assumed from j10c): matched rows are the inner join, emitted
+    eagerly when the later side arrives — identical to j10c because
+    each pair matches in exactly one bucket and the signup side is
+    never exploded (one state row per signup → at most one null row).
+    The null-row cut is unchanged too — measured at sf0.001/0.01/0.1,
+    a null emits iff s_ts + 2h (the interval upper bound) < W_final —
+    because Spark derives the signup side's eviction predicate from
+    the TIME-RANGE condition, and the added bucket equality is a
+    strictly-finer state partitioning of the same rows, not a new
+    time bound. Hence j10c's measured-mechanics oracle verbatim.
+
+    Scale: hot-user state spreads across timeline buckets (state scans
+    O(rows per user per 2 h bucket)); cost is the 2× probe-side
+    explode, same trade t19 measured at 1.03× under a 10%-hot user
+    where t15 aborted.
+    """
+    bkt = lambda col: F.floor(F.unix_timestamp(F.col(col)) / T19_BUCKET_S)  # noqa: E731
+    signups = (
+        read_events_stream_chunked(spark, sf_dir, n_chunks=J10C_CHUNKS, order="time")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("s_ts"))
+        .withColumn("s_bucket", bkt("s_ts"))
+        .withWatermark("s_ts", "4 hours")
+    )
+    purchases = (
+        read_events_stream_chunked(spark, sf_dir, n_chunks=J10C_CHUNKS, order="time")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withColumn(
+            "p_bucket",
+            F.explode(F.array(bkt("p_ts"), bkt("p_ts") - F.lit(1))),
+        )
+        .withWatermark("p_ts", "4 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("s_bucket") == F.col("p_bucket"))
         & (F.col("p_ts") >= F.col("s_ts"))
         & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
         "left_outer",
@@ -3250,6 +3368,127 @@ def t18b_rocksdb_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- T20: streaming CDC apply — per-batch MERGE into a keyed store -----------
 
 T20_CHUNKS = 4
+T20_BUCKETS = 16
+
+
+def _cdc_bucket_expr(n_buckets: int):
+    """Deterministic store bucket for a user key. crc32-of-string, not
+    F.hash: the bucket id must be stable across Spark versions because
+    it is baked into the store's file layout (a rehash would orphan
+    every existing bucket file)."""
+    return F.pmod(
+        F.crc32(F.col("user_id").cast("string")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def cdc_upsert_run(
+    spark: SparkSession,
+    stream: DataFrame,
+    n_buckets: int = T20_BUCKETS,
+) -> tuple[DataFrame, list[dict]]:
+    """Delta-pruned streaming MERGE engine (shared by t20 and the scale
+    measurement script). The keyed store is hash-bucketed by user_id
+    into ``n_buckets`` files; each epoch rewrites ONLY the buckets that
+    contain an arriving key and carries every untouched bucket forward
+    as a pointer in a per-epoch manifest — per-epoch write work is
+    O(|store ∩ touched buckets|), bounded by O(|delta keys| × avg
+    bucket size), NOT O(|store|) (the r10 verdict's full-rewrite
+    anti-shape: real Delta/Iceberg MERGE touches only files containing
+    matched keys; this is that file-pruning, with buckets as the
+    files).
+
+    Retry-idempotent by construction (ADVICE r10): epoch e always
+    merges against the newest manifest with epoch' < e, so a retried
+    epoch re-reads the pre-e store — never its own half-written
+    output — and overwrites v{e} whole. Returns (final store
+    DataFrame, per-epoch stats [{epoch, touched, n_buckets,
+    bytes_written, store_buckets}]) ; stats power the BASELINE
+    rewrite-bytes comparison.
+    """
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sparkgraft_cdc_")
+    # epoch -> {bucket_id: published dir for that bucket's current rows}
+    manifests: dict[int, dict[int, str]] = {}
+    stats: list[dict] = []
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        delta = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("__bucket", _cdc_bucket_expr(n_buckets))
+        )
+        # bucket ids arriving this epoch — bounded by n_buckets, the
+        # one driver-side collect (a handful of ints, never row data)
+        touched = sorted(
+            r["__bucket"] for r in delta.select("__bucket").distinct().collect()
+        )
+        prior_epochs = [e for e in manifests if e < epoch_id]
+        prior = manifests[max(prior_epochs)] if prior_epochs else {}
+        if not touched:  # zero-row batch: carry the store forward
+            manifests[epoch_id] = dict(prior)
+            return
+        prior_paths = [prior[b] for b in touched if b in prior]
+        if prior_paths:
+            # partitionBy stripped __bucket from the files; recompute —
+            # same deterministic expression, same ids
+            cur = sess.read.parquet(*prior_paths).withColumn(
+                "__bucket", _cdc_bucket_expr(n_buckets)
+            )
+            merged = (
+                cur.unionByName(delta)
+                .withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy("user_id").orderBy(
+                            F.col("ts").desc(), F.col("event_id").desc()
+                        )
+                    ),
+                )
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            merged = delta
+        vdir = os.path.join(base, f"v{epoch_id}")
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(vdir)
+        nxt = dict(prior)
+        written = 0
+        for b in touched:
+            bdir = os.path.join(vdir, f"__bucket={b}")
+            # merge never drops keys, so every touched bucket has rows
+            nxt[b] = bdir
+            written += sum(
+                os.path.getsize(os.path.join(bdir, f))
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            )
+        manifests[epoch_id] = nxt
+        stats.append(
+            {
+                "epoch": epoch_id,
+                "touched": len(touched),
+                "n_buckets": n_buckets,
+                "bytes_written": written,
+                "store_buckets": len(nxt),
+            }
+        )
+
+    run_stream_foreach_batch(stream, apply_batch)
+    if not manifests:  # zero-batch stream (ADVICE r10 IndexError guard)
+        return (
+            spark.createDataFrame([], stream.schema),
+            stats,
+        )
+    last = manifests[max(manifests)]
+    final = spark.read.parquet(*sorted(set(last.values())))
+    return final, stats
 
 
 @query(
@@ -3279,59 +3518,27 @@ def t20_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Merge rule is greatest-wins CDC, not blind overwrite: per batch
     the arriving changes first collapse to one row per key (max
     (ts, event_id) — the within-batch dedup every CDC applier needs),
-    then a FULL OUTER merge against the store keeps whichever side is
-    newer by the same total order. That makes the result independent
-    of replay order — correct even though this time-ordered replay
-    happens to deliver monotonically increasing timestamps. Each
-    epoch writes a NEW version directory and an atomic pointer swap
-    publishes it (the o13 manifest idea, one version per epoch), so a
-    retried epoch rewrites its own version idempotently and readers
-    never see a half-written store. State per key is O(1); the store
-    is user-cardinality; versions are garbage for a vacuum, exactly
-    like any LSM/Delta table. The oracle is the batch SQL "last row
-    per key" — the invariant the incremental merge must preserve.
-    """
-    import os
-    import tempfile
+    then the merge keeps whichever side is newer by the same total
+    order. That makes the result independent of replay order — correct
+    even though this time-ordered replay happens to deliver
+    monotonically increasing timestamps.
 
+    Since r11 the store is DELTA-PRUNED (the r10 verdict's top item):
+    hash-bucketed by user_id, and each epoch rewrites only buckets
+    containing arriving keys — untouched buckets ride forward as
+    manifest pointers, so per-epoch write work scales with |delta|'s
+    bucket footprint, not |store| (see ``cdc_upsert_run``). Each epoch
+    still publishes an immutable new version (manifest per epoch, the
+    o13 idea) and a retried epoch merges against the newest manifest
+    STRICTLY OLDER than itself — never its own output (ADVICE r10).
+    The oracle is the batch SQL "last row per key" — the invariant the
+    incremental merge must preserve, unchanged from the full-rewrite
+    form.
+    """
     stream = read_events_stream_chunked(
         spark, sf_dir, n_chunks=T20_CHUNKS, order="time"
     ).select("user_id", "ts", "event_id", "event_type", "value")
-    base = tempfile.mkdtemp(prefix="sparkgraft_cdc_")
-    latest: list[str] = []  # driver-side pointer (one process; o13 uses a file)
-
-    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        delta = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        if latest:
-            cur = batch_df.sparkSession.read.parquet(latest[-1])
-            merged = (
-                cur.unionByName(delta)
-                .withColumn(
-                    "__rn",
-                    F.row_number().over(
-                        Window.partitionBy("user_id").orderBy(
-                            F.col("ts").desc(), F.col("event_id").desc()
-                        )
-                    ),
-                )
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-        else:
-            merged = delta
-        v = os.path.join(base, f"v{epoch_id}")
-        merged.write.mode("overwrite").parquet(v)
-        latest.append(v)
-
-    run_stream_foreach_batch(stream, apply_batch)
-    final = spark.read.parquet(latest[-1])
+    final, _stats = cdc_upsert_run(spark, stream, n_buckets=T20_BUCKETS)
     return final.select(
         "user_id",
         F.date_trunc("second", "ts").alias("last_ts"),
