@@ -158,6 +158,10 @@ QUERIES = [
     # a15 (r11, VERDICT r10 item 5): two-exchange grouped-mode shape is
     # group-bounded — the rung proves the flatness claim.
     "a15_grouped_mode",
+    # j10d (r11): bucketed-key LEFT OUTER stream-stream join — uniform
+    # cost is the 2× probe explode (t19's trade); skew contrast is the
+    # streaming-skew table's job.
+    "j10d_bucketed_outer_join",
 ]
 
 

@@ -1733,3 +1733,117 @@ def l47_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but the oracle's GROUP BY over the empty freq×nd join emits
     # none — drop the empty-profile row so both engines agree.
     return prof.filter(F.col("n_shingles") > 0)
+
+
+# ---------------------------------------------------------------------------
+# L49: directional shingle containment — near-superset / inclusion pairs.
+# ---------------------------------------------------------------------------
+
+L49_DF_CAP = 64         # shingles owned by more docs are boilerplate-tier:
+                        # excluded from pair GENERATION (not from the
+                        # denominator) — the l47 profile's stop-shingle cut,
+                        # baked into the contract on BOTH engines
+L49_MIN_SHINGLES = 10   # source docs below this have no stable denominator
+L49_MIN_PPM = 700_000   # containment >= 70%
+
+L49_ORACLE = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - {L38_NGRAM} + 2, 1)),
+           i -> array_to_string(toks[i:i + {L38_NGRAM} - 1], ' ')))) AS ng
+  FROM tokd
+),
+tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_src FROM sh GROUP BY doc_id
+),
+keep AS (
+  SELECT ng FROM sh GROUP BY ng HAVING count(*) <= {L49_DF_CAP}
+),
+shared AS (
+  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh a
+  JOIN keep k ON a.ng = k.ng
+  JOIN sh b ON b.ng = a.ng AND b.doc_id <> a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.src_doc, s.dst_doc,
+       t.n_src AS n_src_shingles,
+       s.n_shared,
+       s.n_shared * CAST(1000000 AS BIGINT) // t.n_src AS containment_ppm
+FROM shared s JOIN tot t ON t.doc_id = s.src_doc
+WHERE t.n_src >= {L49_MIN_SHINGLES}
+  AND s.n_shared * CAST(1000000 AS BIGINT)
+      >= CAST({L49_MIN_PPM} AS BIGINT) * t.n_src
+"""
+
+
+@query("l49_containment_pairs", oracle=L49_ORACLE)
+def l49_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle CONTAINMENT (Broder's other resemblance
+    measure): |S(a) ∩ S(b)| / |S(a)| — the near-SUPERSET detector that
+    symmetric Jaccard dedup (l2/l2b) structurally misses. A short doc
+    quoted whole inside a long one has containment ≈ 1 while Jaccard
+    ≈ |a|/|b| ≈ 0; this is the inclusion/quotation signal a curation
+    pipeline uses to drop embedded copies and wrapper pages that
+    survive resemblance-based dedup. Emits ordered pairs (src ⊆-ish
+    dst) with containment ≥ 70% over ≥ 10 distinct 8-token shingles.
+
+    Scale shape (the l38/l33 lessons composed): pair generation goes
+    through per-shingle owner SETS with a df-cap — a first O(1)-state
+    count pass finds boilerplate shingles (df > {L49_DF_CAP}, a SMALL
+    frame — l47's profile measures exactly how small), a broadcast
+    LEFT ANTI removes them from the postings, and only then does
+    collect_set run, with state bounded at df ≤ {L49_DF_CAP} per key
+    (the l33 bounded-fanout exemption, made true by construction
+    instead of assumed). Pair fan-out is ≤ df² ≤ {L49_DF_CAP}² per
+    shingle — never corpus-quadratic. Capped shingles still count in
+    the DENOMINATOR (n_src is the doc's full distinct-shingle size,
+    map-side from the array — zero exchange), they just can't
+    nominate candidates; the oracle applies the identical cap, so the
+    contract is engine-exact. The one corpus-sized exchange ships
+    128-bit fingerprints, not 8-token strings
+    (`_fingerprinted_postings`; collision bound documented there).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dngs = _distinct_shingle_arrays(d, L38_NGRAM, "doc_id")
+    fpost = _fingerprinted_postings(dngs, "doc_id")
+    hot = (
+        fpost.groupBy("fp1", "fp2")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > L49_DF_CAP)
+        .select("fp1", "fp2")
+    )
+    kept = fpost.join(F.broadcast(hot), ["fp1", "fp2"], "left_anti")
+    sets = kept.groupBy("fp1", "fp2").agg(F.collect_set("doc_id").alias("_ds"))
+    pairs = (
+        sets.select(F.explode("_ds").alias("src_doc"), "_ds")
+        .select("src_doc", F.explode("_ds").alias("dst_doc"))
+        .filter(F.col("src_doc") != F.col("dst_doc"))
+    )
+    shared = pairs.groupBy("src_doc", "dst_doc").agg(
+        F.count("*").cast("long").alias("n_shared")
+    )
+    totals = dngs.select(
+        "doc_id", F.size("_dngs").cast("long").alias("n_src_shingles")
+    ).filter(F.col("n_src_shingles") >= L49_MIN_SHINGLES)
+    return (
+        shared.join(totals, shared.src_doc == totals.doc_id)
+        .filter(
+            F.col("n_shared") * F.lit(1_000_000).cast("long")
+            >= F.lit(L49_MIN_PPM).cast("long") * F.col("n_src_shingles")
+        )
+        .select(
+            "src_doc",
+            "dst_doc",
+            "n_src_shingles",
+            "n_shared",
+            F.expr("n_shared * CAST(1000000 AS BIGINT) div n_src_shingles")
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+    )

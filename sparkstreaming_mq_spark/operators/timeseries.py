@@ -268,3 +268,70 @@ def ts3_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("value") > F.col("mean_val"), 1).otherwise(0)
         ).cast("long").alias("n_above"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS4: PAA downsampling — fixed-width piecewise-aggregate approximation.
+# ---------------------------------------------------------------------------
+
+TS4_SEGMENTS = 64  # output resolution per series (the PAA word length)
+
+TS4_ORACLE = f"""
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) + 1 AS hi FROM events
+),
+seg AS (
+  SELECT e.event_type,
+         CAST(((epoch_us(e.ts) - b.lo) * {TS4_SEGMENTS}) // (b.hi - b.lo)
+              AS BIGINT) AS segment,
+         CAST(floor(e.value * 1000000 + 0.5) AS BIGINT) AS micro
+  FROM events e, b
+)
+SELECT event_type, segment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(micro) AS BIGINT) AS sum_micro,
+       CAST(sum(micro) // count(*) AS BIGINT) AS mean_micro_floor
+FROM seg
+GROUP BY event_type, segment
+"""
+
+
+@query("ts4_downsample_paa", oracle=TS4_ORACLE)
+def ts4_downsample_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise-Aggregate-Approximation downsampling (Keogh et al.,
+    the standard time-series dimensionality reduction): the corpus
+    time span divides into {TS4_SEGMENTS} equal-width segments and
+    each per-type series reduces to (count, sum, mean) per segment —
+    the fixed-length sketch that feeds SAX discretization, DTW lower
+    bounds, and dashboard sparklines regardless of input length.
+
+    Segment membership is exact integer math on epoch MICROSECONDS:
+    seg = (us - lo) * W div (hi - lo), with hi = max+1 so the last
+    point lands in segment W-1 and every segment is the same
+    half-open width — no float boundary, no engine drift. The span
+    (lo, hi) is a single-row global aggregate broadcast into the
+    scan (one fact pass for the bounds, one for the buckets — the
+    bounds frame is 16 bytes, so at 100 TB the second pass dominates
+    and the plan is two map-side-combinable scans, one exchange of
+    O(types × W) rows). Values quantize to exact micro-units; the
+    mean is emitted as the floor-divided integer (both engines
+    BIGINT-exact) — callers wanting a float divide the two exact
+    columns themselves.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(
+        F.min(us).alias("lo"), (F.max(us) + F.lit(1)).alias("hi")
+    )
+    seg = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.expr(
+            f"CAST((unix_micros(ts) - lo) * {TS4_SEGMENTS} div (hi - lo) AS LONG)"
+        ).alias("segment"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("micro"),
+    )
+    return seg.groupBy("event_type", "segment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("micro").cast("long").alias("sum_micro"),
+        F.expr("CAST(sum(micro) div count(*) AS LONG)").alias("mean_micro_floor"),
+    )

@@ -1904,3 +1904,107 @@ def ds12_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lead_cents"), "day_start")
         .limit(DS12_TOPK)
     )
+
+# ---------------------------------------------------------------------------
+# DS13: TPC-DS Q93 shape — returns-adjusted revenue per customer.
+# ---------------------------------------------------------------------------
+
+DS13_TOPK = 50
+
+DS13_ORACLE = f"""
+WITH sales AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem WHERE l_returnflag <> 'R'
+  GROUP BY l_orderkey, l_linenumber
+),
+returns AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY l_orderkey, l_linenumber
+),
+adj AS (
+  SELECT s.l_orderkey,
+         greatest(s.qty - coalesce(r.qty, 0), 0) AS act_qty,
+         greatest(s.cents - coalesce(r.cents, 0), 0) AS act_cents
+  FROM sales s
+  LEFT JOIN returns r
+    ON s.l_orderkey = r.l_orderkey AND s.l_linenumber = r.l_linenumber
+)
+SELECT o.o_custkey,
+       CAST(sum(a.act_qty) AS BIGINT) AS net_qty,
+       CAST(sum(a.act_cents) AS BIGINT) AS net_cents
+FROM adj a JOIN orders o ON a.l_orderkey = o.o_orderkey
+GROUP BY o.o_custkey
+HAVING sum(a.act_cents) > 0
+ORDER BY net_cents DESC, o_custkey
+LIMIT {DS13_TOPK}
+"""
+
+
+@query("ds13_returns_impact", oracle=DS13_ORACLE)
+def ds13_returns_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-Q93 shape: sales re-stated net of returns — per order
+    line, returned quantity/value (the l_returnflag='R' slice) offsets
+    the sold quantity/value (floored at zero), then net revenue rolls
+    up per customer, top-k. Q93 LEFT OUTER joins store_sales to
+    store_returns on (ticket, item); here both sides are slices of
+    lineitem at the (orderkey, linenumber) line grain — the fixture's
+    (ok, ln) is NOT unique (verified: 1,161 dup pairs at sf0.001), so
+    each slice aggregates to the line grain first, exactly like Q93's
+    returns table is per (ticket, item).
+
+    Spark-first fusion: the canonical form is two fact scans + a
+    fact-fact LEFT OUTER shuffle join — at 100 TB, two reads and a
+    full-width exchange of the biggest table. Because both slices
+    partition the SAME rows by a disjoint predicate, they fuse into
+    ONE conditional aggregate: a single pushed-scan pass computing
+    (sale_qty, sale_cents, ret_qty, ret_cents) per line in one
+    groupBy — the join disappears (ds5's fused-EXISTS lesson applied
+    to Q93), halving the scans and removing the join exchange
+    entirely; lines with only returned rows drop via the n_sale
+    counter (= the LEFT join's direction). The oracle keeps the
+    canonical two-CTE + LEFT JOIN form, proving the fusion
+    row-equivalent. Money math in exact fixed point (cents/qty
+    quantized per ROW before any sum, BIGINT throughout); ties broken
+    by customer key for a total order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    is_ret = F.col("l_returnflag") == "R"
+    lines = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.count(F.when(~is_ret, 1)).alias("n_sale"),
+            F.sum(F.when(~is_ret, qty).otherwise(0)).cast("long").alias("sale_qty"),
+            F.sum(F.when(~is_ret, cents).otherwise(0)).cast("long").alias("sale_cents"),
+            F.sum(F.when(is_ret, qty).otherwise(0)).cast("long").alias("ret_qty"),
+            F.sum(F.when(is_ret, cents).otherwise(0)).cast("long").alias("ret_cents"),
+        )
+        .filter(F.col("n_sale") > 0)
+        .select(
+            "l_orderkey",
+            F.greatest(F.col("sale_qty") - F.col("ret_qty"), F.lit(0).cast("long"))
+            .alias("act_qty"),
+            F.greatest(F.col("sale_cents") - F.col("ret_cents"), F.lit(0).cast("long"))
+            .alias("act_cents"),
+        )
+    )
+    return (
+        lines.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("act_qty").cast("long").alias("net_qty"),
+            F.sum("act_cents").cast("long").alias("net_cents"),
+        )
+        .filter(F.col("net_cents") > 0)
+        .orderBy(F.desc("net_cents"), "o_custkey")
+        .limit(DS13_TOPK)
+    )

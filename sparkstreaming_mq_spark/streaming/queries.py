@@ -1376,9 +1376,12 @@ def j10b_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows == the inner join; null rows only for truly unmatched
     signups).
 
-    Scale: both sides watermarked at 4 h with a 2 h interval bound —
-    state per key is a bounded time slice, evicted as the watermark
-    passes; the join shuffles both streams once on user_id.
+    Scale — equality-key-only state (user_id), the t15/j10c measured
+    pathology shape: fine under uniform arrivals (state per key is a
+    bounded time slice), O(hot²) under a hot user — j10c's skew-30×
+    row (745 s vs 19.8 s uniform, BASELINE "Round-11 streaming-state
+    skew") speaks for this identical join. Production form =
+    j10d_bucketed_outer_join (row-identical, 45× faster under skew).
     """
     signups = (
         read_events_stream_chunked(spark, sf_dir, n_chunks=4, order="time")
@@ -2266,8 +2269,15 @@ def j10c_stream_outer_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     signups, so the oracle's cut is doing real work, not rubber-
     stamping the batch outer join.
 
-    Scale: identical join plan to j10b — both sides shuffle once on
-    user_id, state bounded by interval × delay per key.
+    Scale — DOCUMENTED NEGATIVE CONTROL like t15 (r11 disposition):
+    state keyed by user_id only, measured **745.1 s at skew-30× vs
+    19.8 s uniform (37.6×)** under a 10%-hot user — the O(hot²)
+    symmetric-hash rescan, serialized on one state partition.
+    j10d_bucketed_outer_join is the lossless production form
+    (row-identical output, 16.3 s on the same skew replay, 2.2×
+    faster even uniform). Slot and oracle deliberately retained so
+    the pathology/fix pair stays regression-checked — BASELINE.md
+    "Round-11 streaming-state skew".
     """
     signups = (
         read_events_stream_chunked(spark, sf_dir, n_chunks=J10C_CHUNKS, order="time")

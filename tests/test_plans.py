@@ -798,3 +798,45 @@ def test_ds7_cohorts_gate_fact_as_semi_probes(spark, sf_dir):
     fp = formatted_plan(Q["ds7_frequent_buyer_chain"](spark, sf_dir))
     assert "GreaterThanOrEqual(o_orderdate," in fp
     assert "GreaterThanOrEqual(l_shipdate," in fp
+
+
+def test_ds13_returns_join_collapsed_to_case(spark, sf_dir):
+    """ds13's canonical Q93 fact⋈returns LEFT OUTER is legal to fuse
+    because the returns row derives 1:1 from the fact row: the plan
+    must scan lineitem exactly ONCE, carry no outer join, and fuse the
+    customer-rollup top-k (TakeOrderedAndProject)."""
+    fp = formatted_plan(Q["ds13_returns_impact"](spark, sf_dir))
+    import re as _re
+
+    li_scans = sum(
+        1
+        for b in _re.split(r"\n(?=\(\d+\) )", fp)
+        if b.startswith("(") and "Scan parquet" in b.split("\n", 1)[0] and "lineitem" in b
+    )
+    assert li_scans == 1, fp
+    plan = executed_plan(Q["ds13_returns_impact"](spark, sf_dir))
+    assert "LeftOuter" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ts4_bounds_broadcast_one_group_exchange(spark, sf_dir):
+    """ts4's global (lo, hi) bounds frame is one row — it must
+    BROADCAST into the bucketing scan (never shuffle the corpus
+    against it), and the only hash exchange is the (type, segment)
+    rollup of O(types × segments) rows."""
+    plan = executed_plan(Q["ts4_downsample_paa"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds × corpus
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_l49_hot_shingles_removed_before_collect_set(spark, sf_dir):
+    """l49's pair generation must bound collect_set state BY
+    CONSTRUCTION: the boilerplate (df > cap) shingle set is anti-joined
+    out of the postings BEFORE the owner-set aggregate, and pairs come
+    from a double explode of the capped sets — never a corpus-sized
+    postings self-join (no SortMergeJoin touches the postings)."""
+    plan = executed_plan(Q["l49_containment_pairs"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "collect_set" in plan
+    assert plan.count("Generate explode") >= 2
