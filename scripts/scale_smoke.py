@@ -162,6 +162,16 @@ QUERIES = [
     # cost is the 2× probe explode (t19's trade); skew contrast is the
     # streaming-skew table's job.
     "j10d_bucketed_outer_join",
+    # ds13 (r11): fused line-grain conditional agg + customer rollup —
+    # two fact-sized exchanges, should track rows.
+    "ds13_returns_impact",
+    # ts4 (r11): bounds pass + bucket pass, one O(types×W) exchange —
+    # flattest shape after ds11.
+    "ts4_downsample_paa",
+    # l49 (r11): df-capped containment pairs — pair fanout ≤ cap² per
+    # shingle; replicated corpora salt text per copy so cross-copy
+    # pairs don't explode (same property l38/l42 rely on).
+    "l49_containment_pairs",
 ]
 
 
