@@ -86,6 +86,8 @@ HEADLINES = {
     "ds13_returns_impact": "returns LEFT-join collapsed to a CASE in the scan (1:1 self-derived); one exchange to the customer rollup + fused top-k",
     "ts4_downsample_paa": "16-byte bounds frame broadcast into the scan; one exchange of O(types x segments) rows",
     "l49_containment_pairs": "df-capped owner sets (hot shingles anti-joined out BEFORE collect_set); pair fanout <= cap^2 per shingle, denominators map-side",
+    "w7_trailing_range_frame": "temporal RANGE frame on one user_id exchange — no self-join, sliding frame cursor",
+    "j21_nearest_asof": "both direction carries share ONE user_id exchange (union + 2 windows) — no range join",
 }
 
 

@@ -172,6 +172,9 @@ QUERIES = [
     # shingle; replicated corpora salt text per copy so cross-copy
     # pairs don't explode (same property l38/l42 rely on).
     "l49_containment_pairs",
+    # w7/j21 (r11): single-exchange window shapes — should track rows.
+    "w7_trailing_range_frame",
+    "j21_nearest_asof",
 ]
 
 

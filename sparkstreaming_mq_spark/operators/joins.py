@@ -1056,3 +1056,115 @@ def j20_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("err_id")
         .agg(F.count("*").cast("long").alias("n_nearby"))
     )
+
+
+# --- J21: nearest as-of join (bidirectional, with tolerance) ------------------
+
+J21_TOL_US = 2 * 3600 * 1_000_000  # ±2 h, in microseconds
+
+
+@query(
+    "j21_nearest_asof",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, ts, event_id, 1 AS side
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, NULL, 0 FROM events WHERE event_type = 'signup'
+),
+c AS (
+  SELECT *,
+    max(CASE WHEN side = 0 THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts, side
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+    min(CASE WHEN side = 0 THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts DESC, side
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fwd_ts
+  FROM u
+),
+d AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - epoch_us(back_ts) AS db,
+         epoch_us(fwd_ts) - epoch_us(ts) AS df,
+         back_ts, fwd_ts
+  FROM c WHERE side = 1
+)
+SELECT user_id,
+       event_id,
+       date_trunc('second', ts) AS purchase_ts,
+       date_trunc('second',
+         CASE WHEN db <= {J21_TOL_US} AND (df IS NULL OR df > {J21_TOL_US} OR db <= df)
+              THEN back_ts
+              WHEN df <= {J21_TOL_US} THEN fwd_ts END) AS nearest_signup_ts,
+       CASE WHEN db <= {J21_TOL_US} AND (df IS NULL OR df > {J21_TOL_US} OR db <= df)
+              THEN 'backward'
+            WHEN df <= {J21_TOL_US} THEN 'forward' END AS direction,
+       CAST(CASE WHEN db <= {J21_TOL_US} AND (df IS NULL OR df > {J21_TOL_US} OR db <= df)
+              THEN db
+            WHEN df <= {J21_TOL_US} THEN df END AS BIGINT) AS delta_us
+FROM d
+""",
+)
+def j21_nearest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join with tolerance: each purchase gets the
+    user's closest signup in EITHER direction within ±2 h (ties →
+    backward), or nulls when none qualifies — the third member of the
+    as-of family (j8 backward, j8b forward+tolerance) and pandas
+    merge_asof(direction='nearest')'s distributed equivalent.
+
+    Both directions fuse into ONE union + TWO windows over the SAME
+    hash partitioning (user_id): the backward carry is a running
+    max(build ts) in event-time order, the forward carry a running
+    min in reverse order — Spark reuses the single exchange and pays
+    one extra partition-local sort, so the cost is j8's plus a sort:
+    still no range join, no candidate-pair explosion, the shape that
+    holds at 100 TB. Ties at equal timestamps: build sorts before
+    probe in BOTH orders (side ascending), so a signup AT the
+    purchase instant is visible to both carries and resolves as
+    backward with delta 0. All deltas are exact integer MICROSECONDS
+    (unix_micros / epoch_us — no float seconds, no truncation drift);
+    null-vs-value CASE arms are identical on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("__side")
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("__side"),
+    )
+    u = p.unionByName(s)
+    build_ts = F.when(F.col("__side") == 0, F.col("ts"))
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = u.select(
+        "*",
+        F.max(build_ts).over(w_back).alias("__back_ts"),
+        F.min(build_ts).over(w_fwd).alias("__fwd_ts"),
+    ).filter(F.col("__side") == 1)
+    db = F.unix_micros("ts") - F.unix_micros("__back_ts")
+    df_ = F.unix_micros("__fwd_ts") - F.unix_micros("ts")
+    tol = F.lit(J21_TOL_US).cast("long")
+    take_back = (db <= tol) & (df_.isNull() | (df_ > tol) | (db <= df_))
+    take_fwd = df_ <= tol
+    return c.select(
+        "user_id",
+        "event_id",
+        F.date_trunc("second", "ts").alias("purchase_ts"),
+        F.date_trunc(
+            "second",
+            F.when(take_back, F.col("__back_ts")).when(take_fwd, F.col("__fwd_ts")),
+        ).alias("nearest_signup_ts"),
+        F.when(take_back, F.lit("backward"))
+        .when(take_fwd, F.lit("forward"))
+        .alias("direction"),
+        F.when(take_back, db).when(take_fwd, df_).cast("long").alias("delta_us"),
+    )

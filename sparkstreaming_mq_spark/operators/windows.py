@@ -429,3 +429,62 @@ def w6_twophase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# --- W7: time-interval RANGE frame — trailing-window aggregates per event ----
+
+W7_TRAIL_S = 7 * 86_400  # 7-day trailing window, in epoch seconds
+
+
+@query(
+    "w7_trailing_range_frame",
+    oracle=f"""
+SELECT user_id,
+       event_id,
+       CAST(count(*) OVER trail AS BIGINT) AS n_7d,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER trail AS BIGINT)
+         AS cents_7d
+FROM events
+WHERE event_type = 'purchase'
+WINDOW trail AS (
+  PARTITION BY user_id ORDER BY epoch(ts)
+  RANGE BETWEEN {W7_TRAIL_S} PRECEDING AND CURRENT ROW
+)
+""",
+)
+def w7_trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-interval RANGE frame: at every purchase, the user's
+    trailing-7-day purchase count and spend — the per-EVENT rolling
+    feature (fraud velocity checks, spend-rate features) that row
+    frames cannot express (rows ≠ time) and that e4's per-DAY
+    rolling-active grid doesn't cover (this is event-grain, gap-free
+    by construction). W3 pinned the numeric range frame; this is the
+    temporal one, ordered by epoch SECONDS so the frame bound is an
+    exact integer on both engines (Spark rangeBetween has no calendar
+    INTERVAL bound on a DataFrame window; epoch-seconds ordering is
+    the portable, deterministic form — DuckDB's epoch(ts) is the
+    identical integer). Ties (same user, same second) are fine: a
+    RANGE frame includes the whole tie group symmetrically, no
+    tiebreak needed. Money in exact fixed-point cents.
+
+    Scale: one hash exchange on user_id + a partition-local sort —
+    the same cost as any per-user window; the frame is evaluated by
+    Spark's sliding window-frame cursor (two pointers over the sorted
+    run, O(n) per partition, state = the open frame), never a
+    per-row rescan.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    trail = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-W7_TRAIL_S, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(trail).cast("long").alias("n_7d"),
+        F.sum(cents).over(trail).cast("long").alias("cents_7d"),
+    )

@@ -840,3 +840,22 @@ def test_l49_hot_shingles_removed_before_collect_set(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "collect_set" in plan
     assert plan.count("Generate explode") >= 2
+
+
+def test_w7_time_range_frame_one_exchange(spark, sf_dir):
+    """w7's trailing time-window is a RANGE frame over one user_id
+    exchange — never a self-join or range join."""
+    plan = executed_plan(Q["w7_trailing_range_frame"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "specifiedwindowframe(RangeFrame" in plan
+
+
+def test_j21_nearest_asof_one_exchange_two_sorts(spark, sf_dir):
+    """j21's two direction carries must share ONE hash exchange on
+    user_id (Spark re-sorts locally for the reverse order) — union +
+    windows, no range join, no candidate-pair explosion."""
+    plan = executed_plan(Q["j21_nearest_asof"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
