@@ -186,7 +186,7 @@ def main() -> int:
         spark, out_dir, n_chunks=T20_CHUNKS, order="time"
     ).select("user_id", "ts", "event_id", "event_type", "value")
     t0 = time.time()
-    final, stats = cdc_upsert_run(spark, stream)
+    final, stats, _m = cdc_upsert_run(spark, stream)
     n = final.count()
     results["uniform_bucketed"] = {
         "wall_s": round(time.time() - t0, 2),
@@ -211,7 +211,7 @@ def main() -> int:
     # --- scenario: trickle (the CDC steady state the prune targets) ---
     replay = build_trickle_replay(spark, out_dir)
     t0 = time.time()
-    final, stats = cdc_upsert_run(
+    final, stats, _m = cdc_upsert_run(
         spark, trickle_stream(spark, replay), n_buckets=TRICKLE_BUCKETS
     )
     n = final.count()

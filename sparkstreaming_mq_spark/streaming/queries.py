@@ -3395,7 +3395,7 @@ def cdc_upsert_run(
     spark: SparkSession,
     stream: DataFrame,
     n_buckets: int = T20_BUCKETS,
-) -> tuple[DataFrame, list[dict]]:
+) -> tuple[DataFrame, list[dict], dict[int, dict[int, str]]]:
     """Delta-pruned streaming MERGE engine (shared by t20 and the scale
     measurement script). The keyed store is hash-bucketed by user_id
     into ``n_buckets`` files; each epoch rewrites ONLY the buckets that
@@ -3412,8 +3412,9 @@ def cdc_upsert_run(
     epoch re-reads the pre-e store — never its own half-written
     output — and overwrites v{e} whole. Returns (final store
     DataFrame, per-epoch stats [{epoch, touched, n_buckets,
-    bytes_written, store_buckets}]) ; stats power the BASELINE
-    rewrite-bytes comparison.
+    bytes_written, store_buckets}], the manifests dict for
+    ``cdc_vacuum``); stats power the BASELINE rewrite-bytes
+    comparison.
     """
     import os
     import tempfile
@@ -3492,13 +3493,46 @@ def cdc_upsert_run(
 
     run_stream_foreach_batch(stream, apply_batch)
     if not manifests:  # zero-batch stream (ADVICE r10 IndexError guard)
-        return (
-            spark.createDataFrame([], stream.schema),
-            stats,
-        )
+        return spark.createDataFrame([], stream.schema), stats, manifests
     last = manifests[max(manifests)]
     final = spark.read.parquet(*sorted(set(last.values())))
-    return final, stats
+    return final, stats, manifests
+
+
+def cdc_vacuum(
+    manifests: dict[int, dict[int, str]], keep_epochs: int = 1
+) -> tuple[list[str], list[str]]:
+    """Vacuum for the bucketed CDC store: with delta-pruned versions a
+    bucket dir written at epoch e stays LIVE as long as any retained
+    manifest still points at it (untouched buckets ride forward by
+    reference), so "delete old version dirs" is wrong — liveness is
+    per BUCKET DIR, computed from the retained manifests' pointer
+    sets. Keeps the newest ``keep_epochs`` manifests, deletes every
+    bucket dir referenced only by older ones, and prunes the dropped
+    manifest entries. Returns (deleted_dirs, live_dirs) — the caller
+    (or a test) can assert the live set is exactly the retained
+    manifests' image. Pure driver-side metadata work: O(buckets ×
+    versions) path strings, no data scan — the Delta/Iceberg VACUUM
+    shape.
+    """
+    import shutil
+
+    epochs = sorted(manifests)
+    retained = epochs[-keep_epochs:] if keep_epochs > 0 else []
+    live = {p for e in retained for p in manifests[e].values()}
+    dead = {
+        p
+        for e in epochs
+        if e not in retained
+        for p in manifests[e].values()
+        if p not in live
+    }
+    for p in sorted(dead):
+        shutil.rmtree(p, ignore_errors=True)
+    for e in epochs:
+        if e not in retained:
+            del manifests[e]
+    return sorted(dead), sorted(live)
 
 
 @query(
@@ -3548,7 +3582,7 @@ def t20_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream_chunked(
         spark, sf_dir, n_chunks=T20_CHUNKS, order="time"
     ).select("user_id", "ts", "event_id", "event_type", "value")
-    final, _stats = cdc_upsert_run(spark, stream, n_buckets=T20_BUCKETS)
+    final, _stats, _manifests = cdc_upsert_run(spark, stream, n_buckets=T20_BUCKETS)
     return final.select(
         "user_id",
         F.date_trunc("second", "ts").alias("last_ts"),

@@ -80,7 +80,7 @@ class TestCdcDeltaPrune:
         from sparkstreaming_mq_spark.streaming.queries import cdc_upsert_run
 
         stream, one_user = self._trickle_stream(spark, tmp_path)
-        final, stats = cdc_upsert_run(spark, stream, n_buckets=16)
+        final, stats, manifests = cdc_upsert_run(spark, stream, n_buckets=16)
         assert len(stats) == 2, stats
         bulk, trickle = stats
         # bulk load touches (nearly) every bucket; the 1-user delta
@@ -118,9 +118,49 @@ class TestCdcDeltaPrune:
             .format("parquet")
             .load(empty_dir)
         ).select("user_id", "ts", "event_id", "event_type", "value")
-        final, stats = cdc_upsert_run(spark, stream, n_buckets=4)
+        final, stats, manifests = cdc_upsert_run(spark, stream, n_buckets=4)
         assert stats == []
         assert final.count() == 0
+
+
+class TestCdcVacuum:
+    """cdc_vacuum: liveness is per BUCKET DIR, not per version dir —
+    an old version's bucket that the latest manifest still points at
+    must survive vacuuming that version."""
+
+    def test_shared_buckets_survive(self, tmp_path):
+        from sparkstreaming_mq_spark.streaming.queries import cdc_vacuum
+
+        def mkbucket(v, b):
+            d = tmp_path / f"v{v}" / f"__bucket={b}"
+            os.makedirs(d)
+            (d / "part-0.parquet").write_text("x")
+            return str(d)
+
+        # epoch 0 wrote buckets 0,1,2; epoch 1 rewrote only bucket 1 —
+        # buckets 0,2 ride forward as pointers into v0
+        v0 = {b: mkbucket(0, b) for b in (0, 1, 2)}
+        v1 = {0: v0[0], 1: mkbucket(1, 1), 2: v0[2]}
+        manifests = {0: v0, 1: dict(v1)}
+        deleted, live = cdc_vacuum(manifests, keep_epochs=1)
+        # only v0's bucket 1 (superseded) is dead; 0 and 2 are LIVE
+        # even though they physically live under v0/
+        assert deleted == [v0[1]]
+        assert set(live) == set(v1.values())
+        assert os.path.exists(v0[0]) and os.path.exists(v0[2])
+        assert not os.path.exists(v0[1])
+        assert list(manifests) == [1]
+
+    def test_keep_all_deletes_nothing(self, tmp_path):
+        from sparkstreaming_mq_spark.streaming.queries import cdc_vacuum
+
+        d = tmp_path / "v0" / "__bucket=0"
+        os.makedirs(d)
+        (d / "part-0.parquet").write_text("x")
+        manifests = {0: {0: str(d)}}
+        deleted, live = cdc_vacuum(manifests, keep_epochs=5)
+        assert deleted == [] and live == [str(d)]
+        assert os.path.exists(d)
 
 
 class TestJ18ProfilePath:
