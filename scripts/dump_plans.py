@@ -88,6 +88,10 @@ HEADLINES = {
     "l49_containment_pairs": "df-capped owner sets (hot shingles anti-joined out BEFORE collect_set); pair fanout <= cap^2 per shingle, denominators map-side",
     "w7_trailing_range_frame": "temporal RANGE frame on one user_id exchange — no self-join, sliding frame cursor",
     "j21_nearest_asof": "both direction carries share ONE user_id exchange (union + 2 windows) — no range join",
+    "ts6_cusum_changepoint": "(type,hour) map-side collapse, then k/prefix/N/total/rank windows share ONE event_type exchange over the O(types x hours) frame",
+    "w8_winsorized_mean": "rank+count windows, bound extraction and clipped sum on ONE event_type exchange; bounds rejoin broadcast",
+    "x6_distribution_drift": "both generations counted from ONE 2-column scan via conditional aggs; 20-key exchange; single-partition window only over the 20-row bucket frame",
+    "l50_prefix_filter_join": "df build + per-doc prefix rank; self-join fanout bounded by prefix-token df^2 (rarest tokens); verification candidate-bounded via array_intersect",
 }
 
 

@@ -175,6 +175,23 @@ QUERIES = [
     # w7/j21 (r11): single-exchange window shapes — should track rows.
     "w7_trailing_range_frame",
     "j21_nearest_asof",
+    # ts6 (r11): (type, hour) collapse then windows over the
+    # O(types×hours) frame — tracks the timeline stretch, not rows.
+    "ts6_cusum_changepoint",
+    # w8 (r11): rank window + broadcast bounds on one exchange —
+    # should track rows like w1.
+    "w8_winsorized_mean",
+    # x6 (r11): one 2-column scan + 20-key conditional agg — ds11-class
+    # flat shape.
+    "x6_distribution_drift",
+    # l50 (r11): prefix-filtered similarity join. NOTE the copy-salt
+    # only appends one token, so every cross-copy pair of the same
+    # base doc is a GENUINE >=0.8 near-dup (J = n/(n+2)): output is
+    # quadratic in copy count by construction — the rung's wall is
+    # output-bound, read it against rows_out like l49's. (u9 is
+    # excluded: per-row-Python API demonstrator, the U1-class
+    # surface.)
+    "l50_prefix_filter_join",
 ]
 
 

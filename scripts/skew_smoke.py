@@ -74,6 +74,12 @@ QUERIES = [
     # partitions over 32 salt buckets.
     "j18_hybrid_skew_join",
     "w6_twophase_topk",
+    # r11: prefix filtering's whole claim is boilerplate-robustness —
+    # the ~13 hot shingles (df ~= 0.2N each) would nominate ~(0.2N)^2
+    # candidate pairs in a naive shared-token join, but rarest-first
+    # ordering keeps them out of every prefix, so skewed wall should
+    # track uniform wall.
+    "l50_prefix_filter_join",
 ]
 
 

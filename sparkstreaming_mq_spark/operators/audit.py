@@ -372,3 +372,101 @@ def x5_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pos_checksum"),
     )
+
+
+# --- X6: distribution drift between dataset generations ----------------------
+
+X6_BUCKET_CENTS = 2_500_000   # $25k-wide equi-width price buckets
+X6_N_BUCKETS = 20
+X6_SPLIT_YEAR = 1998          # generation A: year < split; B: year >= split
+
+X6_ORACLE = f"""
+WITH base AS (
+  SELECT least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                 // {X6_BUCKET_CENTS}, {X6_N_BUCKETS - 1}) AS bucket,
+         CASE WHEN year(o_orderdate) < {X6_SPLIT_YEAR} THEN 1 ELSE 0 END AS gen_a
+  FROM orders
+),
+per_bucket AS (
+  SELECT bucket,
+         CAST(sum(gen_a) AS BIGINT)     AS n_a,
+         CAST(sum(1 - gen_a) AS BIGINT) AS n_b
+  FROM base GROUP BY bucket
+),
+shares AS (
+  SELECT bucket, n_a, n_b,
+         n_a * CAST(1000000 AS BIGINT)
+           // CAST(sum(n_a) OVER () AS BIGINT) AS ppm_a,
+         n_b * CAST(1000000 AS BIGINT)
+           // CAST(sum(n_b) OVER () AS BIGINT) AS ppm_b
+  FROM per_bucket
+)
+SELECT bucket, n_a, n_b, ppm_a, ppm_b,
+       abs(ppm_a - ppm_b) AS abs_ppm_diff
+FROM shares
+"""
+
+
+@query("x6_distribution_drift", oracle=X6_ORACLE)
+def x6_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two dataset generations — the
+    dataset-shift audit a training pipeline runs before mixing a new
+    crawl snapshot with the standing corpus (and the promotion gate a
+    warehouse runs on a refreshed fact load): bucket a measure into
+    literal-bound equi-width cells, compare each generation's share of
+    every cell in exact parts-per-million, and emit per-bucket
+    |share_A - share_B| — the summands of total-variation distance
+    (sum/2), the integer-exact cousin of the PSI score (PSI's log
+    ratio needs floats; the L1 form needs none, so the oracle is
+    exact).
+
+    Splits orders at year {X6_SPLIT_YEAR} (the fixture's 1995-2001
+    span makes both halves well-populated) and buckets o_totalprice
+    into {X6_N_BUCKETS} x $25k cells — literal bounds, so there is NO
+    pre-scan for min/max (the a14 lesson). Both generations are
+    counted from ONE fact scan via conditional aggregates (the ds13
+    fused form — the canonical shape scans per generation); shares
+    are integer ppm over the bucket frame, whose single-partition
+    window is O({X6_N_BUCKETS}) rows — metadata-sized, the documented
+    exception to the no-SinglePartition rule.
+
+    Scale: one fact scan reading two columns, one map-side-combinable
+    exchange of <= {X6_N_BUCKETS} keys x partials, then arithmetic on
+    a {X6_N_BUCKETS}-row frame. At 100 TB the scan is the whole cost.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    base = o.select(
+        F.expr(
+            "least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            f" div {X6_BUCKET_CENTS}, {X6_N_BUCKETS - 1})"
+        ).alias("bucket"),
+        (F.year("o_orderdate") < X6_SPLIT_YEAR).cast("long").alias("gen_a"),
+    )
+    per_bucket = base.groupBy("bucket").agg(
+        F.sum("gen_a").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("gen_a")).cast("long").alias("n_b"),
+    )
+    wall = Window.partitionBy()
+    shares = per_bucket.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(wall).alias("_tot_a"),
+        F.sum("n_b").over(wall).alias("_tot_b"),
+    ).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.expr("(n_a * CAST(1000000 AS BIGINT)) div _tot_a").alias("ppm_a"),
+        F.expr("(n_b * CAST(1000000 AS BIGINT)) div _tot_b").alias("ppm_b"),
+    )
+    return shares.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        "ppm_a",
+        "ppm_b",
+        F.abs(F.col("ppm_a") - F.col("ppm_b")).alias("abs_ppm_diff"),
+    )

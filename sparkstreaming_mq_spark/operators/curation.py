@@ -27,7 +27,7 @@ rounded JVM-side; no Python in any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkstreaming_mq_spark.operators.llm import _STOP_SQL, STOPWORDS
@@ -1846,4 +1846,175 @@ def l49_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("containment_ppm"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L50: prefix-filtered exact set-similarity self-join (PPJoin family).
+# ---------------------------------------------------------------------------
+
+L50_T_NUM = 4   # Jaccard threshold 4/5 = 0.8 as an exact rational —
+L50_T_DEN = 5   # every filter below is integer cross-multiplication
+
+L50_ORACLE = f"""
+WITH tokd AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - {L38_NGRAM} + 2, 1)),
+           i -> array_to_string(toks[i:i + {L38_NGRAM} - 1], ' ')))) AS ng
+  FROM tokd
+),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.ng = b.ng AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_a, s.doc_b, x.n AS n_a, y.n AS n_b, s.n_shared,
+       s.n_shared * CAST(1000000 AS BIGINT) // (x.n + y.n - s.n_shared)
+         AS jaccard_ppm
+FROM shared s
+JOIN sz x ON x.doc_id = s.doc_a
+JOIN sz y ON y.doc_id = s.doc_b
+WHERE ({L50_T_DEN} + {L50_T_NUM}) * s.n_shared >= {L50_T_NUM} * (x.n + y.n)
+"""
+
+
+@query("l50_prefix_filter_join", oracle=L50_ORACLE)
+def l50_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.8 near-duplicate pairs over distinct 8-token
+    shingle sets via PREFIX FILTERING (Chaudhuri et al. 2006 SSJoin /
+    Xiao et al. 2008 PPJoin) — the third candidate-generation strategy
+    of the dedup family, completing the trade-space: l2's banded
+    MinHash LSH is probabilistic (recall < 1 by design), l2b's blocked
+    broadcast kernel is exact but all-pairs within blocks; prefix
+    filtering is exact AND sub-quadratic, with a LOSSLESS candidate
+    guarantee instead of a recall bound.
+
+    The lemma (global token order, rarest-first): sort each doc's
+    shingles by ascending corpus df; any pair with J >= t MUST share a
+    token inside both docs' first n - ceil(t*n) + 1 shingles — if a
+    doc's prefix missed every shared token, the shared set would fit
+    in the remaining ceil(t*n) - 1 < t*n <= |intersection| slots, a
+    contradiction. So candidates = pairs sharing a PREFIX token, plus
+    the size filter den*min(n_a,n_b) >= num*max (J >= t bounds the
+    size ratio) — both lossless, so the oracle is the plain all-pairs
+    shared-count join with the same integer threshold test
+    ((den+num)*inter >= num*(n_a+n_b), the exact cross-multiplied
+    form of inter/union >= num/den).
+
+    Why rarest-first is the scale story: a token nominates ~df_prefix^2
+    candidate pairs, and frequency-ordering pushes exactly the
+    boilerplate shingles (l47's hot keys) OUT of prefixes — the hot
+    key that costs LSH a banded bucket blowup here simply never
+    generates candidates, with no df-cap contract change (capped ops
+    like l49 alter the result; the prefix filter provably does not).
+    Measured: postings entering the self-join shrink 4.7x (235,704 ->
+    50,182 at sf0.1; same ratio at sf0.001) on the CLEAN fixture,
+    where the 8-token shingle grain already makes sharing rare (256
+    all-pairs -> 249 candidates); the decisive case is the planted
+    boilerplate corpus, where each hot shingle's df^2 pair fan-out is
+    the blowup — skew-rung numbers in BASELINE.md "Round-11
+    additions".
+
+    Plan shape: one fp-keyed exchange builds df; one doc_id window
+    ranks each doc's shingles by (df, fp) and keeps the prefix; the
+    prefix self-join's fan-out is bounded by prefix-token df^2 (the
+    rare end of the distribution); verification joins the candidate
+    pairs back to the per-doc distinct-shingle ARRAYS (map-side built,
+    bounded by doc length) and intersects the STRING arrays with the
+    compiled array_intersect kernel — fp's 2^-128 collision trade
+    (`_fingerprinted_postings`) applies only to candidate ordering,
+    never to the emitted counts. Everything after candidate
+    generation is candidate-bounded, not corpus-quadratic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dngs = _distinct_shingle_arrays(d, L38_NGRAM, "doc_id")
+    docs = dngs.select(
+        "doc_id", "_dngs", F.size("_dngs").cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    posts = docs.select(
+        "doc_id", "n", F.explode("_dngs").alias("ng")
+    ).select(
+        "doc_id",
+        "n",
+        F.xxhash64("ng").alias("fp1"),
+        F.xxhash64(F.lit("sg-seed2"), F.col("ng")).alias("fp2"),
+    )
+    dfreq = posts.groupBy("fp1", "fp2").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "fp1", "fp2")
+    # prefix length = n - ceil(t*n) + 1; ceil(4n/5) = (4n+4) div 5
+    pref = (
+        posts.join(dfreq, ["fp1", "fp2"])
+        .select(
+            "doc_id",
+            "n",
+            "fp1",
+            "fp2",
+            F.row_number().over(wdoc).alias("pos"),
+        )
+        .filter(
+            F.col("pos")
+            <= F.col("n")
+            - F.expr(
+                f"(n * {L50_T_NUM} + {L50_T_DEN - 1}) div {L50_T_DEN}"
+            )
+            + 1
+        )
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "fp1", "fp2"
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "fp1", "fp2"
+    )
+    cand = (
+        a.join(b, ["fp1", "fp2"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.lit(L50_T_DEN) * F.least("na", "nb")
+                >= F.lit(L50_T_NUM) * F.greatest("na", "nb")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arr_a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_dngs").alias("_sa"),
+        F.col("n").alias("n_a"),
+    )
+    arr_b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_dngs").alias("_sb"),
+        F.col("n").alias("n_b"),
+    )
+    ver = (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("n_shared"),
+        )
+    )
+    return ver.filter(
+        F.lit(L50_T_DEN + L50_T_NUM) * F.col("n_shared")
+        >= F.lit(L50_T_NUM) * (F.col("n_a") + F.col("n_b"))
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        "n_shared",
+        F.expr(
+            "n_shared * CAST(1000000 AS BIGINT) div (n_a + n_b - n_shared)"
+        ).alias("jaccard_ppm"),
     )

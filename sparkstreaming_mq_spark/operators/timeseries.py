@@ -335,3 +335,113 @@ def ts4_downsample_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("micro").cast("long").alias("sum_micro"),
         F.expr("CAST(sum(micro) div count(*) AS LONG)").alias("mean_micro_floor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TS6: CUSUM change-point detection over the hourly series.
+# ---------------------------------------------------------------------------
+
+TS6_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS hnum,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events
+  GROUP BY event_type, epoch_us(ts) // 3600000000
+),
+cum AS (
+  SELECT event_type, hnum, cents,
+         row_number()  OVER w AS k,
+         sum(cents)    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS prefix,
+         count(*)      OVER (PARTITION BY event_type) AS n_hours,
+         sum(cents)    OVER (PARTITION BY event_type) AS total
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hnum)
+),
+stat AS (
+  SELECT event_type, hnum, n_hours,
+         abs(CAST(n_hours AS HUGEINT) * CAST(prefix AS HUGEINT)
+             - CAST(k AS HUGEINT) * CAST(total AS HUGEINT)) AS dev_n,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY abs(CAST(n_hours AS HUGEINT) * CAST(prefix AS HUGEINT)
+                        - CAST(k AS HUGEINT) * CAST(total AS HUGEINT)) DESC,
+                    hnum ASC) AS rk
+  FROM cum
+)
+SELECT event_type,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(hnum AS BIGINT) AS cp_hour,
+       CAST(dev_n // CAST(n_hours AS HUGEINT) AS BIGINT) AS peak_dev_cents
+FROM stat WHERE rk = 1
+"""
+
+
+@query("ts6_cusum_changepoint", oracle=TS6_ORACLE)
+def ts6_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point estimate per event type (Page's cumulative-sum
+    statistic): the hour k maximizing |S_k - (k/N)*S_N| over the hourly
+    value series — the classic single-change-point location estimator a
+    monitoring consumer of the MQ archetype runs over its metric
+    streams (level shifts in payment volume, crawl throughput, error
+    mass). Emits per type the series length, the change-point hour and
+    the peak absolute CUSUM deviation in cents.
+
+    Exactness: the deviation is kept MULTIPLIED BY N — dev_n =
+    |N*prefix_k - k*total| — so no division happens before the argmax;
+    ranking on dev_n is identical to ranking on the rational deviation.
+    Both engines widen the cross-product INSIDE the expression
+    (DECIMAL(38,0) / HUGEINT — the ds8 overflow lesson: BIGINT
+    N*prefix crosses 9.2e18 near the 300x rung) and only the
+    floor-divided BIGINT `dev_n div N` reaches the output, so the
+    hash contract never sees a widened type. Tie-break: earliest hour
+    (rank orders dev DESC, hour ASC) — deterministic in both engines.
+
+    Scale: one map-side-combinable (type, hour) aggregate collapses the
+    corpus to O(types x hours) rows; all four window passes (k, prefix,
+    N, total, the rank) share ONE event_type exchange over that small
+    frame. The fact table is touched exactly once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {US_PER_HOUR}").alias("hnum"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "hnum")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hnum")
+    wfull = Window.partitionBy("event_type")
+    cum = hourly.select(
+        "event_type",
+        "hnum",
+        F.row_number().over(w).alias("k"),
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("prefix"),
+        F.count("*").over(wfull).alias("n_hours"),
+        F.sum("cents").over(wfull).alias("total"),
+    )
+    dev_n = F.abs(
+        F.col("n_hours").cast("decimal(38,0)") * F.col("prefix").cast("decimal(38,0)")
+        - F.col("k").cast("decimal(38,0)") * F.col("total").cast("decimal(38,0)")
+    )
+    stat = cum.select(
+        "event_type",
+        "hnum",
+        "n_hours",
+        dev_n.alias("dev_n"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(dev_n.desc(), F.col("hnum").asc()))
+        .alias("rk"),
+    )
+    return stat.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("hnum").cast("long").alias("cp_hour"),
+        F.expr("CAST(dev_n div CAST(n_hours AS DECIMAL(38,0)) AS BIGINT)").alias(
+            "peak_dev_cents"
+        ),
+    )

@@ -406,3 +406,104 @@ def u6b_udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __u6b_docs, LATERAL sg_tokenize_arrow(doc_id, text) t
         """
     )
+
+
+# --- U9: UDTF with TABLE argument (PARTITION BY / ORDER BY) -------------------
+
+@query(
+    "u9_udtf_table_arg",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS uts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         count(*)     OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases,
+       max(CASE WHEN rn = 1 THEN event_type END) AS first_event_type,
+       max(CASE WHEN rn = n THEN event_type END) AS last_event_type,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM ordered
+GROUP BY user_id
+""",
+)
+def u9_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF taking a TABLE argument with PARTITION BY / ORDER BY
+    (Spark 4's polymorphic-table-function surface — the last UDTF entry
+    point after u6's LATERAL scalar-args form and u6b's Arrow
+    transport): the ENGINE hash-partitions the input on user_id, sorts
+    each partition by (ts, event_id), streams the rows through eval()
+    and calls terminate() at each partition boundary — exactly the
+    applyInPandasWithState/applyInPandas contract, but reachable from
+    pure SQL as ``FROM fn(TABLE(t) PARTITION BY k ORDER BY ...)``.
+
+    The function is a per-user session summarizer whose first/last
+    fields DEPEND on the engine-guaranteed sort order (the oracle
+    recomputes them with rank windows), and whose numeric state is
+    exact integers prepared IN SPARK before the Python boundary
+    (unix_micros + floor(value*100+0.5) cents) so the Python loop does
+    only integer accumulation — no float summation order to diverge.
+
+    Scale note: per-row Python is the U1-class demonstration surface
+    (the API under test, not a recommended hot path — mapInPandas/
+    applyInPandas are the Arrow-batched forms); the plan is one hash
+    exchange + sort, identical to the window twin's.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id bigint, n_events bigint, n_purchases bigint, "
+        "first_event_type string, last_event_type string, sum_cents bigint"
+    )
+    class SessionSummary:
+        def __init__(self) -> None:
+            self._uid = None
+            self._n = 0
+            self._purch = 0
+            self._first = None
+            self._last = None
+            self._cents = 0
+
+        def eval(self, row):
+            self._uid = row["user_id"]
+            self._n += 1
+            if row["event_type"] == "purchase":
+                self._purch += 1
+            if self._first is None:
+                self._first = row["event_type"]
+            self._last = row["event_type"]
+            self._cents += row["cents"]
+
+        def terminate(self):
+            if self._uid is not None:
+                yield (
+                    self._uid,
+                    self._n,
+                    self._purch,
+                    self._first,
+                    self._last,
+                    self._cents,
+                )
+
+    spark.udtf.register("sg_session_summary", SessionSummary)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("uts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    ev.createOrReplaceTempView("__u9_events")
+    return spark.sql(
+        """
+        SELECT * FROM sg_session_summary(
+          TABLE(__u9_events) PARTITION BY user_id ORDER BY (uts, event_id)
+        )
+        """
+    )

@@ -488,3 +488,104 @@ def w7_trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(trail).cast("long").alias("n_7d"),
         F.sum(cents).over(trail).cast("long").alias("cents_7d"),
     )
+
+
+# --- W8: winsorized mean (rank-exact percentile clipping) --------------------
+
+W8_ORACLE = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT),
+                                     event_id) AS r,
+         count(*)     OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+marked AS (
+  SELECT event_type, cents, r, n,
+         (n + 19) // 20      AS lo_rank,
+         n + 1 - (n + 19) // 20 AS hi_rank
+  FROM ranked
+),
+bounds AS (
+  SELECT event_type,
+         max(n)  AS n_events,
+         max(CASE WHEN r = lo_rank THEN cents END) AS lo_cents,
+         max(CASE WHEN r = hi_rank THEN cents END) AS hi_cents
+  FROM marked GROUP BY event_type
+)
+SELECT m.event_type,
+       CAST(b.n_events AS BIGINT) AS n_events,
+       CAST(b.lo_cents AS BIGINT) AS lo_cents,
+       CAST(b.hi_cents AS BIGINT) AS hi_cents,
+       CAST(sum(least(greatest(m.cents, b.lo_cents), b.hi_cents)) AS BIGINT)
+         AS winsorized_sum_cents,
+       CAST(sum(least(greatest(m.cents, b.lo_cents), b.hi_cents))
+            // b.n_events AS BIGINT) AS winsorized_mean_cents
+FROM marked m JOIN bounds b ON b.event_type = m.event_type
+GROUP BY m.event_type, b.n_events, b.lo_cents, b.hi_cents
+"""
+
+
+@query("w8_winsorized_mean", oracle=W8_ORACLE)
+def w8_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorized mean: clip each value to the group's exact
+    [p5, p95] before averaging — the outlier-robust location estimate a
+    metrics pipeline reports instead of a raw mean that one fat-finger
+    event can drag (and the data-cleaning primitive an LLM-corpus
+    quality pass applies to per-doc feature columns before thresholding
+    on them). Percentiles are RANK-EXACT, not interpolated: the p5
+    bound is the value at rank ceil(n/20) in (cents, event_id) order,
+    p95 at the mirrored rank n+1-ceil(n/20) — value-at-rank arithmetic
+    stays in BIGINT cents (floor(value*100+0.5) fixed point, the
+    CLAUDE.md money rule), so there is no float percentile
+    interpolation for the engines to disagree on, and ties are broken
+    by event_id so both engines pick the same physical row.
+
+    Scale: ONE hash exchange on event_type — the rank and count
+    windows, the bound extraction (a conditional max per group) and
+    the clipped sum all reuse that partitioning; the bounds frame is
+    O(groups) and joins back broadcast-small. No sort beyond the
+    per-partition window sort, no second fact scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select("event_type", "event_id", cents.alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wfull = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(wfull).alias("n"),
+    ).withColumn("lo_rank", F.expr("(n + 19) div 20")).withColumn(
+        "hi_rank", F.expr("n + 1 - (n + 19) div 20")
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.max(F.when(F.col("r") == F.col("lo_rank"), F.col("cents"))).alias("lo_cents"),
+        F.max(F.when(F.col("r") == F.col("hi_rank"), F.col("cents"))).alias("hi_cents"),
+    )
+    clipped = ranked.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "n_events",
+        "lo_cents",
+        "hi_cents",
+        F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")).alias(
+            "w_cents"
+        ),
+    )
+    return clipped.groupBy("event_type", "n_events", "lo_cents", "hi_cents").agg(
+        F.sum("w_cents").cast("long").alias("winsorized_sum_cents"),
+        F.expr("CAST(sum(w_cents) div n_events AS BIGINT)").alias(
+            "winsorized_mean_cents"
+        ),
+    ).select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("lo_cents").cast("long").alias("lo_cents"),
+        F.col("hi_cents").cast("long").alias("hi_cents"),
+        "winsorized_sum_cents",
+        "winsorized_mean_cents",
+    )

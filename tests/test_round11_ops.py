@@ -262,3 +262,231 @@ class TestBucketedPublishSuccessGuard:
                 spark, df, "sg_test_partial_guard", path, "n_nationkey"
             )
         assert not spark.catalog.tableExists("sg_test_partial_guard")
+
+
+class TestRound11Operators:
+    """The five mid-round-11 additions: prefix-filter similarity join,
+    CUSUM change-point, winsorized mean, distribution drift, TABLE-arg
+    UDTF. The DuckDB oracle checks value parity; these pin the
+    engine-internal invariants the oracle can't see."""
+
+    def test_l50_equals_naive_all_pairs(self, spark):
+        """Prefix filtering is LOSSLESS: l50's output must equal the
+        naive all-pairs shared-shingle computation (no prefix, no size
+        filter) at the same threshold."""
+        from sparkstreaming_mq_spark.operators.curation import (
+            L38_NGRAM,
+            L50_T_DEN,
+            L50_T_NUM,
+            _distinct_shingle_arrays,
+            l50_prefix_filter_join,
+        )
+
+        d = load_table(spark, SF_DIR, "documents")
+        dngs = _distinct_shingle_arrays(d, L38_NGRAM, "doc_id")
+        docs = dngs.select(
+            "doc_id", "_dngs", F.size("_dngs").cast("long").alias("n")
+        ).filter(F.col("n") > 0)
+        a = docs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("_dngs").alias("_sa"),
+            F.col("n").alias("n_a"),
+            F.explode("_dngs").alias("ng"),
+        )
+        b = docs.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("_dngs").alias("_sb"),
+            F.col("n").alias("n_b"),
+            F.explode("_dngs").alias("ng"),
+        )
+        naive = (
+            a.join(b, "ng")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "n_a", "n_b", "_sa", "_sb")
+            .distinct()
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_a",
+                "n_b",
+                F.size(F.array_intersect("_sa", "_sb"))
+                .cast("long")
+                .alias("n_shared"),
+            )
+            .filter(
+                F.lit(L50_T_DEN + L50_T_NUM) * F.col("n_shared")
+                >= F.lit(L50_T_NUM) * (F.col("n_a") + F.col("n_b"))
+            )
+        )
+        got = {
+            (r.doc_a, r.doc_b, r.n_a, r.n_b, r.n_shared)
+            for r in l50_prefix_filter_join(spark, SF_DIR)
+            .select("doc_a", "doc_b", "n_a", "n_b", "n_shared")
+            .collect()
+        }
+        want = {tuple(r) for r in naive.collect()}
+        assert got == want and len(got) > 0
+
+    def test_l50_prefix_prunes_postings(self, spark):
+        """The prefix keeps ~n - ceil(0.8 n) + 1 of each doc's shingles
+        — the postings entering the self-join must shrink to well under
+        half (measured 4.7x at sf0.001/sf0.1)."""
+        from pyspark.sql import Window
+        from sparkstreaming_mq_spark.operators.curation import (
+            L38_NGRAM,
+            L50_T_DEN,
+            L50_T_NUM,
+            _distinct_shingle_arrays,
+        )
+
+        d = load_table(spark, SF_DIR, "documents")
+        dngs = _distinct_shingle_arrays(d, L38_NGRAM, "doc_id")
+        posts = dngs.select(
+            "doc_id",
+            F.size("_dngs").cast("long").alias("n"),
+            F.explode("_dngs").alias("ng"),
+        )
+        dfreq = posts.groupBy("ng").agg(F.count("*").alias("df"))
+        wdoc = Window.partitionBy("doc_id").orderBy("df", "ng")
+        pref = (
+            posts.join(dfreq, "ng")
+            .select("doc_id", "n", F.row_number().over(wdoc).alias("pos"))
+            .filter(
+                F.col("pos")
+                <= F.col("n")
+                - F.expr(f"(n * {L50_T_NUM} + {L50_T_DEN - 1}) div {L50_T_DEN}")
+                + 1
+            )
+        )
+        n_all, n_pref = posts.count(), pref.count()
+        assert 0 < n_pref < n_all * 0.5
+
+    def test_ts6_finds_planted_level_shift(self, spark):
+        """CUSUM on a constructed series — 48 h at value 10.00 then
+        48 h at 20.00 — must place the change point at the boundary
+        hour (the last hour of the first regime maximizes |S_k -
+        (k/N) S_N| for a single level shift)."""
+        import datetime as dt
+
+        rows = []
+        t0 = dt.datetime(2024, 1, 1)
+        for h in range(96):
+            rows.append(
+                (h, t0 + dt.timedelta(hours=h), 1, "shift", 10.0 if h < 48 else 20.0, "")
+            )
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.parquet(os.path.join(tmp, "events.parquet"))
+            from sparkstreaming_mq_spark.operators.timeseries import (
+                ts6_cusum_changepoint,
+            )
+
+            out = ts6_cusum_changepoint(spark, tmp).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_hours == 96
+        # session tz is not UTC-pinned, so compare against the hour
+        # numbers of the frame's own timestamps: the change point must
+        # be the 48th hour of the series (last hour of regime 1).
+        hours = sorted(
+            int(x.ts.timestamp()) // 3600 for x in df.select("ts").collect()
+        )
+        assert r.cp_hour == hours[47]
+        # peak deviation: regime delta 1000 cents * 24h * ... > 0
+        assert r.peak_dev_cents > 0
+
+    def test_w8_no_clipping_when_small_group(self, spark):
+        """n < 20 => lo_rank = 1 and hi_rank = n: nothing clips and the
+        winsorized mean equals the plain floor mean; with a planted
+        outlier in a bigger group, the winsorized mean must move
+        strictly less than the raw mean."""
+        import tempfile, os
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        small = [(i, t0, 1, "small", float(i + 1), "") for i in range(10)]
+        big = [(100 + i, t0, 2, "big", 10.0, "") for i in range(99)] + [
+            (199, t0, 2, "big", 100000.0, "")
+        ]
+        df = spark.createDataFrame(
+            small + big,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.parquet(os.path.join(tmp, "events.parquet"))
+            from sparkstreaming_mq_spark.operators.windows import w8_winsorized_mean
+
+            out = {r.event_type: r for r in w8_winsorized_mean(spark, tmp).collect()}
+        s = out["small"]
+        assert s.n_events == 10
+        # plain mean of 1..10 dollars = 5.50
+        assert s.winsorized_mean_cents == 550
+        b = out["big"]
+        # the 100k outlier is clipped to the p95 value (10.00)
+        assert b.hi_cents == 1000
+        assert b.winsorized_mean_cents == 1000
+
+    def test_x6_shares_sum_to_million(self, spark):
+        from sparkstreaming_mq_spark.operators.audit import x6_distribution_drift
+
+        rows = x6_distribution_drift(spark, SF_DIR).collect()
+        n_buckets = len(rows)
+        tot_a, tot_b = sum(r.ppm_a for r in rows), sum(r.ppm_b for r in rows)
+        # integer floor-division loses < 1 ppm per bucket
+        assert 1_000_000 - n_buckets <= tot_a <= 1_000_000
+        assert 1_000_000 - n_buckets <= tot_b <= 1_000_000
+        assert all(r.abs_ppm_diff == abs(r.ppm_a - r.ppm_b) for r in rows)
+
+    def test_u9_matches_groupby_twin(self, spark):
+        """The TABLE-arg UDTF's per-partition accumulation must equal
+        the declarative groupBy/window twin inside Spark itself."""
+        from pyspark.sql import Window
+        from sparkstreaming_mq_spark.operators.udfs import u9_udtf_table_arg
+
+        got = {
+            r.user_id: (r.n_events, r.n_purchases, r.first_event_type,
+                        r.last_event_type, r.sum_cents)
+            for r in u9_udtf_table_arg(spark, SF_DIR).collect()
+        }
+        ev = load_table(spark, SF_DIR, "events").select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("uts"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        w = Window.partitionBy("user_id").orderBy("uts", "event_id")
+        wfull = Window.partitionBy("user_id")
+        twin = (
+            ev.select(
+                "user_id",
+                "event_type",
+                "cents",
+                F.row_number().over(w).alias("rn"),
+                F.count("*").over(wfull).alias("n"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.max("n").cast("long").alias("n_events"),
+                F.sum((F.col("event_type") == "purchase").cast("long"))
+                .cast("long")
+                .alias("n_purchases"),
+                F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+                    "first_event_type"
+                ),
+                F.max(F.when(F.col("rn") == F.col("n"), F.col("event_type"))).alias(
+                    "last_event_type"
+                ),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+        )
+        want = {
+            r.user_id: (r.n_events, r.n_purchases, r.first_event_type,
+                        r.last_event_type, r.sum_cents)
+            for r in twin.collect()
+        }
+        assert got == want and len(got) > 0
