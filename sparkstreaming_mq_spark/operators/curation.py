@@ -1924,13 +1924,16 @@ def l50_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: one fp-keyed exchange builds df; one doc_id window
     ranks each doc's shingles by (df, fp) and keeps the prefix; the
     prefix self-join's fan-out is bounded by prefix-token df^2 (the
-    rare end of the distribution); verification joins the candidate
-    pairs back to the per-doc distinct-shingle ARRAYS (map-side built,
-    bounded by doc length) and intersects the STRING arrays with the
-    compiled array_intersect kernel — fp's 2^-128 collision trade
-    (`_fingerprinted_postings`) applies only to candidate ordering,
-    never to the emitted counts. Everything after candidate
-    generation is candidate-bounded, not corpus-quadratic.
+    rare end of the distribution); verification counts shared
+    128-bit fingerprints per candidate pair through two NARROW
+    postings joins — candidate-bounded rows of ~24 B, never the
+    docs' full shingle arrays (the first form shipped ~24 KB of
+    array per pair and the 30x rung's 2.26M genuine pairs made that
+    a 54 GB exchange; see the inline note). Counting on fps carries
+    the corpus-standard 2^-128-per-pair collision bound
+    (`_fingerprinted_postings`), identical to l38/l42/l49.
+    Everything after candidate generation is candidate-bounded, not
+    corpus-quadratic.
     """
     d = load_table(spark, sf_dir, "documents")
     dngs = _distinct_shingle_arrays(d, L38_NGRAM, "doc_id")
@@ -1981,29 +1984,29 @@ def l50_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= F.lit(L50_T_NUM) * F.greatest("na", "nb")
             )
         )
-        .select("doc_a", "doc_b")
+        # na/nb are functionally determined by the doc ids, so keeping
+        # them through the distinct saves the size joins later
+        .select("doc_a", F.col("na").alias("n_a"), "doc_b", F.col("nb").alias("n_b"))
         .distinct()
     )
-    arr_a = docs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("_dngs").alias("_sa"),
-        F.col("n").alias("n_a"),
-    )
-    arr_b = docs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("_dngs").alias("_sb"),
-        F.col("n").alias("n_b"),
-    )
+    # Verification, candidate-bounded and NARROW: count shared
+    # fingerprints per pair via two postings joins. The first measured
+    # form shipped both docs' full shingle-string arrays per pair
+    # (array_intersect) — ~24 KB per candidate, and the 30x rung's
+    # 2.26M genuine pairs turned that into a ~54 GB exchange (778 s).
+    # Posting rows are 16-byte fps, so the same verification is
+    # Σ|a|-per-candidate rows of ~24 B — ~17x less traffic, measured
+    # 778 -> 162 s at the same rung with identical output (2,257,815
+    # pairs; wall now tracks the genuinely quadratic cross-copy output). Counting on
+    # fps adopts the corpus-standard 2^-128-per-pair collision trade
+    # (`_fingerprinted_postings`), same as l38/l42/l49.
+    pa = posts.select(F.col("doc_id").alias("doc_a"), "fp1", "fp2")
+    pb = posts.select(F.col("doc_id").alias("doc_b"), "fp1", "fp2")
     ver = (
-        cand.join(arr_a, "doc_a")
-        .join(arr_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_a",
-            "n_b",
-            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("n_shared"),
-        )
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "fp1", "fp2"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
     )
     return ver.filter(
         F.lit(L50_T_DEN + L50_T_NUM) * F.col("n_shared")
