@@ -1459,3 +1459,80 @@ def a15_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), "n")
     )
+
+
+# --- A17: weighted median (rank-exact, fixed-point) ---------------------------
+
+A17_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS wt,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, v, wt,
+         sum(wt) OVER (PARTITION BY l_returnflag
+                       ORDER BY v, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS wcum,
+         CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS wtot
+  FROM w
+)
+SELECT l_returnflag,
+       CAST(max(wtot) AS BIGINT) AS w_total,
+       CAST(min(CASE WHEN 2 * wcum >= wtot THEN v END) AS BIGINT)
+         AS wmedian_cents
+FROM cum
+GROUP BY l_returnflag
+"""
+
+
+@query("a17_weighted_median", oracle=A17_ORACLE)
+def a17_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group — the value at which cumulative WEIGHT
+    (not row count) first reaches half the group total: quantity-
+    weighted price medians, token-weighted doc-quality medians, the
+    robust location estimate wherever rows are not equally important.
+    a5's percentiles weight rows equally; the weighted form has no
+    built-in in either engine, but it IS one cumulative-sum window:
+    order by (value, unique tiebreak), take the first value whose
+    running weight crosses half the partition total — rank-exact, no
+    interpolation, and both value and weight live in fixed-point
+    BIGINT cents (floor(x*100+0.5)), so cross-engine parity is exact
+    by construction.
+
+    Scale: ONE l_returnflag exchange — the running-sum window, the
+    partition-total window and the conditional-min aggregate all
+    reuse it; no join, no second scan. Weight sums stay < 2^40 at
+    1000x the fixture, far from BIGINT overflow (and the 2*wcum
+    comparison is the only product).
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wrun = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wfull = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(wrun).alias("wcum"),
+        F.sum("wt").over(wfull).alias("wtot"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("wtot").cast("long").alias("w_total"),
+        F.min(F.when(2 * F.col("wcum") >= F.col("wtot"), F.col("v")))
+        .cast("long")
+        .alias("wmedian_cents"),
+    )

@@ -449,3 +449,129 @@ def e7_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("daynum").cast("long").alias("end_day"),
         F.count("*").cast("long").alias("streak_days"),
     ).drop("grp")
+
+
+# --- E8: time-bounded conversion funnel ---------------------------------------
+
+E8_CLICK_WINDOW_US = 3_600_000_000        # click must follow the view within 1h
+E8_PURCHASE_WINDOW_US = 86_400_000_000    # purchase within 24h of that click
+
+E8_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT p.user_id, p.v_us,
+         min(CASE WHEN e.event_type = 'click'
+                   AND epoch_us(e.ts) > p.v_us
+                   AND epoch_us(e.ts) <= p.v_us + {E8_CLICK_WINDOW_US}
+                  THEN epoch_us(e.ts) END) AS c_us
+  FROM per_user p JOIN events e ON e.user_id = p.user_id
+  GROUP BY p.user_id, p.v_us
+),
+pzh AS (
+  SELECT c.user_id, c.v_us, c.c_us,
+         min(CASE WHEN e.event_type = 'purchase'
+                   AND epoch_us(e.ts) > c.c_us
+                   AND epoch_us(e.ts) <= c.c_us + {E8_PURCHASE_WINDOW_US}
+                  THEN epoch_us(e.ts) END) AS p_us
+  FROM c JOIN events e ON e.user_id = c.user_id
+  GROUP BY c.user_id, c.v_us, c.c_us
+)
+SELECT CAST(sum(CASE WHEN v_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_viewed,
+       CAST(sum(CASE WHEN c_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicked_1h,
+       CAST(sum(CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchased_24h,
+       CAST(coalesce(sum(CASE WHEN p_us IS NOT NULL
+                              THEN (p_us - v_us) // 1000000 END), 0) AS BIGINT)
+         AS total_conversion_s
+FROM pzh
+"""
+
+
+@query("e8_timebound_funnel", oracle=E8_ORACLE)
+def e8_timebound_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED conversion funnel: first view → first click within
+    1 h of it → first purchase within 24 h of that click. e1 counts
+    order-strict conversions with unbounded gaps; real funnel metrics
+    expire each step (a purchase a month after the click is not that
+    click's conversion), and the expiry windows change the answer —
+    at the fixture both cuts bite. Emits one row: users reaching each
+    stage plus the summed view→purchase conversion time in whole
+    seconds (exact integer µs arithmetic until the final floor-div).
+
+    Plan shape: the three stage anchors are CHAINED conditional
+    windows over ONE user_id exchange — v_us = min(view ts) over the
+    user partition, then c_us = min(click ts | ts ∈ (v_us, v_us+1h])
+    computed over the SAME partition (the predicate reads the previous
+    window's column — Catalyst stacks both in one Window operator,
+    no re-shuffle), then p_us likewise. A per-user dedup-aggregate
+    collapses rows, and the final global sum is a single-row gather.
+    The oracle replays the chain as three grouped self-joins — same
+    fixpoints, engine-exact. Scale: one fact exchange on user_id +
+    O(users) aggregate rows; no joins, no state beyond three longs
+    per user.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("uts"),
+    )
+    wu = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "v_us",
+            F.min(F.when(F.col("event_type") == "view", F.col("uts"))).over(wu),
+        )
+        .withColumn(
+            "c_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("uts") > F.col("v_us"))
+                    & (F.col("uts") <= F.col("v_us") + E8_CLICK_WINDOW_US),
+                    F.col("uts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "p_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("uts") > F.col("c_us"))
+                    & (F.col("uts") <= F.col("c_us") + E8_PURCHASE_WINDOW_US),
+                    F.col("uts"),
+                )
+            ).over(wu),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("v_us").alias("v_us"),
+        F.max("c_us").alias("c_us"),
+        F.max("p_us").alias("p_us"),
+    )
+    return per_user.agg(
+        F.sum(F.col("v_us").isNotNull().cast("long")).cast("long").alias("n_viewed"),
+        F.sum(F.col("c_us").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_clicked_1h"),
+        F.sum(F.col("p_us").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_purchased_24h"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("p_us").isNotNull(),
+                    F.expr("(p_us - v_us) div 1000000"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("total_conversion_s"),
+    )

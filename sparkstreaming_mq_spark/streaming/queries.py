@@ -3589,3 +3589,131 @@ def t20_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("last_cents"),
     )
+
+
+# --- T21: streaming distribution-drift gate ------------------------------------
+
+# x6's dataset-shift audit moved to ingest time: each micro-batch's
+# value histogram is compared against the standing corpus profile and
+# the epoch's drift score lands in a quality log — the continuous
+# monitoring form of the batch promotion gate (and the trigger a real
+# pipeline uses to quarantine a bad crawl BEFORE it mixes in).
+T21_BUCKET_CENTS = 10_000   # $100-wide value buckets
+T21_N_BUCKETS = 10
+T21_CHUNKS = 4
+
+T21_ORACLE = f"""
+WITH ref AS (
+  SELECT least(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 // {T21_BUCKET_CENTS}, {T21_N_BUCKETS - 1}) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+ref_sh AS (
+  SELECT bucket,
+         n * CAST(1000000 AS BIGINT)
+           // CAST((SELECT sum(n) FROM ref) AS BIGINT) AS ppm_ref
+  FROM ref
+),
+chunked AS (
+  SELECT least(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 // {T21_BUCKET_CENTS}, {T21_N_BUCKETS - 1}) AS bucket,
+         ntile({T21_CHUNKS}) OVER (ORDER BY ts, event_id) - 1 AS epoch
+  FROM events
+),
+batch AS (
+  SELECT epoch, bucket, CAST(count(*) AS BIGINT) AS n
+  FROM chunked GROUP BY epoch, bucket
+),
+btot AS (
+  SELECT epoch, CAST(sum(n) AS BIGINT) AS n_rows FROM batch GROUP BY epoch
+),
+sh AS (
+  SELECT t.epoch, t.n_rows, r.ppm_ref,
+         coalesce(b.n, 0) * CAST(1000000 AS BIGINT) // t.n_rows AS ppm_b
+  FROM ref_sh r
+  CROSS JOIN btot t
+  LEFT JOIN batch b ON b.bucket = r.bucket AND b.epoch = t.epoch
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(max(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(abs(ppm_b - ppm_ref)) AS BIGINT) AS drift_ppm
+FROM sh
+GROUP BY epoch
+"""
+
+
+@query("t21_stream_drift_gate", oracle=T21_ORACLE)
+def t21_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift gate: per micro-batch, the incoming value
+    histogram (x6's literal-bound equi-width buckets) is compared
+    against the STANDING corpus profile — a {T21_N_BUCKETS}-row frame
+    computed once batch-side and reused every epoch — and the epoch's
+    L1 drift in exact ppm is appended to a quality log, epoch-keyed
+    and overwrite-idempotent (a retried epoch replaces its own row,
+    the s15 layout). The pinned time-ordered replay makes the log
+    deterministic, so the oracle replays chunk membership with
+    SQL-standard ntile({T21_CHUNKS}) (the t14 convention: epoch N =
+    chunk N, oldest first) and recomputes every epoch's drift.
+
+    Scale shape: the reference profile is metadata-sized and effectively
+    broadcast (it rides the closure as a {T21_N_BUCKETS}-row frame);
+    per epoch the work is one codegen bucket projection + a
+    {T21_N_BUCKETS}-key aggregate — no state store, no shuffle beyond
+    the tiny histogram gather; the quality log grows one row per
+    epoch. Empty epochs write nothing (guard below) — a zero-row
+    batch has no histogram to score.
+    """
+    import os as _os
+    import tempfile
+
+    ref = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                f"least(CAST(floor(value * 100 + 0.5) AS BIGINT)"
+                f" div {T21_BUCKET_CENTS}, {T21_N_BUCKETS - 1})"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ref_rows = ref.collect()  # <= T21_N_BUCKETS rows — metadata-sized
+    ref_total = sum(r.n for r in ref_rows)
+    ref_ppm = {r.bucket: r.n * 1_000_000 // ref_total for r in ref_rows}
+
+    log_dir = tempfile.mkdtemp(prefix="sparkgraft_t21_log_")
+
+    def score(batch_df: DataFrame, epoch_id: int) -> None:
+        hist = {
+            r.bucket: r.n
+            for r in batch_df.select(
+                F.expr(
+                    f"least(CAST(floor(value * 100 + 0.5) AS BIGINT)"
+                    f" div {T21_BUCKET_CENTS}, {T21_N_BUCKETS - 1})"
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect()
+        }
+        n_rows = sum(hist.values())
+        if n_rows == 0:
+            return  # zero-row epoch: nothing to score
+        drift = sum(
+            abs(hist.get(b, 0) * 1_000_000 // n_rows - ppm_r)
+            for b, ppm_r in ref_ppm.items()
+        )
+        row = batch_df.sparkSession.createDataFrame(
+            [(int(epoch_id), int(n_rows), int(drift))],
+            "epoch long, n_rows long, drift_ppm long",
+        )
+        row.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(log_dir, f"__epoch={epoch_id}")
+        )
+
+    stream = read_events_stream_chunked(
+        spark, sf_dir, n_chunks=T21_CHUNKS, order="time"
+    ).select("ts", "event_id", "value")
+    run_stream_foreach_batch(stream, score)
+    return spark.read.parquet(log_dir).select("epoch", "n_rows", "drift_ppm")

@@ -490,3 +490,102 @@ class TestRound11Operators:
             for r in twin.collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestRound11Batch3:
+    """e8 time-bounded funnel, a17 weighted median, t21 streaming
+    drift gate — engine-internal invariants beyond the oracles."""
+
+    def _write_events(self, spark, tmp, rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        import os
+
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+
+    def test_e8_windows_bite(self, spark):
+        """user 1 converts fully inside the windows; user 2's click is
+        61 min after the view (expired); user 3's purchase is 25 h
+        after the click (expired)."""
+        import datetime as dt
+        import tempfile
+
+        t0 = dt.datetime(2024, 1, 1)
+        m = lambda mins: t0 + dt.timedelta(minutes=mins)  # noqa: E731
+        rows = [
+            (1, m(0), 1, "view", 1.0, ""), (2, m(30), 1, "click", 1.0, ""),
+            (3, m(90), 1, "purchase", 1.0, ""),
+            (4, m(0), 2, "view", 1.0, ""), (5, m(61), 2, "click", 1.0, ""),
+            (6, m(90), 2, "purchase", 1.0, ""),
+            (7, m(0), 3, "view", 1.0, ""), (8, m(30), 3, "click", 1.0, ""),
+            (9, m(30 + 25 * 60), 3, "purchase", 1.0, ""),
+        ]
+        with tempfile.TemporaryDirectory() as tmp:
+            self._write_events(spark, tmp, rows)
+            from sparkstreaming_mq_spark.operators.events_analytics import (
+                e8_timebound_funnel,
+            )
+
+            r = e8_timebound_funnel(spark, tmp).collect()[0]
+        assert (r.n_viewed, r.n_clicked_1h, r.n_purchased_24h) == (3, 2, 1)
+        # user 1: view at t0, purchase at +90 min = 5400 s
+        assert r.total_conversion_s == 5400
+
+    def test_a17_hand_check_and_unweighted_degeneracy(self, spark):
+        """Weights {1: x1, 9: x2} put the weighted median at the heavy
+        value; with all weights equal it must equal the plain
+        rank-median value."""
+        from sparkstreaming_mq_spark.operators.aggregates import a17_weighted_median
+        import tempfile, os
+
+        rows = [
+            # flag 'W': values 1..4 dollars, weight 9 on value 4
+            (1, 1, 1.0, 1.00, "W"), (2, 1, 1.0, 2.00, "W"),
+            (3, 1, 1.0, 3.00, "W"), (4, 1, 9.0, 4.00, "W"),
+            # flag 'U': equal weights, even count -> lower middle by
+            # the 2*wcum >= wtot contract
+            (5, 1, 1.0, 10.00, "U"), (6, 1, 1.0, 20.00, "U"),
+            (7, 1, 1.0, 30.00, "U"), (8, 1, 1.0, 40.00, "U"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_linenumber int, l_quantity double, "
+            "l_extendedprice double, l_returnflag string",
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.parquet(os.path.join(tmp, "lineitem.parquet"))
+            out = {
+                r.l_returnflag: r
+                for r in a17_weighted_median(spark, tmp).collect()
+            }
+        # W: wtot=1200 cents-weight; cum at v=400 cents... weights in
+        # cents: 100,100,100,900 -> crossing 600 happens at v=4.00
+        assert out["W"].wmedian_cents == 400
+        # U: equal weights, first value with 2*wcum >= wtot is 20.00
+        assert out["U"].wmedian_cents == 2000
+
+    def test_t21_zero_drift_on_stationary_stream(self, spark):
+        """A corpus whose every row lands in one bucket has ppm=1e6
+        there in every epoch — drift must be exactly 0 for all
+        epochs, and the epochs must partition the corpus."""
+        import datetime as dt
+        import tempfile
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, t0 + dt.timedelta(minutes=i), 1, "view", 5.0, "")
+            for i in range(400)
+        ]
+        with tempfile.TemporaryDirectory() as tmp:
+            self._write_events(spark, tmp, rows)
+            from sparkstreaming_mq_spark.streaming.queries import (
+                t21_stream_drift_gate,
+            )
+
+            out = t21_stream_drift_gate(spark, tmp).collect()
+        assert len(out) == 4
+        assert sum(r.n_rows for r in out) == 400
+        assert all(r.drift_ppm == 0 for r in out)
