@@ -91,7 +91,9 @@ HEADLINES = {
     "ts6_cusum_changepoint": "(type,hour) map-side collapse, then k/prefix/N/total/rank windows share ONE event_type exchange over the O(types x hours) frame",
     "w8_winsorized_mean": "rank+count windows, bound extraction and clipped sum on ONE event_type exchange; bounds rejoin broadcast",
     "x6_distribution_drift": "both generations counted from ONE 2-column scan via conditional aggs; 20-key exchange; single-partition window only over the 20-row bucket frame",
-    "l50_prefix_filter_join": "df build + per-doc prefix rank; self-join fanout bounded by prefix-token df^2 (rarest tokens); verification candidate-bounded via array_intersect",
+    "l50_prefix_filter_join": "df build + per-doc prefix rank; self-join fanout bounded by prefix-token df^2 (rarest tokens); verification candidate-bounded, narrow fp postings joins",
+    "e8_timebound_funnel": "three chained conditional windows in ONE Window operator on one user_id exchange; per-user collapse + single-row gather",
+    "a17_weighted_median": "running-weight window + partition total + conditional min reuse one l_returnflag exchange",
 }
 
 

@@ -192,6 +192,13 @@ QUERIES = [
     # excluded: per-row-Python API demonstrator, the U1-class
     # surface.)
     "l50_prefix_filter_join",
+    # e8: chained conditional windows on one user_id exchange — should
+    # track rows; a17: one returnflag exchange, same class as w1.
+    "e8_timebound_funnel",
+    "a17_weighted_median",
+    # t21: per-epoch 10-key histogram over the chunked replay — the
+    # gate's cost is the scan; the log is O(epochs).
+    "t21_stream_drift_gate",
 ]
 
 
