@@ -94,6 +94,7 @@ HEADLINES = {
     "l50_prefix_filter_join": "df build + per-doc prefix rank; self-join fanout bounded by prefix-token df^2 (rarest tokens); verification candidate-bounded, narrow fp postings joins",
     "e8_timebound_funnel": "three chained conditional windows in ONE Window operator on one user_id exchange; per-user collapse + single-row gather",
     "a17_weighted_median": "running-weight window + partition total + conditional min reuse one l_returnflag exchange",
+    "a18_copurchase_rules": "ONE orderkey exchange builds deduped baskets; supports, order count and pair explode all derive from it — no corpus-wide distinct",
 }
 
 

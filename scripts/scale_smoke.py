@@ -199,6 +199,10 @@ QUERIES = [
     # t21: per-epoch 10-key histogram over the chunked replay — the
     # gate's cost is the scan; the log is O(epochs).
     "t21_stream_drift_gate",
+    # a18: basket-local pair explode (fanout <= basket^2, baskets are
+    # order-sized) + one combinable pair exchange; pair space is
+    # bounded by the part vocabulary squared, fixed across copies.
+    "a18_copurchase_rules",
 ]
 
 

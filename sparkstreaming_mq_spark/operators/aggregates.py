@@ -1536,3 +1536,104 @@ def a17_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wmedian_cents"),
     )
+
+
+# --- A18: association rules (co-purchase support / confidence / lift) ---------
+
+A18_MIN_PAIR = 2   # pairs must co-occur in >= 2 orders (support floor)
+
+A18_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM d),
+item AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+  FROM d GROUP BY l_partkey
+),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {A18_MIN_PAIR}
+)
+SELECT p.part_a, p.part_b, p.n_pair,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       p.n_pair * CAST(1000000 AS BIGINT) // n.n_orders AS support_ppm,
+       p.n_pair * CAST(1000000 AS BIGINT) // ia.n_item AS conf_ab_ppm,
+       p.n_pair * CAST(1000000 AS BIGINT) // ib.n_item AS conf_ba_ppm,
+       CAST((CAST(p.n_pair AS HUGEINT) * n.n_orders * 1000000)
+            // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT) AS lift_ppm
+FROM pair p
+JOIN item ia ON ia.l_partkey = p.part_a
+JOIN item ib ON ib.l_partkey = p.part_b
+CROSS JOIN n
+"""
+
+
+@query("a18_copurchase_rules", oracle=A18_ORACLE)
+def a18_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (the market-basket /
+    recommender primitive): every part pair co-occurring in >=
+    {A18_MIN_PAIR} orders, with support, both directional confidences
+    and lift — all in exact integer ppm (lift's triple product widens
+    to DECIMAL(38,0)/HUGEINT INSIDE the expression, the ds8 rule, and
+    only the floor-divided BIGINT is emitted).
+
+    This is frequent-itemset mining done the Spark-native way: no
+    FP-tree driver structure — pair GENERATION stays inside each
+    basket (collect_set per order, fanout bounded by basket size^2;
+    baskets are small by schema, the l33 bounded-fanout exemption),
+    and pair COUNTING is one map-side-combinable aggregate. Item
+    supports come from the same deduped (order, part) frame, the
+    order count is a 16-byte broadcast, and the final joins are
+    pair-frame-sized. At 100 TB: one fact dedup exchange + one pair
+    exchange, both combinable; nothing driver-side, no candidate
+    explosion beyond the basket-local square that defines the
+    problem.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # ONE orderkey exchange builds the deduped baskets (collect_set
+    # dedups within the group, so no separate corpus-wide DISTINCT —
+    # the first form's 18M-key distinct partial-agg hash was the 30x
+    # rung's 1.4 GB spiller); item supports, the order count and the
+    # pair explode all derive from this basket frame.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    dd = baskets.select(F.explode("parts").alias("l_partkey"))
+    n_frame = baskets.agg(F.count("*").cast("long").alias("n_orders"))
+    item = dd.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n_item"))
+    pair = (
+        baskets.select(F.explode("parts").alias("part_a"), "parts")
+        .select("part_a", F.explode("parts").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= A18_MIN_PAIR)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_frame))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.expr("n_pair * CAST(1000000 AS BIGINT) div n_orders").alias(
+                "support_ppm"
+            ),
+            F.expr("n_pair * CAST(1000000 AS BIGINT) div n_a").alias("conf_ab_ppm"),
+            F.expr("n_pair * CAST(1000000 AS BIGINT) div n_b").alias("conf_ba_ppm"),
+            F.expr(
+                "CAST((CAST(n_pair AS DECIMAL(38,0)) * n_orders * 1000000)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )

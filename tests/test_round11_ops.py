@@ -589,3 +589,44 @@ class TestRound11Batch3:
         assert len(out) == 4
         assert sum(r.n_rows for r in out) == 400
         assert all(r.drift_ppm == 0 for r in out)
+
+
+class TestA18AssocRules:
+    """a18_copurchase_rules: hand-checked support/confidence/lift on a
+    constructed basket set."""
+
+    def test_hand_checked_lift(self, spark):
+        import tempfile, os
+
+        # 4 orders: {1,2} x2, {1,3}, {2,3} -> pair (1,2) n=2;
+        # items: 1 in 3 orders, 2 in 3, 3 in 2; N=4
+        rows = []
+        baskets = [(10, [1, 2]), (11, [1, 2]), (12, [1, 3]), (13, [2, 3])]
+        ln = 0
+        for ok, parts in baskets:
+            for p in parts:
+                ln += 1
+                rows.append((ok, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                             __import__("datetime").datetime(2024, 1, 1)))
+        df = spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.parquet(os.path.join(tmp, "lineitem.parquet"))
+            from sparkstreaming_mq_spark.operators.aggregates import (
+                a18_copurchase_rules,
+            )
+
+            out = a18_copurchase_rules(spark, tmp).collect()
+        # only (1,2) crosses MIN_PAIR=2
+        assert len(out) == 1
+        r = out[0]
+        assert (r.part_a, r.part_b, r.n_pair, r.n_a, r.n_b) == (1, 2, 2, 3, 3)
+        assert r.support_ppm == 2 * 1_000_000 // 4
+        assert r.conf_ab_ppm == 2 * 1_000_000 // 3
+        # lift = (2/4) / ((3/4)*(3/4)) = 8/9
+        assert r.lift_ppm == 2 * 4 * 1_000_000 // 9
