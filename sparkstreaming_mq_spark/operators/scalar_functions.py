@@ -932,3 +932,83 @@ def f16_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY priority
         """
     )
+
+
+# --- F17: ANSI error-tolerant expressions (try_* family) ----------------------
+
+F17_BIG = 9_000_000_000_000_000   # overflow iff |cents| > 1024 under BIGINT
+
+F17_ORACLE = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+x AS (
+  SELECT event_type,
+         CASE WHEN k = 0 THEN NULL
+              ELSE CAST(floor(cents / k) AS BIGINT) END AS safe_div,
+         CASE WHEN abs(cents) > 1024 THEN NULL
+              ELSE cents * {F17_BIG} END AS safe_mul,
+         TRY_CAST(CASE WHEN k < 50 THEN CAST(k AS VARCHAR)
+                       ELSE event_type END AS BIGINT) AS parsed
+  FROM base
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(safe_div) AS BIGINT) AS n_div_null,
+       CAST(coalesce(sum(safe_div), 0) AS BIGINT) AS sum_safe_div,
+       CAST(count(*) - count(safe_mul) AS BIGINT) AS n_overflow_null,
+       CAST(count(*) - count(parsed) AS BIGINT) AS n_parse_null,
+       CAST(coalesce(sum(parsed), 0) AS BIGINT) AS sum_parsed
+FROM x
+GROUP BY event_type
+"""
+
+
+@query("f17_try_arithmetic", oracle=F17_ORACLE)
+def f17_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-TOLERANT expression surface: ``try_divide`` /
+    ``try_multiply`` / ``try_cast`` — Spark 4 runs ANSI mode by
+    default, so raw division-by-zero, numeric overflow, and bad casts
+    ABORT the job; the try_* forms return NULL instead, which is the
+    contract dirty-payload ETL needs (s15 routes whole bad records;
+    this is the expression-level sibling that salvages the rest of
+    the row). Every branch is NON-vacuous on the fixture: k = 0 rows
+    exist (division), |cents| spans the 1024 boundary of the
+    {F17_BIG} multiplier (BIGINT overflow), and the mixed column
+    parses iff k < 50 (cast).
+
+    The oracle replays the semantics with explicit CASE guards —
+    DuckDB 1.0 has TRY_CAST but not try_divide/try_multiply, and the
+    guard form IS the documented semantics (NULL exactly where ANSI
+    would raise), so the hash contract pins Spark's try_* behavior
+    against an independent derivation, all in exact integers (the
+    division is floored to BIGINT before summing).
+
+    Scale: pure codegen projections + one map-side-combinable
+    aggregate — scan-bound at any size.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    x = ev.select(
+        "event_type",
+        F.expr("CAST(floor(try_divide(cents, k)) AS BIGINT)").alias("safe_div"),
+        F.expr(f"try_multiply(cents, {F17_BIG}L)").alias("safe_mul"),
+        F.expr(
+            "try_cast(CASE WHEN k < 50 THEN CAST(k AS STRING)"
+            " ELSE event_type END AS BIGINT)"
+        ).alias("parsed"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.count("*") - F.count("safe_div")).cast("long").alias("n_div_null"),
+        F.coalesce(F.sum("safe_div"), F.lit(0)).cast("long").alias("sum_safe_div"),
+        (F.count("*") - F.count("safe_mul")).cast("long").alias("n_overflow_null"),
+        (F.count("*") - F.count("parsed")).cast("long").alias("n_parse_null"),
+        F.coalesce(F.sum("parsed"), F.lit(0)).cast("long").alias("sum_parsed"),
+    )

@@ -630,3 +630,34 @@ class TestA18AssocRules:
         assert r.conf_ab_ppm == 2 * 1_000_000 // 3
         # lift = (2/4) / ((3/4)*(3/4)) = 8/9
         assert r.lift_ppm == 2 * 4 * 1_000_000 // 9
+
+
+class TestF17TryArithmetic:
+    """f17: the try_* forms must NULL exactly where plain ANSI
+    expressions raise — the semantic claim the oracle's CASE guards
+    encode."""
+
+    def test_ansi_raises_where_try_nulls(self, spark):
+        from sparkstreaming_mq_spark.operators.scalar_functions import F17_BIG
+
+        one = spark.range(1)
+        # division by zero
+        with pytest.raises(Exception):
+            one.selectExpr("CAST(id AS BIGINT) / 0 AS x").selectExpr(
+                "CAST(x AS STRING)"
+            ).collect()
+        assert (
+            one.selectExpr("try_divide(1, 0) AS x").collect()[0].x is None
+        )
+        # BIGINT overflow at the documented 1024/1025 boundary
+        ok = one.selectExpr(f"try_multiply(1024L, {F17_BIG}L) AS x").collect()[0].x
+        assert ok == 1024 * F17_BIG
+        bad = one.selectExpr(f"try_multiply(1025L, {F17_BIG}L) AS x").collect()[0].x
+        assert bad is None
+        with pytest.raises(Exception):
+            one.selectExpr(f"1025L * {F17_BIG}L AS x").collect()
+        # bad cast
+        assert (
+            one.selectExpr("try_cast('click' AS BIGINT) AS x").collect()[0].x
+            is None
+        )
