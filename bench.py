@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract + BASELINE.md protocol).
 
-Runs the headline query set at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+Runs the headline query sets at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS], materializing each result through the noop
 sink (full execution, nothing pruned by a count-only action), 1 warmup
 + median of 3 timed runs per query, and prints ONE JSON line:
@@ -13,6 +13,38 @@ Headline set: one scale-representative query per operator family
 (SURVEY.md §2) — scans/aggregates, star joins, as-of join, windows,
 sort/top-k, JSON/array ETL, dedup (exact + MinHash LSH), similarity
 search, text quality, pandas UDF, and two streaming replays.
+
+Session-drift / transient protocol (r12, VERDICT r11 item 1) — the
+recorded number must track PLANS, not JVM session state. Two measured
+failure modes motivated it: (a) bench2 drifted 0.78×→1.30× of baseline
+across rounds on byte-identical query code as shared-session heap/GC
+state accumulated, with s19/g1 (the two heap-heaviest entries)
+absorbing most of the drift; (b) r11's closing battery hit a
+non-reproducible 5-30× transient on Python-worker/checkpoint paths in
+one of three runs (BASELINE.md). Mitigations, in the order applied:
+
+1. FRESH_SESSION queries (s19_stream_gapfill, g1_pagerank) are always
+   measured in their own subprocess with a fresh JVM — the same fix
+   the l50 skew rung needed (in-session GC carryover inflated a pure
+   scan stage 12×). JVM startup is excluded from the timing.
+2. Any other query whose N_RUNS timed samples disagree by more than
+   DISPERSION_LIMIT (max/min) AND whose median exceeds
+   MIN_FLAG_MEDIAN_S (sub-second dispersion is scheduler noise, not
+   worth a JVM) is re-measured in a fresh subprocess session. The
+   recorded number is min(in-session median, fresh median): a fresh
+   JVM is JIT-cold, so it only *confirms* session-state inflation when
+   it is FASTER (measured at sf0.01: a flapping t19 read 10.7 s
+   in-session vs 5.7 s fresh → transient confirmed; l3 read 0.6 s
+   in-session vs 1.4 s fresh → the in-session number stands). Each
+   median is itself a median of N_RUNS, so the min is not a
+   single-sample cherry-pick. Both numbers land in the "flagged"
+   diagnostic block. Re-runs are capped at MAX_FRESH_RERUNS to bound
+   the wall clock (a capped query keeps its in-session median and is
+   listed in "flag_capped").
+3. Per-query raw samples for flagged queries plus the machine
+   freshness block make the artifact self-diagnosing.
+
+Never run concurrently with tests (measured 1.75× inflation).
 """
 
 from __future__ import annotations
@@ -20,6 +52,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -84,12 +117,28 @@ HEADLINE3 = [
     "t20_stream_cdc_upsert",
 ]
 
+# Fourth headline set (r12, VERDICT r11 item 6): the two heaviest r11
+# additions — t21's per-epoch drift-gate scoring and a18's association
+# mining — previously lived only in ladder snapshots. Recorded as
+# value4/queries4; first measured run = BASELINE row.
+HEADLINE4 = [
+    "t21_stream_drift_gate",
+    "a18_copurchase_rules",
+]
+
+# Heap-heaviest entries: always measured in a fresh subprocess session
+# (protocol note above).
+FRESH_SESSION = {"s19_stream_gapfill", "g1_pagerank"}
+
 # timed runs (median) for fast queries. 3 since r6 (verdict item: a
 # median of 2 is just the midpoint of two samples — under the
 # documented VM-freshness drift a true median of 3 is the honest
 # per-query number; costs ~15 s total).
 N_RUNS = 3
 SLOW_CUTOFF_S = 30.0  # a first run past this skips warmup-amortized reruns
+DISPERSION_LIMIT = 1.5  # max/min over timed samples that triggers a fresh re-run
+MIN_FLAG_MEDIAN_S = 0.75  # dispersion below this median is noise, not a transient
+MAX_FRESH_RERUNS = 6
 
 
 def materialize(df) -> None:
@@ -116,41 +165,113 @@ def machine_freshness() -> dict:
     return out
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _bench_session():
     # local-mode default driver heap is 1g — fine for the legacy set,
     # but bench2's g1_pagerank localCheckpoints its edge frame across
     # 32 executor threads at sf0.1 and kills a 1g JVM (measured r9:
     # dead gateway from g1 onward). Per-process setting, so the bench
     # owns its own heap like scale_smoke does. Legacy-sum timings are
     # unaffected (re-measured within noise after the change).
-    spark = get_spark(
+    return get_spark(
         app_name="sparkgraft-bench",
         extra_conf={"spark.driver.memory": "8g"},
     )
+
+
+def _time_query(spark, fn, sf_dir: str) -> tuple[float, list[float]]:
+    """1 warmup + median of N_RUNS (slow queries: single run). Returns
+    (median, timed_samples)."""
+    t0 = time.time()
+    materialize(fn(spark, sf_dir))
+    first = time.time() - t0
+    if first > SLOW_CUTOFF_S:
+        return round(first, 3), [round(first, 3)]
+    times = []
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        times.append(time.time() - t0)
+    return round(statistics.median(times), 3), [round(t, 3) for t in times]
+
+
+def _run_one_subprocess(name: str, sf_dir: str) -> dict | None:
+    """Measure one query in a fresh JVM (its own python + Spark
+    session). Startup is excluded — the child times only the query."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True,
+            text=True,
+            timeout=900,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception as exc:  # noqa: BLE001 - diagnostic path
+        print(f"[bench] fresh-session {name} failed: {exc}", file=sys.stderr)
+    return None
+
+
+def _one_mode(name: str) -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _bench_session()
+    fn = registry.all_queries()[name]
+    median, times = _time_query(spark, fn, sf_dir)
+    print(json.dumps({"name": name, "median": median, "times": times}))
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        _one_mode(sys.argv[2])
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _bench_session()
     qs = registry.all_queries()
+
+    fresh_used: list[str] = []
+    flagged: dict[str, dict] = {}
+    flag_capped: list[str] = []
+    rerun_budget = [MAX_FRESH_RERUNS]
 
     def run_set(names: list[str]) -> dict[str, float]:
         results: dict[str, float] = {}
         for name in names:
-            fn = qs[name]
             try:
-                # first (warmup) run also bounds the cost of slow queries:
-                # past SLOW_CUTOFF_S its own time is recorded and reruns are
-                # skipped, so one heavy entry can't blow the driver's bench
-                # window (a killed bench records nothing at all).
-                t0 = time.time()
-                materialize(fn(spark, sf_dir))
-                first = time.time() - t0
-                if first > SLOW_CUTOFF_S:
-                    results[name] = round(first, 3)
-                else:
-                    times = []
-                    for _ in range(N_RUNS):
-                        t0 = time.time()
-                        materialize(fn(spark, sf_dir))
-                        times.append(time.time() - t0)
-                    results[name] = round(statistics.median(times), 3)
+                if name in FRESH_SESSION:
+                    one = _run_one_subprocess(name, sf_dir)
+                    if one is not None:
+                        results[name] = one["median"]
+                        fresh_used.append(name)
+                        continue
+                    # fall through to in-session if the subprocess died
+                fn = qs[name]
+                median, times = _time_query(spark, fn, sf_dir)
+                if (
+                    len(times) > 1
+                    and min(times) > 0
+                    and max(times) / min(times) > DISPERSION_LIMIT
+                    and median > MIN_FLAG_MEDIAN_S
+                ):
+                    if rerun_budget[0] > 0:
+                        rerun_budget[0] -= 1
+                        one = _run_one_subprocess(name, sf_dir)
+                        if one is not None:
+                            flagged[name] = {
+                                "insession": median,
+                                "insession_times": times,
+                                "fresh": one["median"],
+                                "fresh_times": one["times"],
+                            }
+                            median = min(median, one["median"])
+                    else:
+                        flag_capped.append(name)
+                results[name] = median
             except Exception as exc:  # keep the bench line parseable no matter what
                 print(f"[bench] {name} failed: {exc}", file=sys.stderr)
                 results[name] = -1.0
@@ -159,23 +280,31 @@ def main() -> None:
     results = run_set(HEADLINE)
     results2 = run_set(HEADLINE2)
     results3 = run_set(HEADLINE3)
+    results4 = run_set(HEADLINE4)
 
-    total = round(sum(t for t in results.values() if t >= 0), 3)
-    total2 = round(sum(t for t in results2.values() if t >= 0), 3)
-    total3 = round(sum(t for t in results3.values() if t >= 0), 3)
+    def total(d: dict[str, float]) -> float:
+        return round(sum(t for t in d.values() if t >= 0), 3)
+
     print(
         json.dumps(
             {
                 "metric": "sum_of_median_query_sec",
-                "value": total,
+                "value": total(results),
                 "unit": "sec",
                 "queries": results,
-                "value2": total2,
+                "value2": total(results2),
                 "queries2": results2,
-                "value3": total3,
+                "value3": total(results3),
                 "queries3": results3,
+                "value4": total(results4),
+                "queries4": results4,
                 "sf": os.path.basename(os.path.normpath(sf_dir)),
                 "machine": machine_freshness(),
+                "protocol": {
+                    "fresh_session": fresh_used,
+                    "flagged": flagged,
+                    "flag_capped": flag_capped,
+                },
             }
         )
     )

@@ -396,9 +396,9 @@ per_bucket AS (
 shares AS (
   SELECT bucket, n_a, n_b,
          n_a * CAST(1000000 AS BIGINT)
-           // CAST(sum(n_a) OVER () AS BIGINT) AS ppm_a,
+           // CAST(nullif(sum(n_a) OVER (), 0) AS BIGINT) AS ppm_a,
          n_b * CAST(1000000 AS BIGINT)
-           // CAST(sum(n_b) OVER () AS BIGINT) AS ppm_b
+           // CAST(nullif(sum(n_b) OVER (), 0) AS BIGINT) AS ppm_b
   FROM per_bucket
 )
 SELECT bucket, n_a, n_b, ppm_a, ppm_b,
@@ -459,8 +459,16 @@ def x6_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "n_a",
         "n_b",
-        F.expr("(n_a * CAST(1000000 AS BIGINT)) div _tot_a").alias("ppm_a"),
-        F.expr("(n_b * CAST(1000000 AS BIGINT)) div _tot_b").alias("ppm_b"),
+        # nullif guard: an empty generation yields NULL ppm instead of an
+        # ANSI div-0 abort (latent at current fixtures — both halves of the
+        # 1998 split are populated — but a refreshed snapshot could be
+        # one-sided). Same guard in the oracle, so hashes stay aligned.
+        F.expr("(n_a * CAST(1000000 AS BIGINT)) div nullif(_tot_a, 0)").alias(
+            "ppm_a"
+        ),
+        F.expr("(n_b * CAST(1000000 AS BIGINT)) div nullif(_tot_b, 0)").alias(
+            "ppm_b"
+        ),
     )
     return shares.select(
         "bucket",

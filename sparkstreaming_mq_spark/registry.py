@@ -159,7 +159,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     "m2_scd2_history",          # bonus: SCD2 interval build
     "m3_incremental_agg",       # bonus: materialized-view delta maintenance
     "s10b_stream_merge_equiv",  # streaming MERGE == batch MERGE (exact oracle)
-    "s10_stream_merge_upsert",  # CDC stream -> versioned snapshot (rows)
+    "s10_stream_merge_upsert",  # CDC stream -> versioned snapshot (exact oracle since r12)
     "t4c_session_batch",        # T4 batch twin with full SQL oracle
     "j11_salted_skew_join",     # bonus: explicit skew salting
     "j12_star_join",            # bonus: star schema, all dims broadcast

