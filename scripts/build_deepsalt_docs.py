@@ -19,7 +19,12 @@ output all scale LINEARLY in copies, which is exactly the regime the
 pairs, not 10,000x).
 
 Only documents.parquet is written (the l49/l38/l39/l42 family reads
-nothing else).
+nothing else). Written as 64 files: a single-file corpus caps every
+scan stage at 1-4 tasks (parquet splits at row-group boundaries and
+the whole table is one ~40 MB row group), which serializes the
+CPU-heavy shingling passes on a 32-core box and contaminates the rung
+— measured r12: 3 shingle passes at 4-task parallelism were ~30% of
+l49's deep-salt 100x wall. A real 100 TB table is thousands of files.
 
 Usage: python scripts/build_deepsalt_docs.py [n_copies]
 """
@@ -44,7 +49,7 @@ SALT_EVERY = 4  # < L38_NGRAM(8)/2 -> every 8-shingle holds >=2 salted tokens
 
 def main() -> int:
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    out_dir = f"/tmp/sparkgraft_deepsalt_{n_copies}x"
+    out_dir = f"/tmp/sparkgraft_deepsalt_{n_copies}x_v2"  # v2: 64-file layout
     done = os.path.join(out_dir, "_READY")
     if os.path.exists(done):
         print(f"reusing {out_dir}")
@@ -75,7 +80,9 @@ def main() -> int:
         .drop("i")
     )
     t0 = time.time()
-    salted.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    salted.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
     open(done, "w").close()
     print(f"built {out_dir} in {time.time() - t0:.1f}s")
     return 0

@@ -1573,6 +1573,80 @@ CROSS JOIN n
 """
 
 
+def _a18_partials(batch_iter):
+    """Per-partition co-purchase partials (the a5c two-phase shape with
+    a numpy pair kernel — the _kmeans_assign lesson applied to pair
+    GENERATION): rows arrive hash-partitioned by l_orderkey, so every
+    basket is complete within the partition. Buffered whole (2 int64
+    columns — ~16 MB per 1M-row partition), deduped and grouped by one
+    lexsort, then pairs are generated VECTORIZED by basket size: for
+    each distinct size k, all size-k baskets form an (m, k) matrix and
+    triu_indices(k, 1) emits every within-basket ordered pair at C
+    speed — the loop count is the number of DISTINCT basket sizes
+    (single digits for order baskets), never the basket count. Pair
+    counts compress to partition-local partials via np.unique on a
+    packed (a<<31)|b int64 (partkeys < 2^31 asserted), so merge fan-in
+    is O(scan partitions x realized pair space), the same bound the
+    old map-side combine had — but generation runs ~100x faster than
+    the Catalyst double-explode it replaces (measured r12: the explode
+    + per-branch recompute form stepped 7.0x on 3.3x rows at 30->100x
+    with ZERO spill — pure row-machinery CPU).
+
+    Emits (a, b, cnt) with sentinels: b = -1 -> per-part item partial;
+    a = -1, b = -1 -> distinct-order-count partial. One downstream
+    groupBy((a, b)).sum(cnt) folds all three families at once.
+    """
+    import numpy as np
+    import pandas as pd
+
+    chunks = [b for b in batch_iter]
+    if not chunks:
+        return
+    df = pd.concat(chunks, ignore_index=True)
+    ok = df["l_orderkey"].to_numpy(np.int64)
+    pk = df["l_partkey"].to_numpy(np.int64)
+    order = np.lexsort((pk, ok))
+    ok, pk = ok[order], pk[order]
+    keep = np.ones(len(ok), dtype=bool)  # dedup (order, part)
+    keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+    ok, pk = ok[keep], pk[keep]
+    new_grp = np.ones(len(ok), dtype=bool)
+    new_grp[1:] = ok[1:] != ok[:-1]
+    starts = np.flatnonzero(new_grp)
+    sizes = np.diff(np.append(starts, len(ok)))
+    assert pk.size == 0 or int(pk.max()) < (1 << 31), "partkey >= 2^31"
+
+    out_a = [np.array([-1], dtype=np.int64)]
+    out_b = [np.array([-1], dtype=np.int64)]
+    out_c = [np.array([len(starts)], dtype=np.int64)]  # distinct orders
+    upk, ucnt = np.unique(pk, return_counts=True)  # item partials
+    out_a.append(upk)
+    out_b.append(np.full(len(upk), -1, dtype=np.int64))
+    out_c.append(ucnt.astype(np.int64))
+    enc_parts = []
+    for k in np.unique(sizes):
+        if k < 2:
+            continue
+        sel = starts[sizes == k]
+        mat = pk[(sel[:, None] + np.arange(k)[None, :]).ravel()].reshape(-1, k)
+        iu, ju = np.triu_indices(int(k), 1)
+        # within-basket pk is strictly ascending (sorted + deduped), so
+        # mat[:, iu] < mat[:, ju] elementwise — part_a < part_b free.
+        enc_parts.append((mat[:, iu].ravel() << 31) | mat[:, ju].ravel())
+    if enc_parts:
+        upair, pcnt = np.unique(np.concatenate(enc_parts), return_counts=True)
+        out_a.append(upair >> 31)
+        out_b.append(upair & ((1 << 31) - 1))
+        out_c.append(pcnt.astype(np.int64))
+    yield pd.DataFrame(
+        {
+            "a": np.concatenate(out_a),
+            "b": np.concatenate(out_b),
+            "cnt": np.concatenate(out_c),
+        }
+    )
+
+
 @query("a18_copurchase_rules", oracle=A18_ORACLE)
 def a18_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-rule mining over order baskets (the market-basket /
@@ -1583,42 +1657,52 @@ def a18_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the floor-divided BIGINT is emitted).
 
     This is frequent-itemset mining done the Spark-native way: no
-    FP-tree driver structure — pair GENERATION stays inside each
-    basket (collect_set per order, fanout bounded by basket size^2;
-    baskets are small by schema, the l33 bounded-fanout exemption),
-    and pair COUNTING is one map-side-combinable aggregate. Item
-    supports come from the same deduped (order, part) frame, the
-    order count is a 16-byte broadcast, and the final joins are
-    pair-frame-sized. At 100 TB: one fact dedup exchange + one pair
-    exchange, both combinable; nothing driver-side, no candidate
-    explosion beyond the basket-local square that defines the
-    problem.
+    FP-tree driver structure. Shape (reworked r12 after the 100x rung
+    falsified the explode form's attribution): ONE orderkey exchange,
+    then an Arrow mapInPandas numpy kernel (`_a18_partials`) generates
+    within-basket pairs vectorized-by-basket-size and compresses them
+    to partition-local partials — pairs, item supports and the order
+    count all in one pass, so nothing recomputes the exchange per
+    branch (the old form referenced the basket aggregate from three
+    subplans; ReuseExchange dedups only the exchange, and the
+    Catalyst double-explode re-ran per branch — 7.0x wall on 3.3x
+    rows at the 30->100x rung with zero spill). One groupBy((a, b))
+    folds the partials; everything after is pair-space-sized, with
+    item supports broadcast. At 100 TB: one fact exchange + one
+    partial-fold exchange bounded at O(partitions x pair space);
+    nothing driver-side.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # ONE orderkey exchange builds the deduped baskets (collect_set
-    # dedups within the group, so no separate corpus-wide DISTINCT —
-    # the first form's 18M-key distinct partial-agg hash was the 30x
-    # rung's 1.4 GB spiller); item supports, the order count and the
-    # pair explode all derive from this basket frame.
-    baskets = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("parts")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    partials = li.repartition(n_shuffle, "l_orderkey").mapInPandas(
+        _a18_partials, schema="a long, b long, cnt long"
     )
-    dd = baskets.select(F.explode("parts").alias("l_partkey"))
-    n_frame = baskets.agg(F.count("*").cast("long").alias("n_orders"))
-    item = dd.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n_item"))
+    agg = partials.groupBy("a", "b").agg(F.sum("cnt").cast("long").alias("n"))
+    # agg feeds FOUR subplans (pairs, both item sides, order count);
+    # without materialization each branch re-runs the exchange + kernel
+    # (ReuseExchange only dedups the exchange — the measured r12 trap).
+    # The frame is bounded by realized pair space + part vocabulary, so
+    # localCheckpoint is metadata-sized relative to the corpus (the g1
+    # precedent).
+    agg = agg.localCheckpoint()
     pair = (
-        baskets.select(F.explode("parts").alias("part_a"), "parts")
-        .select("part_a", F.explode("parts").alias("part_b"))
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").cast("long").alias("n_pair"))
-        .filter(F.col("n_pair") >= A18_MIN_PAIR)
+        agg.filter((F.col("b") >= 0) & (F.col("n") >= A18_MIN_PAIR))
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("n").alias("n_pair"),
+        )
     )
-    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
-    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    item = agg.filter((F.col("a") >= 0) & (F.col("b") == -1))
+    n_frame = (
+        agg.filter((F.col("a") == -1) & (F.col("b") == -1))
+        .select(F.col("n").alias("n_orders"))
+    )
+    ia = item.select(F.col("a").alias("part_a"), F.col("n").alias("n_a"))
+    ib = item.select(F.col("a").alias("part_b"), F.col("n").alias("n_b"))
     return (
-        pair.join(ia, "part_a")
-        .join(ib, "part_b")
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
         .crossJoin(F.broadcast(n_frame))
         .select(
             "part_a",

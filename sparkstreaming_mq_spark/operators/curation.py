@@ -1782,6 +1782,89 @@ WHERE t.n_src >= {L49_MIN_SHINGLES}
 """
 
 
+def _l49_pair_partials(batch_iter):
+    """Per-partition ordered-pair partials over df-capped shingle
+    postings (the a18 numpy-partials shape, r12): rows arrive hash-
+    partitioned by (fp1, fp2) so every shingle's owner group is
+    complete within the partition. One lexsort groups the postings;
+    pair generation is vectorized by distinct group size k (<=
+    L49_DF_CAP by the upstream cap): all size-k groups form an (m, k)
+    doc matrix and ~eye(k) emits every ORDERED pair (containment is
+    directional) at C speed. Emission is sliced at ~4M pairs so the
+    transient pair buffer stays bounded even if every group sits at
+    the cap; each slice compresses to unique (src, dst, cnt) partials
+    before the next slice materializes, and a final weighted fold
+    merges slices. Replaces the collect_set + double-explode form,
+    whose per-key object aggregation was the 100x rung's superlinear
+    term (GC churn: 510 s runTime vs 295 s CPU on the pair stage at
+    30x with ZERO spill).
+
+    Merge fan-in downstream is O(scan partitions x realized pair
+    space) — the same bound the old map-side combine had.
+    """
+    import numpy as np
+    import pandas as pd
+
+    chunks = [b for b in batch_iter]
+    if not chunks:
+        return
+    df = pd.concat(chunks, ignore_index=True)
+    f1 = df["fp1"].to_numpy(np.int64)
+    f2 = df["fp2"].to_numpy(np.int64)
+    dc = df["doc_id"].to_numpy(np.int64)
+    order = np.lexsort((dc, f2, f1))
+    f1, f2, dc = f1[order], f2[order], dc[order]
+    new_grp = np.ones(len(f1), dtype=bool)
+    new_grp[1:] = (f1[1:] != f1[:-1]) | (f2[1:] != f2[:-1])
+    starts = np.flatnonzero(new_grp)
+    sizes = np.diff(np.append(starts, len(f1)))
+
+    PAIR_SLICE = 4_000_000
+    part_srcs: list = []
+    part_dsts: list = []
+    part_cnts: list = []
+
+    def _flush(src: "np.ndarray", dst: "np.ndarray") -> None:
+        o = np.lexsort((dst, src))
+        src, dst = src[o], dst[o]
+        nb = np.ones(len(src), dtype=bool)
+        nb[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        b = np.flatnonzero(nb)
+        part_srcs.append(src[b])
+        part_dsts.append(dst[b])
+        part_cnts.append(np.diff(np.append(b, len(src))).astype(np.int64))
+
+    for k in np.unique(sizes):
+        if k < 2:
+            continue
+        k = int(k)
+        sel = starts[sizes == k]
+        rows_per_grp = k * (k - 1)
+        step = max(1, PAIR_SLICE // rows_per_grp)
+        iu, ju = np.where(~np.eye(k, dtype=bool))
+        for lo in range(0, len(sel), step):
+            s = sel[lo : lo + step]
+            mat = dc[(s[:, None] + np.arange(k)[None, :]).ravel()].reshape(-1, k)
+            _flush(mat[:, iu].ravel(), mat[:, ju].ravel())
+    if not part_srcs:
+        return
+    src = np.concatenate(part_srcs)
+    dst = np.concatenate(part_dsts)
+    cnt = np.concatenate(part_cnts)
+    o = np.lexsort((dst, src))
+    src, dst, cnt = src[o], dst[o], cnt[o]
+    nb = np.ones(len(src), dtype=bool)
+    nb[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+    b = np.flatnonzero(nb)
+    yield pd.DataFrame(
+        {
+            "src_doc": src[b],
+            "dst_doc": dst[b],
+            "cnt": np.add.reduceat(cnt, b),
+        }
+    )
+
+
 @query("l49_containment_pairs", oracle=L49_ORACLE)
 def l49_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional shingle CONTAINMENT (Broder's other resemblance
@@ -1793,15 +1876,19 @@ def l49_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive resemblance-based dedup. Emits ordered pairs (src ⊆-ish
     dst) with containment ≥ 70% over ≥ 10 distinct 8-token shingles.
 
-    Scale shape (the l38/l33 lessons composed): pair generation goes
-    through per-shingle owner SETS with a df-cap — a first O(1)-state
-    count pass finds boilerplate shingles (df > {L49_DF_CAP}, a SMALL
-    frame — l47's profile measures exactly how small), a broadcast
-    LEFT ANTI removes them from the postings, and only then does
-    collect_set run, with state bounded at df ≤ {L49_DF_CAP} per key
-    (the l33 bounded-fanout exemption, made true by construction
-    instead of assumed). Pair fan-out is ≤ df² ≤ {L49_DF_CAP}² per
-    shingle — never corpus-quadratic. Capped shingles still count in
+    Scale shape (the l38/l33 lessons composed; pair stage reworked
+    r12): a first O(1)-state count pass finds boilerplate shingles
+    (df > {L49_DF_CAP}, a SMALL frame — l47's profile measures exactly
+    how small), a broadcast LEFT ANTI removes them from the postings,
+    and pair generation runs in an Arrow mapInPandas numpy kernel
+    (`_l49_pair_partials`) over one (fp1, fp2) exchange — group state
+    bounded at df ≤ {L49_DF_CAP} per key by construction, partials
+    compressed per partition so the downstream fold is O(partitions ×
+    realized pair space). Pair fan-out is ≤ df² ≤ {L49_DF_CAP}² per
+    shingle — never corpus-quadratic. (The r11 collect_set +
+    double-explode form answered identically but its per-key object
+    aggregation went superlinear at the 100× rung with zero spill —
+    pure GC/row-machinery, measured r12.) Capped shingles still count in
     the DENOMINATOR (n_src is the doc's full distinct-shingle size,
     map-side from the array — zero exchange), they just can't
     nominate candidates; the oracle applies the identical cap, so the
@@ -1819,14 +1906,12 @@ def l49_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fp1", "fp2")
     )
     kept = fpost.join(F.broadcast(hot), ["fp1", "fp2"], "left_anti")
-    sets = kept.groupBy("fp1", "fp2").agg(F.collect_set("doc_id").alias("_ds"))
-    pairs = (
-        sets.select(F.explode("_ds").alias("src_doc"), "_ds")
-        .select("src_doc", F.explode("_ds").alias("dst_doc"))
-        .filter(F.col("src_doc") != F.col("dst_doc"))
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    shared_partials = kept.repartition(n_shuffle, "fp1", "fp2").mapInPandas(
+        _l49_pair_partials, schema="src_doc long, dst_doc long, cnt long"
     )
-    shared = pairs.groupBy("src_doc", "dst_doc").agg(
-        F.count("*").cast("long").alias("n_shared")
+    shared = shared_partials.groupBy("src_doc", "dst_doc").agg(
+        F.sum("cnt").cast("long").alias("n_shared")
     )
     totals = dngs.select(
         "doc_id", F.size("_dngs").cast("long").alias("n_src_shingles")

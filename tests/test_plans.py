@@ -830,16 +830,19 @@ def test_ts4_bounds_broadcast_one_group_exchange(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_l49_hot_shingles_removed_before_collect_set(spark, sf_dir):
-    """l49's pair generation must bound collect_set state BY
+def test_l49_hot_shingles_removed_before_pair_kernel(spark, sf_dir):
+    """l49's pair generation must bound per-key group state BY
     CONSTRUCTION: the boilerplate (df > cap) shingle set is anti-joined
-    out of the postings BEFORE the owner-set aggregate, and pairs come
-    from a double explode of the capped sets — never a corpus-sized
-    postings self-join (no SortMergeJoin touches the postings)."""
+    out of the postings BEFORE pair generation, and pairs come from the
+    Arrow numpy kernel over one (fp1, fp2) exchange (r12 rework — the
+    collect_set + double-explode form's object aggregation was the
+    100x rung's superlinear term) — never a corpus-sized postings
+    self-join (no SortMergeJoin touches the postings)."""
     plan = executed_plan(Q["l49_containment_pairs"](spark, sf_dir))
     assert "LeftAnti" in plan
-    assert "collect_set" in plan
-    assert plan.count("Generate explode") >= 2
+    assert "MapInPandas" in plan
+    assert "collect_set" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_w7_time_range_frame_one_exchange(spark, sf_dir):
