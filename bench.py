@@ -179,13 +179,25 @@ def _bench_session():
 
 
 def _time_query(spark, fn, sf_dir: str) -> tuple[float, list[float]]:
-    """1 warmup + median of N_RUNS (slow queries: single run). Returns
-    (median, timed_samples)."""
+    """1 warmup + median of N_RUNS (slow queries: one warm rerun).
+    Returns (median, timed_samples).
+
+    Slow-query path (first run > SLOW_CUTOFF_S): record ONE more run,
+    not the first — the first run is the warmup, and in a fresh
+    subprocess session it carries JVM/Arrow/stream-cache startup that
+    is not the query's cost (measured r12: s19's cold first run read
+    61.7 s where its warm runs are ~12 s; recording the cold number
+    would have charged the plan for session bootstrap). Worst case
+    this doubles a slow query's bench cost, still bounded.
+    """
     t0 = time.time()
     materialize(fn(spark, sf_dir))
     first = time.time() - t0
     if first > SLOW_CUTOFF_S:
-        return round(first, 3), [round(first, 3)]
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        warm = time.time() - t0
+        return round(warm, 3), [round(first, 3), round(warm, 3)]
     times = []
     for _ in range(N_RUNS):
         t0 = time.time()
@@ -252,8 +264,11 @@ def main() -> None:
                     # fall through to in-session if the subprocess died
                 fn = qs[name]
                 median, times = _time_query(spark, fn, sf_dir)
+                # only the full median-of-N path is dispersion evidence:
+                # the slow path's [cold, warm] gap is session bootstrap,
+                # not a transient (and it's already one warm rerun).
                 if (
-                    len(times) > 1
+                    len(times) == N_RUNS
                     and min(times) > 0
                     and max(times) / min(times) > DISPERSION_LIMIT
                     and median > MIN_FLAG_MEDIAN_S

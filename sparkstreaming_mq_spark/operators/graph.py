@@ -98,32 +98,32 @@ def _g1_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     is identical), so one iteration is exactly one join + one
     aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
-    # Per-order part sets, then a map-side double explode — the
-    # CLAUDE.md "collect_set pair explode beats a postings self-join
-    # structurally" lesson applied here after the 30× smoke caught the
-    # original items-self-join superlinear (its two corpus-sized SMJ
-    # sorts took 65 s at 30× while the distinct edge set stayed
-    # constant at 2.39M). collect_set state is BOUNDED (parts per
-    # order ≤ the order's line count, single digits by construction —
-    # the l33 bounded-fanout exemption, not the l38 hot-key hazard),
-    # the partial runs map-side, and pair generation is pure codegen:
-    # ONE exchange on the order key + the pairs-sized distinct,
-    # versus distinct + two sort exchanges + SMJ + distinct before.
-    baskets = (
+    # Per-order co-purchase pairs via the shared a18 numpy kernel
+    # (operators/aggregates._a18_partials) — r12, after a18's 100×
+    # rung falsified the collect_set + double-explode form this
+    # function previously shared with it (superlinear with ZERO spill:
+    # Catalyst explode row machinery, 7.0× wall on 3.3× rows). One
+    # orderkey exchange, vectorized within-basket pair generation,
+    # partition-local unique partials; the (a, b) fold keys ARE the
+    # distinct src<dst half-edges (the item/order sentinel rows are
+    # filtered out). History: r6 had already replaced the original
+    # items-self-join (two corpus-sized SMJ sorts, 65 s at 30×) with
+    # the collect_set form; this is the next step of the same ladder.
+    from sparkstreaming_mq_spark.operators.aggregates import _a18_partials
+
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    partials = (
         li.select("l_orderkey", "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("_ps"))
-        .filter(F.size("_ps") >= 2)
+        .repartition(n_shuffle, "l_orderkey")
+        .mapInPandas(_a18_partials, schema="a long, b long, cnt long")
     )
     # The co-purchase relation is symmetric, so dedupe only the
-    # src<dst half (the filter runs BEFORE the distinct's exchange —
-    # half the rows through the one pair-sized shuffle) and mirror
-    # the surviving edges afterwards, a frame already reduced to
-    # distinct-edge cardinality.
+    # src<dst half (the kernel emits a<b once per basket; the fold is
+    # a pair-space-sized distinct) and mirror the surviving edges
+    # afterwards, a frame already reduced to distinct-edge cardinality.
     half = (
-        baskets.select(F.explode("_ps").alias("src"), "_ps")
-        .select("src", F.explode("_ps").alias("dst"))
-        .filter(F.col("src") < F.col("dst"))
+        partials.filter(F.col("b") >= 0)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .distinct()
     )
     pairs = half.unionByName(
