@@ -111,3 +111,35 @@ class TestL49PairPartials:
 
     def test_empty_partition(self):
         assert list(_l49_pair_partials(iter([]))) == []
+
+
+class TestX6EmptyGenerationGuard:
+    """ADVICE r11: x6's ppm shares must survive a corpus where one
+    generation of the year split is EMPTY — the nullif guard yields
+    NULL ppm instead of an ANSI div-0 abort (latent on the standard
+    fixtures, where both halves are populated)."""
+
+    def test_one_sided_split_yields_null_ppm(self, spark):
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from sparkstreaming_mq_spark.operators.audit import (
+            X6_SPLIT_YEAR,
+            x6_distribution_drift,
+        )
+
+        # every order AFTER the split year -> generation A is empty
+        rows = [(i, float(1000 + 7 * i), f"{X6_SPLIT_YEAR + 1}-03-0{1 + i % 9}") for i in range(50)]
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double, o_orderdate string"
+        ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.parquet(os.path.join(tmp, "orders.parquet"))
+            out = x6_distribution_drift(spark, tmp).collect()
+        assert len(out) > 0
+        assert all(r.n_a == 0 for r in out)
+        assert all(r.ppm_a is None for r in out)  # guarded, not div-0
+        assert all(r.ppm_b is not None for r in out)
+        assert all(r.abs_ppm_diff is None for r in out)
