@@ -3726,11 +3726,19 @@ def t21_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             abs(hist.get(b, 0) * 1_000_000 // n_rows - ppm_r)
             for b, ppm_r in ref_ppm.items()
         )
-        row = batch_df.sparkSession.createDataFrame(
-            [(int(epoch_id), int(n_rows), int(drift))],
-            "epoch long, n_rows long, drift_ppm long",
+        # One JVM-side literal row — NOT createDataFrame + coalesce(1):
+        # a local-list frame is a Python-serialized RDD, and coalescing
+        # its 32 python partitions into one task pipes them all through
+        # a single Python worker — measured 6-9 s of pure wait PER
+        # EPOCH for this 1-row write (r12 probe: 6.1 s with coalesce,
+        # 0.84 s without; range(1)+lit is all-JVM and skips the python
+        # worker entirely).
+        row = batch_df.sparkSession.range(1).select(
+            F.lit(int(epoch_id)).cast("long").alias("epoch"),
+            F.lit(int(n_rows)).cast("long").alias("n_rows"),
+            F.lit(int(drift)).cast("long").alias("drift_ppm"),
         )
-        row.coalesce(1).write.mode("overwrite").parquet(
+        row.write.mode("overwrite").parquet(
             _os.path.join(log_dir, f"__epoch={epoch_id}")
         )
 
