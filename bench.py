@@ -4,45 +4,64 @@
 Runs the headline query sets at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS], materializing each result through the noop
 sink (full execution, nothing pruned by a count-only action), 1 warmup
-+ median of 3 timed runs per query, and prints ONE JSON line:
++ median of 3 timed runs per query. The FINAL stdout line is a compact
+JSON summary (the driver tails stdout and parses the last line — keep
+it small, r13 protocol note 3):
 
   {"metric": "sum_of_median_query_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": "..."}
+   "queries": {name: sec, ...}, "value2"..., "sf": "..."}
+
+Diagnostics (machine block, flagged raw samples, fresh-session
+samples) go on an earlier {"diag": ...} line and to
+measurements/bench_diag_last.json.
 
 Headline set: one scale-representative query per operator family
 (SURVEY.md §2) — scans/aggregates, star joins, as-of join, windows,
 sort/top-k, JSON/array ETL, dedup (exact + MinHash LSH), similarity
 search, text quality, pandas UDF, and two streaming replays.
 
-Session-drift / transient protocol (r12, VERDICT r11 item 1) — the
-recorded number must track PLANS, not JVM session state. Two measured
-failure modes motivated it: (a) bench2 drifted 0.78×→1.30× of baseline
-across rounds on byte-identical query code as shared-session heap/GC
-state accumulated, with s19/g1 (the two heap-heaviest entries)
-absorbing most of the drift; (b) r11's closing battery hit a
-non-reproducible 5-30× transient on Python-worker/checkpoint paths in
-one of three runs (BASELINE.md). Mitigations, in the order applied:
+Session-drift / transient protocol (r12, VERDICT r11 item 1; output
+and selection rules revised r13) — the recorded number must track
+PLANS, not JVM session state. Two measured failure modes motivated
+it: (a) bench2 drifted 0.78×→1.30× of baseline across rounds on
+byte-identical query code as shared-session heap/GC state
+accumulated, with s19/g1 (the two heap-heaviest entries) absorbing
+most of the drift; (b) r11's closing battery hit a non-reproducible
+5-30× transient on Python-worker/checkpoint paths in one of three
+runs (BASELINE.md). Mitigations, in the order applied:
 
 1. FRESH_SESSION queries (s19_stream_gapfill, g1_pagerank) are always
    measured in their own subprocess with a fresh JVM — the same fix
    the l50 skew rung needed (in-session GC carryover inflated a pure
-   scan stage 12×). JVM startup is excluded from the timing.
+   scan stage 12×). JVM startup is excluded from the timing. r13
+   (VERDICT r12 item 2a): each is measured TWICE, at its position in
+   its set and again after every set completes — minutes apart,
+   because the measured host phase-drift oscillates over minutes
+   (the r12 judge's own g1 samples read 37.3 then 12.7 s) — and the
+   recorded number is the min of the two fresh medians.
 2. Any other query whose N_RUNS timed samples disagree by more than
    DISPERSION_LIMIT (max/min) AND whose median exceeds
    MIN_FLAG_MEDIAN_S (sub-second dispersion is scheduler noise, not
-   worth a JVM) is re-measured in a fresh subprocess session. The
-   recorded number is min(in-session median, fresh median): a fresh
-   JVM is JIT-cold, so it only *confirms* session-state inflation when
-   it is FASTER (measured at sf0.01: a flapping t19 read 10.7 s
-   in-session vs 5.7 s fresh → transient confirmed; l3 read 0.6 s
-   in-session vs 1.4 s fresh → the in-session number stands). Each
-   median is itself a median of N_RUNS, so the min is not a
-   single-sample cherry-pick. Both numbers land in the "flagged"
-   diagnostic block. Re-runs are capped at MAX_FRESH_RERUNS to bound
-   the wall clock (a capped query keeps its in-session median and is
-   listed in "flag_capped").
+   worth a JVM) is re-measured in a fresh subprocess session. A fresh
+   JVM is JIT-cold, so it only *confirms* session-state inflation
+   when it is DECISIVELY faster: the fresh median replaces the
+   in-session median only when fresh × DISPERSION_LIMIT < in-session
+   (ADVICE r12: a bare min of two noisy estimators biases downward —
+   inside the band the in-session number stands). Both numbers land
+   in the "flagged" diagnostic block. On the fast path each median is
+   a median of N_RUNS; on the slow path (first run > SLOW_CUTOFF_S)
+   the recorded number is ONE warm rerun, not a median — the raw
+   samples in the diagnostic block say which. Re-runs are capped at
+   MAX_FRESH_RERUNS (a capped query keeps its in-session median and
+   is listed in "flag_capped").
 3. Per-query raw samples for flagged queries plus the machine
-   freshness block make the artifact self-diagnosing.
+   freshness block make the artifact self-diagnosing. They are
+   printed as an EARLIER stdout line and written to
+   measurements/bench_diag_last.json — NEVER on the final line: the
+   driver captures a fixed-size stdout tail, and r12's final line
+   (carrying the full flagged block) outgrew it and lost its head
+   (BENCH_r12.json parsed:null). The final stdout line is a compact
+   {metric, value, queries, value2..4, sf} and must stay that way.
 
 Never run concurrently with tests (measured 1.75× inflation).
 """
@@ -246,10 +265,13 @@ def main() -> None:
     spark = _bench_session()
     qs = registry.all_queries()
 
-    fresh_used: list[str] = []
     flagged: dict[str, dict] = {}
     flag_capped: list[str] = []
     rerun_budget = [MAX_FRESH_RERUNS]
+    # FRESH_SESSION bookkeeping: first sample per query + which result
+    # dict owns the number, so the separated second pass can patch it.
+    fresh_samples: dict[str, list[dict]] = {}
+    fresh_owner: dict[str, dict] = {}
 
     def run_set(names: list[str]) -> dict[str, float]:
         results: dict[str, float] = {}
@@ -259,7 +281,8 @@ def main() -> None:
                     one = _run_one_subprocess(name, sf_dir)
                     if one is not None:
                         results[name] = one["median"]
-                        fresh_used.append(name)
+                        fresh_samples[name] = [one]
+                        fresh_owner[name] = results
                         continue
                     # fall through to in-session if the subprocess died
                 fn = qs[name]
@@ -283,7 +306,11 @@ def main() -> None:
                                 "fresh": one["median"],
                                 "fresh_times": one["times"],
                             }
-                            median = min(median, one["median"])
+                            # fresh wins only when decisively faster
+                            # (ADVICE r12: inside the dispersion band
+                            # the in-session median stands).
+                            if one["median"] * DISPERSION_LIMIT < median:
+                                median = one["median"]
                     else:
                         flag_capped.append(name)
                 results[name] = median
@@ -297,8 +324,45 @@ def main() -> None:
     results3 = run_set(HEADLINE3)
     results4 = run_set(HEADLINE4)
 
+    # Second, time-separated fresh-session pass (protocol note 1): the
+    # host phase oscillates over minutes, so the two samples bracket it.
+    for name, samples in fresh_samples.items():
+        one = _run_one_subprocess(name, sf_dir)
+        if one is not None:
+            samples.append(one)
+            fresh_owner[name][name] = min(s["median"] for s in samples)
+
     def total(d: dict[str, float]) -> float:
         return round(sum(t for t in d.values() if t >= 0), 3)
+
+    diag = {
+        "machine": machine_freshness(),
+        "protocol": {
+            "fresh_session": {
+                name: [s["median"] for s in samples]
+                for name, samples in fresh_samples.items()
+            },
+            "fresh_session_times": {
+                name: [s["times"] for s in samples]
+                for name, samples in fresh_samples.items()
+            },
+            "flagged": flagged,
+            "flag_capped": flag_capped,
+        },
+    }
+    # Diagnostics: earlier stdout line + durable file; NEVER the final
+    # line (driver tails stdout — protocol note 3).
+    print(json.dumps({"diag": diag}))
+    try:
+        diag_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "measurements",
+            "bench_diag_last.json",
+        )
+        with open(diag_path, "w") as f:
+            json.dump(diag, f, indent=1)
+    except OSError as exc:
+        print(f"[bench] diag file write failed: {exc}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -314,12 +378,6 @@ def main() -> None:
                 "value4": total(results4),
                 "queries4": results4,
                 "sf": os.path.basename(os.path.normpath(sf_dir)),
-                "machine": machine_freshness(),
-                "protocol": {
-                    "fresh_session": fresh_used,
-                    "flagged": flagged,
-                    "flag_capped": flag_capped,
-                },
             }
         )
     )

@@ -1573,24 +1573,39 @@ CROSS JOIN n
 """
 
 
+A18_COMPRESS_AT = 4_000_000  # partial-buffer rows before a compress pass
+
+
 def _a18_partials(batch_iter):
     """Per-partition co-purchase partials (the a5c two-phase shape with
     a numpy pair kernel — the _kmeans_assign lesson applied to pair
-    GENERATION): rows arrive hash-partitioned by l_orderkey, so every
-    basket is complete within the partition. Buffered whole (2 int64
-    columns — ~16 MB per 1M-row partition), deduped and grouped by one
-    lexsort, then pairs are generated VECTORIZED by basket size: for
+    GENERATION). Rows arrive hash-partitioned AND sorted by l_orderkey
+    (repartition + sortWithinPartitions upstream), so every basket is
+    complete within the partition and CONTIGUOUS in the batch stream.
+    The kernel streams the Arrow batches, holding back only the
+    trailing (possibly batch-spanning) basket — input memory is one
+    Arrow batch + the largest basket, never the whole partition
+    (VERDICT r12 item 4; the r12 kernel pd.concat'ed the partition).
+    Per segment, one lexsort sorts parts within baskets, (order, part)
+    dedups, and pairs are generated VECTORIZED by basket size: for
     each distinct size k, all size-k baskets form an (m, k) matrix and
     triu_indices(k, 1) emits every within-basket ordered pair at C
     speed — the loop count is the number of DISTINCT basket sizes
-    (single digits for order baskets), never the basket count. Pair
-    counts compress to partition-local partials via np.unique on a
-    packed (a<<31)|b int64 (partkeys < 2^31 asserted), so merge fan-in
-    is O(scan partitions x realized pair space), the same bound the
-    old map-side combine had — but generation runs ~100x faster than
-    the Catalyst double-explode it replaces (measured r12: the explode
-    + per-branch recompute form stepped 7.0x on 3.3x rows at 30->100x
-    with ZERO spill — pure row-machinery CPU).
+    (single digits for order baskets), never the basket count
+    (measured r12: this replaced a Catalyst double-explode that
+    stepped 7.0x on 3.3x rows at the 30->100x rung with ZERO spill —
+    pure row-machinery CPU).
+
+    Pair/item partials accumulate in (a, b, cnt) int64 buffers and are
+    compressed (lexsort + boundary reduceat) whenever the buffer
+    exceeds A18_COMPRESS_AT rows, so kernel memory is bounded by
+    max(A18_COMPRESS_AT, realized pair space of the partition) — no
+    packing, no 2^31 partkey ceiling (the r12 kernel packed (a<<31)|b;
+    a 100 TB corpus exceeds 2^31 partkeys). Negative partkeys raise
+    ValueError (they would collide with the -1 sentinel; ADVICE r12 —
+    a raise, not an assert, so python -O cannot strip it). Merge
+    fan-in downstream stays O(scan partitions x realized pair space),
+    the same bound the old map-side combine had.
 
     Emits (a, b, cnt) with sentinels: b = -1 -> per-part item partial;
     a = -1, b = -1 -> distinct-order-count partial. One downstream
@@ -1599,50 +1614,102 @@ def _a18_partials(batch_iter):
     import numpy as np
     import pandas as pd
 
-    chunks = [b for b in batch_iter]
-    if not chunks:
-        return
-    df = pd.concat(chunks, ignore_index=True)
-    ok = df["l_orderkey"].to_numpy(np.int64)
-    pk = df["l_partkey"].to_numpy(np.int64)
-    order = np.lexsort((pk, ok))
-    ok, pk = ok[order], pk[order]
-    keep = np.ones(len(ok), dtype=bool)  # dedup (order, part)
-    keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
-    ok, pk = ok[keep], pk[keep]
-    new_grp = np.ones(len(ok), dtype=bool)
-    new_grp[1:] = ok[1:] != ok[:-1]
-    starts = np.flatnonzero(new_grp)
-    sizes = np.diff(np.append(starts, len(ok)))
-    assert pk.size == 0 or int(pk.max()) < (1 << 31), "partkey >= 2^31"
+    buf_a: list = []
+    buf_b: list = []
+    buf_c: list = []
+    buf_len = 0
+    n_orders = 0
 
-    out_a = [np.array([-1], dtype=np.int64)]
-    out_b = [np.array([-1], dtype=np.int64)]
-    out_c = [np.array([len(starts)], dtype=np.int64)]  # distinct orders
-    upk, ucnt = np.unique(pk, return_counts=True)  # item partials
-    out_a.append(upk)
-    out_b.append(np.full(len(upk), -1, dtype=np.int64))
-    out_c.append(ucnt.astype(np.int64))
-    enc_parts = []
-    for k in np.unique(sizes):
-        if k < 2:
+    def _compress() -> None:
+        nonlocal buf_len
+        if not buf_a:
+            return
+        a = np.concatenate(buf_a)
+        b = np.concatenate(buf_b)
+        c = np.concatenate(buf_c)
+        o = np.lexsort((b, a))
+        a, b, c = a[o], b[o], c[o]
+        nb = np.ones(len(a), dtype=bool)
+        nb[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        i = np.flatnonzero(nb)
+        buf_a[:] = [a[i]]
+        buf_b[:] = [b[i]]
+        buf_c[:] = [np.add.reduceat(c, i).astype(np.int64)]
+        buf_len = len(i)
+
+    def _process(ok: "np.ndarray", pk: "np.ndarray") -> None:
+        """Fold one segment of COMPLETE baskets into the partials."""
+        nonlocal buf_len, n_orders
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        keep = np.ones(len(ok), dtype=bool)  # dedup (order, part)
+        keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        ok, pk = ok[keep], pk[keep]
+        new_grp = np.ones(len(ok), dtype=bool)
+        new_grp[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.append(starts, len(ok)))
+        n_orders += len(starts)
+        upk, ucnt = np.unique(pk, return_counts=True)  # item partials
+        buf_a.append(upk)
+        buf_b.append(np.full(len(upk), -1, dtype=np.int64))
+        buf_c.append(ucnt.astype(np.int64))
+        buf_len += len(upk)
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            sel = starts[sizes == k]
+            mat = pk[(sel[:, None] + np.arange(k)[None, :]).ravel()].reshape(-1, k)
+            iu, ju = np.triu_indices(int(k), 1)
+            # within-basket pk is strictly ascending (sorted + deduped),
+            # so mat[:, iu] < mat[:, ju] elementwise — part_a < part_b free.
+            pa = mat[:, iu].ravel()
+            pb = mat[:, ju].ravel()
+            buf_a.append(pa)
+            buf_b.append(pb)
+            buf_c.append(np.ones(len(pa), dtype=np.int64))
+            buf_len += len(pa)
+        if buf_len > A18_COMPRESS_AT:
+            _compress()
+
+    tail_ok = tail_pk = None
+    saw_rows = False
+    for batch in batch_iter:
+        ok = batch["l_orderkey"].to_numpy(np.int64)
+        pk = batch["l_partkey"].to_numpy(np.int64)
+        if pk.size and int(pk.min()) < 0:
+            raise ValueError(
+                "negative l_partkey collides with the a18 item-partial sentinel"
+            )
+        if tail_ok is not None:
+            ok = np.concatenate([tail_ok, ok])
+            pk = np.concatenate([tail_pk, pk])
+        if len(ok) == 0:
             continue
-        sel = starts[sizes == k]
-        mat = pk[(sel[:, None] + np.arange(k)[None, :]).ravel()].reshape(-1, k)
-        iu, ju = np.triu_indices(int(k), 1)
-        # within-basket pk is strictly ascending (sorted + deduped), so
-        # mat[:, iu] < mat[:, ju] elementwise — part_a < part_b free.
-        enc_parts.append((mat[:, iu].ravel() << 31) | mat[:, ju].ravel())
-    if enc_parts:
-        upair, pcnt = np.unique(np.concatenate(enc_parts), return_counts=True)
-        out_a.append(upair >> 31)
-        out_b.append(upair & ((1 << 31) - 1))
-        out_c.append(pcnt.astype(np.int64))
+        saw_rows = True
+        # the holdback below requires nondecreasing orderkeys
+        # (sortWithinPartitions upstream) — unsorted input would split
+        # baskets across segments and silently lose pairs, so fail loud
+        if np.any(ok[1:] < ok[:-1]):
+            raise ValueError(
+                "_a18_partials requires batches sorted by l_orderkey"
+            )
+        # hold back the trailing orderkey — it may continue into the
+        # next batch
+        cut = int(np.searchsorted(ok, ok[-1], side="left"))
+        tail_ok, tail_pk = ok[cut:], pk[cut:]
+        if cut:
+            _process(ok[:cut], pk[:cut])
+    if tail_ok is not None and len(tail_ok):
+        _process(tail_ok, tail_pk)
+    if not saw_rows:
+        return
+    _compress()
     yield pd.DataFrame(
         {
-            "a": np.concatenate(out_a),
-            "b": np.concatenate(out_b),
-            "cnt": np.concatenate(out_c),
+            "a": np.concatenate([np.array([-1], dtype=np.int64)] + buf_a),
+            "b": np.concatenate([np.array([-1], dtype=np.int64)] + buf_b),
+            "cnt": np.concatenate([np.array([n_orders], dtype=np.int64)] + buf_c),
         }
     )
 
@@ -1658,24 +1725,34 @@ def a18_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is frequent-itemset mining done the Spark-native way: no
     FP-tree driver structure. Shape (reworked r12 after the 100x rung
-    falsified the explode form's attribution): ONE orderkey exchange,
-    then an Arrow mapInPandas numpy kernel (`_a18_partials`) generates
-    within-basket pairs vectorized-by-basket-size and compresses them
-    to partition-local partials — pairs, item supports and the order
-    count all in one pass, so nothing recomputes the exchange per
-    branch (the old form referenced the basket aggregate from three
-    subplans; ReuseExchange dedups only the exchange, and the
-    Catalyst double-explode re-ran per branch — 7.0x wall on 3.3x
-    rows at the 30->100x rung with zero spill). One groupBy((a, b))
-    folds the partials; everything after is pair-space-sized, with
-    item supports broadcast. At 100 TB: one fact exchange + one
-    partial-fold exchange bounded at O(partitions x pair space);
-    nothing driver-side.
+    falsified the explode form's attribution; hardened r13): ONE
+    orderkey exchange + a within-partition sort (Spark's external
+    sort — spillable, so basket contiguity costs bounded memory), then
+    an Arrow mapInPandas numpy kernel (`_a18_partials`) streams the
+    sorted batches at group boundaries, generates within-basket pairs
+    vectorized-by-basket-size and compresses them to partition-local
+    partials — pairs, item supports and the order count all in one
+    pass, so nothing recomputes the exchange per branch (the old form
+    referenced the basket aggregate from three subplans; ReuseExchange
+    dedups only the exchange, and the Catalyst double-explode re-ran
+    per branch — 7.0x wall on 3.3x rows at the 30->100x rung with zero
+    spill). One groupBy((a, b)) folds the partials; everything after
+    is pair-space-sized. The item-support joins carry NO broadcast
+    hint (VERDICT r12 / ADVICE r12: the r12 code force-broadcast the
+    full part vocabulary, impossible at ~20B parts; AQE converts these
+    joins to broadcast at runtime when the frames are actually small,
+    and they stay plain shuffled joins when they are not). At 100 TB:
+    one fact exchange + one partial-fold exchange bounded at
+    O(partitions x pair space); kernel memory bounded at one Arrow
+    batch + largest basket + A18_COMPRESS_AT partial rows; nothing
+    driver-side.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    partials = li.repartition(n_shuffle, "l_orderkey").mapInPandas(
-        _a18_partials, schema="a long, b long, cnt long"
+    partials = (
+        li.repartition(n_shuffle, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .mapInPandas(_a18_partials, schema="a long, b long, cnt long")
     )
     agg = partials.groupBy("a", "b").agg(F.sum("cnt").cast("long").alias("n"))
     # agg feeds FOUR subplans (pairs, both item sides, order count);
@@ -1701,8 +1778,8 @@ def a18_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = item.select(F.col("a").alias("part_a"), F.col("n").alias("n_a"))
     ib = item.select(F.col("a").alias("part_b"), F.col("n").alias("n_b"))
     return (
-        pair.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
         .crossJoin(F.broadcast(n_frame))
         .select(
             "part_a",

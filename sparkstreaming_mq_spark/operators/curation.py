@@ -1784,17 +1784,23 @@ WHERE t.n_src >= {L49_MIN_SHINGLES}
 
 def _l49_pair_partials(batch_iter):
     """Per-partition ordered-pair partials over df-capped shingle
-    postings (the a18 numpy-partials shape, r12): rows arrive hash-
-    partitioned by (fp1, fp2) so every shingle's owner group is
-    complete within the partition. One lexsort groups the postings;
-    pair generation is vectorized by distinct group size k (<=
-    L49_DF_CAP by the upstream cap): all size-k groups form an (m, k)
-    doc matrix and ~eye(k) emits every ORDERED pair (containment is
-    directional) at C speed. Emission is sliced at ~4M pairs so the
-    transient pair buffer stays bounded even if every group sits at
-    the cap; each slice compresses to unique (src, dst, cnt) partials
-    before the next slice materializes, and a final weighted fold
-    merges slices. Replaces the collect_set + double-explode form,
+    postings (the a18 numpy-partials shape, r12; group-boundary
+    streaming r13): rows arrive hash-partitioned AND sorted by
+    (fp1, fp2) — repartition + sortWithinPartitions upstream — so
+    every shingle's owner group is complete within the partition and
+    CONTIGUOUS in the batch stream. The kernel streams the Arrow
+    batches, holding back only the trailing group (<= L49_DF_CAP rows
+    by the upstream cap) — input memory is one Arrow batch + one
+    group, never the whole partition (VERDICT r12 item 4). Per
+    segment, one lexsort orders docs within groups; pair generation is
+    vectorized by distinct group size k (<= L49_DF_CAP): all size-k
+    groups form an (m, k) doc matrix and ~eye(k) emits every ORDERED
+    pair (containment is directional) at C speed. Emission is sliced
+    at ~4M pairs; each slice compresses to unique (src, dst, cnt)
+    partials, accumulated partials re-compress whenever they exceed
+    2x PAIR_SLICE, and a final weighted fold merges slices — kernel
+    memory is bounded at max(2x PAIR_SLICE, realized pair space of
+    the partition). Replaces the collect_set + double-explode form,
     whose per-key object aggregation was the 100x rung's superlinear
     term (GC churn: 510 s runTime vs 295 s CPU on the pair stage at
     30x with ZERO spill).
@@ -1805,24 +1811,23 @@ def _l49_pair_partials(batch_iter):
     import numpy as np
     import pandas as pd
 
-    chunks = [b for b in batch_iter]
-    if not chunks:
-        return
-    df = pd.concat(chunks, ignore_index=True)
-    f1 = df["fp1"].to_numpy(np.int64)
-    f2 = df["fp2"].to_numpy(np.int64)
-    dc = df["doc_id"].to_numpy(np.int64)
-    order = np.lexsort((dc, f2, f1))
-    f1, f2, dc = f1[order], f2[order], dc[order]
-    new_grp = np.ones(len(f1), dtype=bool)
-    new_grp[1:] = (f1[1:] != f1[:-1]) | (f2[1:] != f2[:-1])
-    starts = np.flatnonzero(new_grp)
-    sizes = np.diff(np.append(starts, len(f1)))
-
     PAIR_SLICE = 4_000_000
     part_srcs: list = []
     part_dsts: list = []
     part_cnts: list = []
+    buf_len = [0]
+
+    def _fold() -> tuple:
+        """Compress the accumulated slice partials to unique triples."""
+        src = np.concatenate(part_srcs)
+        dst = np.concatenate(part_dsts)
+        cnt = np.concatenate(part_cnts)
+        o = np.lexsort((dst, src))
+        src, dst, cnt = src[o], dst[o], cnt[o]
+        nb = np.ones(len(src), dtype=bool)
+        nb[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        b = np.flatnonzero(nb)
+        return src[b], dst[b], np.add.reduceat(cnt, b).astype(np.int64)
 
     def _flush(src: "np.ndarray", dst: "np.ndarray") -> None:
         o = np.lexsort((dst, src))
@@ -1833,36 +1838,68 @@ def _l49_pair_partials(batch_iter):
         part_srcs.append(src[b])
         part_dsts.append(dst[b])
         part_cnts.append(np.diff(np.append(b, len(src))).astype(np.int64))
+        buf_len[0] += len(b)
+        if buf_len[0] > 2 * PAIR_SLICE:
+            s, d, c = _fold()
+            part_srcs[:] = [s]
+            part_dsts[:] = [d]
+            part_cnts[:] = [c]
+            buf_len[0] = len(s)
 
-    for k in np.unique(sizes):
-        if k < 2:
+    def _process(f1: "np.ndarray", f2: "np.ndarray", dc: "np.ndarray") -> None:
+        """Fold one segment of COMPLETE (fp1, fp2) groups into partials."""
+        order = np.lexsort((dc, f2, f1))
+        f1, f2, dc = f1[order], f2[order], dc[order]
+        new_grp = np.ones(len(f1), dtype=bool)
+        new_grp[1:] = (f1[1:] != f1[:-1]) | (f2[1:] != f2[:-1])
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.append(starts, len(f1)))
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            k = int(k)
+            sel = starts[sizes == k]
+            rows_per_grp = k * (k - 1)
+            step = max(1, PAIR_SLICE // rows_per_grp)
+            iu, ju = np.where(~np.eye(k, dtype=bool))
+            for lo in range(0, len(sel), step):
+                s = sel[lo : lo + step]
+                mat = dc[(s[:, None] + np.arange(k)[None, :]).ravel()].reshape(-1, k)
+                _flush(mat[:, iu].ravel(), mat[:, ju].ravel())
+
+    tail = None
+    for batch in batch_iter:
+        f1 = batch["fp1"].to_numpy(np.int64)
+        f2 = batch["fp2"].to_numpy(np.int64)
+        dc = batch["doc_id"].to_numpy(np.int64)
+        if tail is not None:
+            f1 = np.concatenate([tail[0], f1])
+            f2 = np.concatenate([tail[1], f2])
+            dc = np.concatenate([tail[2], dc])
+        if len(f1) == 0:
             continue
-        k = int(k)
-        sel = starts[sizes == k]
-        rows_per_grp = k * (k - 1)
-        step = max(1, PAIR_SLICE // rows_per_grp)
-        iu, ju = np.where(~np.eye(k, dtype=bool))
-        for lo in range(0, len(sel), step):
-            s = sel[lo : lo + step]
-            mat = dc[(s[:, None] + np.arange(k)[None, :]).ravel()].reshape(-1, k)
-            _flush(mat[:, iu].ravel(), mat[:, ju].ravel())
+        # the holdback below requires (fp1, fp2) lexicographically
+        # nondecreasing (sortWithinPartitions upstream) — unsorted input
+        # would split owner groups and silently lose pairs: fail loud
+        if np.any(
+            (f1[1:] < f1[:-1]) | ((f1[1:] == f1[:-1]) & (f2[1:] < f2[:-1]))
+        ):
+            raise ValueError(
+                "_l49_pair_partials requires batches sorted by (fp1, fp2)"
+            )
+        # hold back the trailing (fp1, fp2) group — it may continue in
+        # the next batch
+        eq = (f1 == f1[-1]) & (f2 == f2[-1])
+        cut = len(f1) - int(eq.sum())
+        tail = (f1[cut:], f2[cut:], dc[cut:])
+        if cut:
+            _process(f1[:cut], f2[:cut], dc[:cut])
+    if tail is not None and len(tail[0]):
+        _process(*tail)
     if not part_srcs:
         return
-    src = np.concatenate(part_srcs)
-    dst = np.concatenate(part_dsts)
-    cnt = np.concatenate(part_cnts)
-    o = np.lexsort((dst, src))
-    src, dst, cnt = src[o], dst[o], cnt[o]
-    nb = np.ones(len(src), dtype=bool)
-    nb[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
-    b = np.flatnonzero(nb)
-    yield pd.DataFrame(
-        {
-            "src_doc": src[b],
-            "dst_doc": dst[b],
-            "cnt": np.add.reduceat(cnt, b),
-        }
-    )
+    src, dst, cnt = _fold()
+    yield pd.DataFrame({"src_doc": src, "dst_doc": dst, "cnt": cnt})
 
 
 @query("l49_containment_pairs", oracle=L49_ORACLE)
@@ -1907,8 +1944,10 @@ def l49_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = fpost.join(F.broadcast(hot), ["fp1", "fp2"], "left_anti")
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    shared_partials = kept.repartition(n_shuffle, "fp1", "fp2").mapInPandas(
-        _l49_pair_partials, schema="src_doc long, dst_doc long, cnt long"
+    shared_partials = (
+        kept.repartition(n_shuffle, "fp1", "fp2")
+        .sortWithinPartitions("fp1", "fp2")
+        .mapInPandas(_l49_pair_partials, schema="src_doc long, dst_doc long, cnt long")
     )
     shared = shared_partials.groupBy("src_doc", "dst_doc").agg(
         F.sum("cnt").cast("long").alias("n_shared")

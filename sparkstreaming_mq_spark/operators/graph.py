@@ -112,9 +112,14 @@ def _g1_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     from sparkstreaming_mq_spark.operators.aggregates import _a18_partials
 
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # sortWithinPartitions: the r13 kernel streams sorted batches at
+    # basket boundaries (input memory = one Arrow batch + largest
+    # basket) — unsorted input would split baskets across segments and
+    # silently lose their cross-segment pairs.
     partials = (
         li.select("l_orderkey", "l_partkey")
         .repartition(n_shuffle, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
         .mapInPandas(_a18_partials, schema="a long, b long, cnt long")
     )
     # The co-purchase relation is symmetric, so dedupe only the

@@ -3696,12 +3696,16 @@ def t21_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generation replaces itself instead of accumulating orphaned
     # mkdtemp dirs across driver/bench runs. Cleared up front — the
     # returned DataFrame is read lazily by the caller, so the directory
-    # must outlive this function.
+    # must outlive this function. pid-salted (ADVICE r12): two
+    # processes running t21 against the same fixtures (check_oracle
+    # beside driver_sim) must not rmtree each other's live directory;
+    # same-process reuse still self-replaces, and accumulation is
+    # bounded at one dir per (fixture generation, pid).
     from sparkstreaming_mq_spark.tables import cache_key as _cache_key
 
     log_dir = _os.path.join(
         tempfile.gettempdir(),
-        f"sparkgraft_t21_log_{_cache_key(sf_dir, 'events')}",
+        f"sparkgraft_t21_log_{_cache_key(sf_dir, 'events')}_{_os.getpid()}",
     )
     shutil.rmtree(log_dir, ignore_errors=True)
     _os.makedirs(log_dir, exist_ok=True)

@@ -47,8 +47,10 @@ class TestA18Partials:
         assert all(a < b for (a, b) in rows if b >= 0)
 
     def test_batch_split_within_partition_is_safe(self):
-        # same rows split across two Arrow batches: the kernel buffers
-        # the whole partition, so results must be identical
+        # same rows split across two Arrow batches, basket 1 spanning
+        # the boundary: the kernel holds back the trailing basket
+        # (sorted-by-orderkey input contract, r13), so results must be
+        # identical to the single-batch run
         b1 = pd.DataFrame({"l_orderkey": [1, 1], "l_partkey": [1, 2]})
         b2 = pd.DataFrame({"l_orderkey": [1, 2], "l_partkey": [3, 2]})
         out = _collect(_a18_partials(iter([b1, b2])))
@@ -85,9 +87,10 @@ class TestL49PairPartials:
         assert list(_l49_pair_partials(iter([batch]))) == []
 
     def test_batch_split_matches_single_batch(self):
-        # random postings fed as one batch vs many small Arrow batches:
-        # the kernel buffers the whole partition, so the folded partials
-        # must be identical either way
+        # random postings fed as one batch vs many small Arrow batches
+        # with groups spanning the splits: the kernel holds back the
+        # trailing group (sorted-by-(fp1,fp2) input contract, r13), so
+        # the folded partials must be identical either way
         import numpy as np
 
         rng = np.random.RandomState(7)
@@ -100,7 +103,12 @@ class TestL49PairPartials:
             }
         )
         # dedup (fp,doc) like real postings (per-doc distinct shingles)
-        batch = batch.drop_duplicates().reset_index(drop=True)
+        # and sort like the upstream sortWithinPartitions
+        batch = (
+            batch.drop_duplicates()
+            .sort_values(["fp1", "fp2"], kind="stable")
+            .reset_index(drop=True)
+        )
         baseline = _collect(_l49_pair_partials(iter([batch])))
         parts = [batch.iloc[i : i + 37] for i in range(0, len(batch), 37)]
         split = _collect(_l49_pair_partials(iter(parts)))
