@@ -2898,10 +2898,30 @@ def s19_stream_gapfill(
 
     # Row generation is OUTPUT-dominated, the opposite cost profile of
     # the tiny-state aggregates the 2-partition fixture profile was
-    # laddered for — parallel generation/encode wins at every measured
-    # scale (10x: 2 partitions 112 s, 8 -> 33 s, 32 -> 16 s; sf0.1
-    # 20.9 -> 8.9 s; the sf0.001/0.01 gates are insensitive).
-    S19_STATE_PARTITIONS = 32
+    # laddered for — at the 10x corpus parallel generation/encode wins
+    # big (r7 ladder: 2 partitions 112 s, 8 -> 33 s, 32 -> 16 s). But
+    # the r13 stage profile measured today's micro-batch stages 99%
+    # WAIT (runTime 70-500 s vs cpuTime 1.5-8 s, zero spill): each
+    # state partition pays a fixed per-micro-batch worker/store wait,
+    # so at sf0.1 a frozen 32 was paying 128 waits to encode 2 MB per
+    # batch — the interleaved fresh-session ladder read 32 parts at
+    # 19.6-35.8 s vs 8-16 parts at 8.4-16.2 s (medians). Size the
+    # count to the input instead: ~12.5k events per state partition,
+    # clamped to [4, 32] — sf0.1 -> 8, the 10x corpus -> 32 (both
+    # regimes keep their measured winner). Env override for ladders;
+    # a real cluster sizes this to its parallelism before first run
+    # (frozen into the checkpoint).
+    import os as _s19_os
+
+    from sparkstreaming_mq_spark.tables import table_rowcount as _rowcount
+
+    _parts_env = _s19_os.environ.get("SPARK_GRAFT_S19_PARTS")
+    if _parts_env is not None:
+        S19_STATE_PARTITIONS = int(_parts_env)
+    else:
+        S19_STATE_PARTITIONS = min(
+            32, max(4, _rowcount(sf_dir, "events") // 12_500)
+        )
 
     US_HOUR = 3_600_000_000
     NO_PREV = -1  # sentinel: no closed hour in state yet
