@@ -445,3 +445,106 @@ def ts6_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_dev_cents"
         ),
     )
+
+
+# --- TS7: truncated exponential smoothing (exact fixed-point EWMA) ------------
+
+TS7_LAGS = 24  # contributions older than 24 hours truncate (weight < 2^-25)
+
+
+TS7_ORACLE = f"""
+WITH obs AS (
+  SELECT user_id,
+         epoch_us(ts) // 3600000000 AS hnum,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS units
+  FROM events GROUP BY 1, 2
+),
+contrib AS (
+  SELECT o.user_id,
+         o.hnum + k.k AS hnum,
+         CAST(sum(CAST(o.units AS HUGEINT)
+              * (CAST(1 AS BIGINT) << ({TS7_LAGS} - k.k))) AS BIGINT)
+           AS ewma_scaled
+  FROM obs o,
+       (SELECT unnest(generate_series(0, {TS7_LAGS})) AS k) k
+  GROUP BY 1, 2
+)
+SELECT o.user_id,
+       o.hnum AS hour_num,
+       o.units AS units_now,
+       c.ewma_scaled,
+       CAST(c.ewma_scaled AS DOUBLE) / 33554432.0 / 1000000.0 AS ewma_val
+FROM obs o
+JOIN contrib c ON c.user_id = o.user_id AND c.hnum = o.hnum
+"""
+
+
+@query("ts7_ewma_smooth", oracle=TS7_ORACLE)
+def ts7_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user-hour series, in
+    EXACT fixed-point arithmetic — the smoothing primitive behind
+    monitoring baselines and trend features. alpha = 1/2, truncated at
+    {TS7_LAGS} trailing hours (the dropped tail's total weight is
+    < 2^-25 of the estimate — below the emitted double's resolution
+    for these magnitudes), with unobserved hours contributing zero.
+
+    The recurrence y_t = a*x_t + (1-a)*y_{t-1} is a convolution with
+    weights a(1-a)^k; with a = 1/2 every truncated weight is the dyadic
+    2^-(k+1), so scaling by 2^25 makes every term an INTEGER:
+    ewma_scaled = sum_k units_{t-k} << (TS7_LAGS - k). Order-free
+    integer addition — no float accumulation-order divergence between
+    engines (the repo rule that kills naive EWMA oracles: Spark and
+    DuckDB sum doubles in different orders). Products widen to
+    DECIMAL(38,0)/HUGEINT inside the sum (the ds8 rule; the measured
+    fixture bound is units < 2^30, so the scaled sum < 2^56, but the
+    widening makes the 100x-denser corpus safe too); the emitted
+    double divides the exact BIGINT by the same two IEEE constants on
+    both engines.
+
+    Scale shape: convolution-as-map-side-explode, NOT a 25-way range
+    self-join — each observed (user, hour, units) row explodes its
+    {TS7_LAGS + 1} forward contributions (map-side, no extra
+    exchange), then ONE (user, hour) fold sums them and an equi-join
+    back to the observation grid keeps only observed hours. Both
+    exchanges share the (user_id, hnum)-hash layout, and the fold's
+    partial aggregation combines map-side, so the 25x fan-out never
+    crosses the wire unreduced. obs is the user x hour rollup —
+    corpus-sized events reduce before any fan-out."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(ts AS LONG) div 3600").alias("hnum"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("u"),
+    )
+    obs = ev.groupBy("user_id", "hnum").agg(
+        F.sum("u").cast("long").alias("units")
+    )
+    contrib = (
+        obs.select(
+            "user_id",
+            "hnum",
+            "units",
+            F.explode(F.sequence(F.lit(0), F.lit(TS7_LAGS))).alias("k"),
+        )
+        .select(
+            "user_id",
+            (F.col("hnum") + F.col("k")).alias("hnum"),
+            F.expr(
+                f"CAST(units AS DECIMAL(38,0))"
+                f" * shiftleft(CAST(1 AS BIGINT), {TS7_LAGS} - k)"
+            ).alias("term"),
+        )
+        .groupBy("user_id", "hnum")
+        .agg(F.expr("CAST(sum(term) AS BIGINT)").alias("ewma_scaled"))
+    )
+    return obs.join(contrib, ["user_id", "hnum"]).select(
+        "user_id",
+        F.col("hnum").alias("hour_num"),
+        F.col("units").alias("units_now"),
+        "ewma_scaled",
+        (
+            F.col("ewma_scaled").cast("double")
+            / F.lit(33554432.0)
+            / F.lit(1000000.0)
+        ).alias("ewma_val"),
+    )

@@ -3771,3 +3771,163 @@ def t21_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("ts", "event_id", "value")
     run_stream_foreach_batch(stream, score)
     return spark.read.parquet(log_dir).select("epoch", "n_rows", "drift_ppm")
+
+
+# --- T22: streaming heavy hitters (bounded-state SpaceSaving top-k) -----------
+
+T22_SHARDS = 8     # state keys: pmod(user_id, T22_SHARDS)
+T22_CAP = 256      # SpaceSaving counters per (shard) state — the bounded-
+                   # state knob; every fixture SF is in the exact regime
+                   # (max 104 distinct users per shard-window at sf0.1)
+T22_TOPK = 5
+T22_WINDOW_US = 21_600_000_000  # 6-hour tumbling windows
+
+
+def _t22_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id % {T22_SHARDS} AS shard,
+         epoch_us(ts) // {T22_WINDOW_US} AS wb,
+         user_id
+  FROM events
+),
+cnt AS (
+  SELECT shard, wb, user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM e GROUP BY 1, 2, 3
+),
+closed AS (
+  SELECT c.* FROM cnt c
+  WHERE c.wb < (SELECT max(wb) FROM cnt c2 WHERE c2.shard = c.shard)
+),
+ranked AS (
+  SELECT shard, wb AS window_num, user_id, n_events,
+         CAST(row_number() OVER (
+           PARTITION BY shard, wb
+           ORDER BY n_events DESC, user_id) AS BIGINT) AS rk
+  FROM closed
+)
+SELECT shard, window_num, user_id, n_events, rk
+FROM ranked WHERE rk <= {T22_TOPK}
+"""
+
+
+@query("t22_stream_heavy_hitters", oracle=_t22_oracle())
+def t22_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: per 6-hour tumbling
+    window, the top-{T22_TOPK} most active users, tracked by a
+    SpaceSaving summary (Metwally et al., "Efficient computation of
+    frequent and top-k elements in data streams") capped at T22_CAP
+    counters per shard — the 100 TB-safe complement of the batch
+    heavy-hitter query (a11): an exact per-window groupBy holds every
+    distinct key in the window (state ∝ key cardinality, unbounded on
+    a web-scale user base), while SpaceSaving holds O(CAP) counters
+    per shard FOREVER, with the classic guarantee (any key with true
+    count > N/CAP is retained; estimates overshoot by at most the
+    minimum counter).
+
+    State is keyed by user-hash shard, not by window: a window-keyed
+    state group can never learn its window is over (it only sees its
+    own rows), while a shard sees the time-ordered replay advance and
+    closes window w the moment an event of a LATER window arrives in
+    that shard — all of w's shard-events are then final (time-ordered
+    chunks; the s19 closed-hour argument). Each closure emits the
+    shard's top-{T22_TOPK} (count desc, user_id asc). The final window
+    never closes (no AvailableNow trailing flush, measured t7) — the
+    oracle's `wb < max(wb per shard)` cut, verified non-vacuous in
+    pytest.
+
+    Full oracle by the a4 exact-regime rule: with distinct users per
+    (shard, window) ≤ T22_CAP (all fixture SFs: max 104 at sf0.1) the
+    SpaceSaving summary IS the exact counter set, so the emitted rows
+    equal the SQL's exact per-window top-k; past the cap the estimates
+    take over and a driver fixture would move this to rows-tier (the
+    cap is the documented contract, like a4's sketch tiers). Counters
+    live in state as parallel arrays (uids, cnts) sorted by user_id —
+    deterministic across replays."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_events_stream_chunked(
+        spark, sf_dir, n_chunks=4, order="time"
+    ).select(
+        F.pmod(F.col("user_id"), F.lit(T22_SHARDS)).cast("long").alias("shard"),
+        "user_id",
+        "ts",
+    )
+
+    def topk(key, pdf_iter, state: GroupState):
+        (shard,) = key
+        if state.exists:
+            open_wb, uids, cnts = state.get
+            counters = dict(zip(uids, cnts))
+        else:
+            open_wb, counters = None, {}
+        out_rows: list[tuple] = []
+
+        def close(wb: int, cs: dict) -> None:
+            top = sorted(cs.items(), key=lambda kv: (-kv[1], kv[0]))[:T22_TOPK]
+            for rk, (uid, n) in enumerate(top, start=1):
+                out_rows.append((shard, wb, uid, n, rk))
+
+        def merge(cs: dict, batch_counts) -> dict:
+            # SpaceSaving: known keys add exactly; new keys insert while
+            # under CAP, else evict the min counter (tiebreak: largest
+            # user_id — deterministic) and inherit its count (the
+            # overshoot bound). Batch keys in user_id order.
+            for uid, c in batch_counts:
+                if uid in cs:
+                    cs[uid] += c
+                elif len(cs) < T22_CAP:
+                    cs[uid] = c
+                else:
+                    evict = min(cs.items(), key=lambda kv: (kv[1], -kv[0]))
+                    del cs[evict[0]]
+                    cs[uid] = evict[1] + c
+            return cs
+
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            us = np.asarray(pdf["ts"].values, dtype="datetime64[ns]").astype(
+                "int64"
+            ) // 1000
+            wbs = us // T22_WINDOW_US
+            uid_arr = pdf["user_id"].to_numpy(np.int64)
+            order = np.lexsort((uid_arr, wbs))
+            wbs, uid_arr = wbs[order], uid_arr[order]
+            for wb in np.unique(wbs):  # ascending
+                sel = wbs == wb
+                u, c = np.unique(uid_arr[sel], return_counts=True)
+                wb = int(wb)
+                if open_wb is not None and wb > open_wb:
+                    close(open_wb, counters)
+                    counters = {}
+                open_wb = wb
+                counters = merge(
+                    counters, zip(u.tolist(), c.astype("int64").tolist())
+                )
+        items = sorted(counters.items())
+        state.update(
+            (
+                open_wb if open_wb is not None else -1,
+                [int(u) for u, _ in items],
+                [int(c) for _, c in items],
+            )
+        )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=["shard", "window_num", "user_id", "n_events", "rk"],
+            )
+
+    out = stream.groupBy("shard").applyInPandasWithState(
+        topk,
+        outputStructType=(
+            "shard long, window_num long, user_id long, n_events long, rk long"
+        ),
+        stateStructType="wb long, uids array<long>, cnts array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_table(out, "append")
