@@ -589,3 +589,57 @@ def w8_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "winsorized_sum_cents",
         "winsorized_mean_cents",
     )
+
+
+# --- W9: distribution ranks (percent_rank / cume_dist / ntile) ----------------
+
+W9_ORACLE = """
+WITH c AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+)
+SELECT c_mktsegment, c_custkey, bal_cents,
+       percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY bal_cents)
+         AS pct_rank,
+       cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY bal_cents)
+         AS cume,
+       CAST(ntile(10) OVER (
+         PARTITION BY c_mktsegment ORDER BY bal_cents, c_custkey
+       ) AS BIGINT) AS decile
+FROM c
+"""
+
+
+@query("w9_distribution_ranks", oracle=W9_ORACLE)
+def w9_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions — percent_rank, cume_dist
+    and ntile — the distribution-rank surface the W1-W8 family doesn't
+    touch (W1 covers rank/dense_rank/row_number; O16/A16 use ntile
+    internally as machinery, never as the exposed result).
+
+    Parity: percent_rank ((rank-1)/(N-1)) and cume_dist (peers≤x / N)
+    are RANK-based, so ties need no break — both engines emit the same
+    double from one IEEE division of exact integers (balance in
+    fixed-point cents). ntile is ROW-position-based (remainder rows go
+    to the leading tiles, SQL standard on both engines), so ITS order
+    carries the unique c_custkey tiebreak. One c_mktsegment exchange
+    serves all three window specs (same partitioning, compatible
+    sorts)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("bal_cents")
+    w2 = Window.partitionBy("c_mktsegment").orderBy("bal_cents", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "bal_cents",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w2).cast("long").alias("decile"),
+    )

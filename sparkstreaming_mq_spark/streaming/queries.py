@@ -3931,3 +3931,13 @@ def t22_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_stream_to_table(out, "append")
+
+
+@query("t22b_rocksdb_heavy_hitters", oracle=_t22_oracle())
+def t22b_rocksdb_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t22's SpaceSaving heavy hitters on the RocksDB state store with
+    changelog checkpointing (the t14b/s19b provider-parity pattern):
+    the bounded counter arrays round-trip the 100 TB backend and the
+    emission must stay hash-identical to the HDFS-backed run — same
+    exact-regime SQL oracle attached verbatim."""
+    return _run_under_rocksdb(spark, t22_stream_heavy_hitters, sf_dir)
