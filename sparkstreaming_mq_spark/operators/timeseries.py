@@ -463,9 +463,9 @@ WITH obs AS (
 contrib AS (
   SELECT o.user_id,
          o.hnum + k.k AS hnum,
-         CAST(sum(CAST(o.units AS HUGEINT)
-              * (CAST(1 AS BIGINT) << ({TS7_LAGS} - k.k))) AS BIGINT)
-           AS ewma_scaled
+         CAST(sum(CAST(o.units
+              * (CAST(1 AS BIGINT) << ({TS7_LAGS} - k.k)) AS HUGEINT))
+           AS BIGINT) AS ewma_scaled
   FROM obs o,
        (SELECT unnest(generate_series(0, {TS7_LAGS})) AS k) k
   GROUP BY 1, 2
@@ -529,13 +529,23 @@ def ts7_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             (F.col("hnum") + F.col("k")).alias("hnum"),
+            # per-row multiply stays BIGINT (codegen-fast; bounded at
+            # units < 2^38 x 2^24 < 2^62, and ANSI raises loudly past
+            # it — measured fixture bound is units < 2^30); only the
+            # AGGREGATION buffer widens to DECIMAL(38,0)/HUGEINT (the
+            # ds8 rule applied where the overflow actually lives: the
+            # 25-term sum). The first cut widened per term — decimal
+            # multiply per exploded row cost 107 s at the 10x rung.
             F.expr(
-                f"CAST(units AS DECIMAL(38,0))"
-                f" * shiftleft(CAST(1 AS BIGINT), {TS7_LAGS} - k)"
+                f"units * shiftleft(CAST(1 AS BIGINT), {TS7_LAGS} - k)"
             ).alias("term"),
         )
         .groupBy("user_id", "hnum")
-        .agg(F.expr("CAST(sum(term) AS BIGINT)").alias("ewma_scaled"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(term AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("ewma_scaled")
+        )
     )
     return obs.join(contrib, ["user_id", "hnum"]).select(
         "user_id",
