@@ -148,3 +148,32 @@ class TestTs7EwmaSmooth:
 
         for r in ts7_ewma_smooth(spark, sf_dir).limit(200).collect():
             assert r.ewma_val == r.ewma_scaled / 33554432.0 / 1000000.0
+
+
+class TestR13PlanPins:
+    """Physical-plan pins (the test_plans.py discipline) for the new
+    operators: a refactor that silently de-optimizes them should fail
+    here, not at a 100 TB run."""
+
+    def test_ts7_partial_agg_and_pruned_scan(self, spark, sf_dir):
+        from sparkstreaming_mq_spark.operators.timeseries import ts7_ewma_smooth
+
+        df = ts7_ewma_smooth(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the 25x explode fan-out must combine map-side before the fold
+        # exchange (partial_sum under HashAggregate)
+        assert "partial_sum" in plan
+        # events scan reads only the 3 referenced columns
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+        assert m and m.group(1).count(":") == 3
+
+    def test_w9_single_exchange_serves_all_three_windows(self, spark, sf_dir):
+        from sparkstreaming_mq_spark.operators.windows import w9_distribution_ranks
+
+        df = w9_distribution_ranks(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # percent_rank/cume_dist and ntile share one c_mktsegment
+        # hash exchange (compatible partitioning, different sorts)
+        assert plan.count("Exchange hashpartitioning(c_mktsegment") == 1
