@@ -3941,3 +3941,134 @@ def t22b_rocksdb_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission must stay hash-identical to the HDFS-backed run — same
     exact-regime SQL oracle attached verbatim."""
     return _run_under_rocksdb(spark, t22_stream_heavy_hitters, sf_dir)
+
+
+# --- S21: streaming EWMA (stateful twin of batch ts7) --------------------------
+
+S21_LAGS = 24  # keep in lockstep with operators/timeseries.TS7_LAGS
+
+
+def _s21_oracle() -> str:
+    return f"""
+WITH obs AS (
+  SELECT user_id,
+         epoch_us(ts) // 3600000000 AS hnum,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS units
+  FROM events GROUP BY 1, 2
+),
+contrib AS (
+  SELECT o.user_id,
+         o.hnum + k.k AS hnum,
+         CAST(sum(CAST(o.units
+              * (CAST(1 AS BIGINT) << ({S21_LAGS} - k.k)) AS HUGEINT))
+           AS BIGINT) AS ewma_scaled
+  FROM obs o,
+       (SELECT unnest(generate_series(0, {S21_LAGS})) AS k) k
+  GROUP BY 1, 2
+)
+SELECT o.user_id,
+       o.hnum AS hour_num,
+       o.units AS units_now,
+       c.ewma_scaled
+FROM obs o
+JOIN contrib c ON c.user_id = o.user_id AND c.hnum = o.hnum
+WHERE o.hnum < (SELECT max(hnum) FROM obs o2 WHERE o2.user_id = o.user_id)
+"""
+
+
+@query("s21_stream_ewma", oracle=_s21_oracle())
+def s21_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exponential smoothing: batch ts7's truncated
+    fixed-point EWMA as LIVE per-user state — the monitoring-baseline
+    number a stream consumer reads per hour, emitted the moment the
+    hour's sum is final. Stream/batch equivalence pair like ts1↔s19
+    and ts2↔s18 (pytest proves row-identity to ts7 minus the cut).
+
+    State per user: the trailing ≤ 25 CLOSED hourly sums (pruned past
+    the truncation horizon) plus the open hour — O(1), never series
+    length. An hour closes when a later hour's first event arrives
+    (time-ordered replay, the s19 closed-hour argument), which makes
+    its own sum AND every trailing contributor final, so the emitted
+    ewma_scaled is exactly batch ts7's dyadic integer. Each user's
+    final hour never closes (no AvailableNow trailing flush) — the
+    oracle's per-user `hnum < max(hnum)` cut.
+
+    Full oracle: order-free integer sums per hour (never-round-in-
+    pandas), dyadic shifts in exact Python ints, the same widened
+    convolution SQL as ts7 plus the cut."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_events_stream_chunked(
+        spark, sf_dir, n_chunks=4, order="time"
+    ).select("user_id", "ts", "value")
+
+    US_HOUR = 3_600_000_000
+
+    def ewma(key, pdf_iter, state: GroupState):
+        (uid,) = key
+        if state.exists:
+            hrs_a, uns_a, oh, ou = state.get
+            hrs, uns = list(hrs_a), list(uns_a)
+            if oh < 0:
+                oh = None
+        else:
+            hrs, uns, oh, ou = [], [], None, 0
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            hs = np.asarray(
+                pdf["ts"].values, dtype="datetime64[ns]"
+            ).astype("int64") // (US_HOUR * 1000)
+            us = np.floor(
+                pdf["value"].to_numpy(dtype="float64") * 1000000 + 0.5
+            ).astype("int64")
+            hour_keys, inv = np.unique(hs, return_inverse=True)
+            u_per = np.zeros(len(hour_keys), dtype="int64")
+            np.add.at(u_per, inv, us)
+        else:
+            hour_keys = np.empty(0, dtype="int64")
+            u_per = hour_keys
+        out: list[tuple] = []
+        for h, u_h in zip(hour_keys.tolist(), u_per.tolist()):
+            if oh is None:
+                oh, ou = h, u_h
+            elif h == oh:
+                ou += u_h  # open hour straddles a batch boundary
+            else:
+                # oh closes: its sum and all trailing sums are final
+                hrs.append(oh)
+                uns.append(ou)
+                scaled = sum(
+                    u << (S21_LAGS - (oh - hr))
+                    for hr, u in zip(hrs, uns)
+                    if oh - hr <= S21_LAGS
+                )
+                out.append((uid, oh, ou, scaled))
+                # prune past the horizon of any FUTURE closing hour
+                # (the next closure is > oh, so hr < oh - LAGS + 1 can
+                # never contribute again); bounds state at <= 25 pairs
+                while hrs and hrs[0] < h - S21_LAGS:
+                    hrs.pop(0)
+                    uns.pop(0)
+                oh, ou = h, u_h
+        state.update((hrs, uns, oh if oh is not None else -1, ou))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "hour_num", "units_now", "ewma_scaled"]
+            )
+
+    res = stream.groupBy("user_id").applyInPandasWithState(
+        ewma,
+        outputStructType=(
+            "user_id long, hour_num long, units_now long, ewma_scaled long"
+        ),
+        stateStructType=(
+            "hrs array<long>, uns array<long>, oh long, ou long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_table(res, "append")

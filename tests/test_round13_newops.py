@@ -177,3 +177,30 @@ class TestR13PlanPins:
         # percent_rank/cume_dist and ntile share one c_mktsegment
         # hash exchange (compatible partitioning, different sorts)
         assert plan.count("Exchange hashpartitioning(c_mktsegment") == 1
+
+
+class TestS21StreamEwma:
+    def test_stream_equals_batch_minus_final_hour(self, spark, sf_dir):
+        """Stream/batch equivalence (the s19<->ts1, s18<->ts2 proof
+        pattern): s21's emitted rows must be EXACTLY batch ts7 minus
+        each user's final observed hour (which never closes), and the
+        cut must be non-vacuous."""
+        from sparkstreaming_mq_spark.operators.timeseries import ts7_ewma_smooth
+        from sparkstreaming_mq_spark.streaming.queries import s21_stream_ewma
+
+        batch = {
+            (r.user_id, r.hour_num): (r.units_now, r.ewma_scaled)
+            for r in ts7_ewma_smooth(spark, sf_dir).collect()
+        }
+        last_hour = {}
+        for (uid, h), _v in batch.items():
+            last_hour[uid] = max(last_hour.get(uid, -1), h)
+        expected = {
+            k: v for k, v in batch.items() if k[1] < last_hour[k[0]]
+        }
+        stream = {
+            (r.user_id, r.hour_num): (r.units_now, r.ewma_scaled)
+            for r in s21_stream_ewma(spark, sf_dir).collect()
+        }
+        assert stream == expected
+        assert len(expected) < len(batch)  # the cut bites
