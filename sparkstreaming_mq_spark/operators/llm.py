@@ -3373,3 +3373,79 @@ def l37_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+# --- L51: quality-based survivorship within near-dup clusters ------------------
+
+L51_ORACLE = f"""
+WITH src AS (SELECT doc_id, text FROM documents),
+{_cc_pairs_and_closure_sql("src", MINHASH_THRESHOLD)},
+scored AS (
+  SELECT d.doc_id,
+         CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT)
+           * 1000000 // len(string_split(d.text, ' ')) AS uniq_ppm,
+         d.n_chars
+  FROM documents d
+),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id, s.uniq_ppm, s.n_chars,
+         row_number() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY s.uniq_ppm DESC, s.n_chars DESC, c.doc_id
+         ) AS qrank
+  FROM cc c JOIN scored s ON s.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id, uniq_ppm,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(qrank = 1 AS INTEGER) AS keep
+FROM ranked
+"""
+
+
+@query("l51_cluster_survivorship", oracle=L51_ORACLE)
+def l51_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy for near-dup clusters: keep the HIGHEST-
+    QUALITY member, not the smallest doc_id. l8 answers "which docs
+    are the same"; this answers the question production pipelines
+    actually act on — "which copy do we train on" (the cleanest /
+    longest variant, not whichever crawled first). Keeper = max
+    (token-uniqueness ppm, then n_chars, then min doc_id) within each
+    connected component of the near-dup graph.
+
+    The quality key is INTEGER-exact (uniq_ppm = distinct-token count
+    x 1e6 div token count — a float ratio would make the argmax
+    engine-sensitive at ties/precision), so the per-cluster
+    row_number is deterministic on both engines. Clusters come from
+    the same min-label propagation as l8 (one exchange per round,
+    lineage checkpointed); scoring is one map-side pass; the keeper
+    choice is one cluster_id window. Oracle: the shared CC closure
+    block + identical integer scoring + the same window."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = l2_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _min_label_propagation(d, pairs)
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 1000000 div size(split(text, ' '))"
+        ).alias("uniq_ppm"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("cluster_id").orderBy(
+        F.col("uniq_ppm").desc(), F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        labels.select("doc_id", F.col("label").alias("cluster_id"))
+        .join(scored, "doc_id")
+        .withColumn("qrank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "uniq_ppm",
+            "n_chars",
+            (F.col("qrank") == 1).cast("int").alias("keep"),
+        )
+    )

@@ -204,3 +204,35 @@ class TestS21StreamEwma:
         }
         assert stream == expected
         assert len(expected) < len(batch)  # the cut bites
+
+
+class TestL51Survivorship:
+    def test_one_keeper_per_cluster_and_policy_bites(self, spark, sf_dir):
+        """Each cluster keeps exactly one member, endpoints of every
+        near-dup pair share a cluster (inherited from l8's CC), and the
+        quality policy is NON-vacuous: at least one multi-doc cluster's
+        keeper differs from the min-doc_id keeper l8 would pick."""
+        from collections import defaultdict
+
+        from sparkstreaming_mq_spark.operators.llm import l51_cluster_survivorship
+
+        rows = l51_cluster_survivorship(spark, sf_dir).collect()
+        by_cluster = defaultdict(list)
+        for r in rows:
+            by_cluster[r.cluster_id].append(r)
+        assert sum(r.keep for r in rows) == len(by_cluster)
+        multi = {c: m for c, m in by_cluster.items() if len(m) > 1}
+        assert multi  # fixture has near-dup clusters
+        quality_differs = 0
+        for c, members in multi.items():
+            keeper = [r for r in members if r.keep]
+            assert len(keeper) == 1
+            k = keeper[0]
+            # keeper is the quality argmax under the documented order
+            best = sorted(
+                members, key=lambda r: (-r.uniq_ppm, -r.n_chars, r.doc_id)
+            )[0]
+            assert k.doc_id == best.doc_id
+            if k.doc_id != min(r.doc_id for r in members):
+                quality_differs += 1
+        assert quality_differs > 0  # the policy picks differently than min-id
