@@ -145,6 +145,18 @@ HEADLINE4 = [
     "a18_copurchase_rules",
 ]
 
+# Fifth headline set (r13): the round's new operators — SpaceSaving
+# streaming heavy hitters, the stateful EWMA twin pair, and the
+# CC-based survivorship pass (the heaviest: minhash pairs + label
+# propagation). Recorded as value5/queries5; first measured run =
+# BASELINE row.
+HEADLINE5 = [
+    "t22_stream_heavy_hitters",
+    "s21_stream_ewma",
+    "ts7_ewma_smooth",
+    "l51_cluster_survivorship",
+]
+
 # Heap-heaviest entries: always measured in a fresh subprocess session
 # (protocol note above).
 FRESH_SESSION = {"s19_stream_gapfill", "g1_pagerank"}
@@ -323,6 +335,7 @@ def main() -> None:
     results2 = run_set(HEADLINE2)
     results3 = run_set(HEADLINE3)
     results4 = run_set(HEADLINE4)
+    results5 = run_set(HEADLINE5)
 
     # Second, time-separated fresh-session pass (protocol note 1): the
     # host phase oscillates over minutes, so the two samples bracket it.
@@ -377,6 +390,8 @@ def main() -> None:
                 "queries3": results3,
                 "value4": total(results4),
                 "queries4": results4,
+                "value5": total(results5),
+                "queries5": results5,
                 "sf": os.path.basename(os.path.normpath(sf_dir)),
             }
         )
