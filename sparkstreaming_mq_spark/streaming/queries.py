@@ -3843,17 +3843,53 @@ def t22_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     take over and a driver fixture would move this to rows-tier (the
     cap is the documented contract, like a4's sketch tiers). Counters
     live in state as parallel arrays (uids, cnts) sorted by user_id —
-    deterministic across replays."""
+    deterministic across replays.
+
+    Skew (r13, measured): a 10%-hot user made the raw-event form 2.4×
+    its uniform wall (26.4 vs 11.1 s at 10×) — every hot-key row
+    shipped into ONE state partition. Stateful ops get no map-side
+    combine, so this builds one by hand: a STATELESS mapInPandas
+    pre-counts (shard, wb, user) per scan partition before the state
+    exchange (counts are additive, the kernel merges partials exactly
+    as it merged raw batch counts — semantics unchanged, same oracle).
+    State-bound traffic drops from O(events) to O(scan partitions ×
+    windows × users-per-batch), and a hot key costs its partial rows,
+    not its event count."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     stream = read_events_stream_chunked(
         spark, sf_dir, n_chunks=4, order="time"
-    ).select(
-        F.pmod(F.col("user_id"), F.lit(T22_SHARDS)).cast("long").alias("shard"),
-        "user_id",
-        "ts",
+    ).select("user_id", "ts")
+
+    def precount(batch_iter):
+        # stateless per-Arrow-batch partial counts — the hand-built
+        # map-side combiner (runs BEFORE the shard exchange)
+        for pdf in batch_iter:
+            if not len(pdf):
+                continue
+            us = np.asarray(
+                pdf["ts"].values, dtype="datetime64[ns]"
+            ).astype("int64") // 1000
+            wb = us // T22_WINDOW_US
+            uid = pdf["user_id"].to_numpy(np.int64)
+            order = np.lexsort((uid, wb))
+            wb, uid = wb[order], uid[order]
+            nb = np.ones(len(wb), dtype=bool)
+            nb[1:] = (wb[1:] != wb[:-1]) | (uid[1:] != uid[:-1])
+            i = np.flatnonzero(nb)
+            yield pd.DataFrame(
+                {
+                    "shard": uid[i] % T22_SHARDS,  # np % == pmod for int64
+                    "wb": wb[i],
+                    "user_id": uid[i],
+                    "cnt": np.diff(np.append(i, len(wb))).astype("int64"),
+                }
+            )
+
+    partials = stream.mapInPandas(
+        precount, schema="shard long, wb long, user_id long, cnt long"
     )
 
     def topk(key, pdf_iter, state: GroupState):
@@ -3889,23 +3925,29 @@ def t22_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks = list(pdf_iter)
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            us = np.asarray(pdf["ts"].values, dtype="datetime64[ns]").astype(
-                "int64"
-            ) // 1000
-            wbs = us // T22_WINDOW_US
+            # fold the scan-partition partials of this micro-batch to
+            # one exact count per (wb, user) — additive, so identical
+            # to counting the raw events
+            wbs = pdf["wb"].to_numpy(np.int64)
             uid_arr = pdf["user_id"].to_numpy(np.int64)
+            cnt_arr = pdf["cnt"].to_numpy(np.int64)
             order = np.lexsort((uid_arr, wbs))
-            wbs, uid_arr = wbs[order], uid_arr[order]
-            for wb in np.unique(wbs):  # ascending
-                sel = wbs == wb
-                u, c = np.unique(uid_arr[sel], return_counts=True)
+            wbs, uid_arr, cnt_arr = wbs[order], uid_arr[order], cnt_arr[order]
+            nb = np.ones(len(wbs), dtype=bool)
+            nb[1:] = (wbs[1:] != wbs[:-1]) | (uid_arr[1:] != uid_arr[:-1])
+            starts = np.flatnonzero(nb)
+            agg_c = np.add.reduceat(cnt_arr, starts) if len(starts) else cnt_arr
+            wbs_u, uid_u = wbs[starts], uid_arr[starts]
+            for wb in np.unique(wbs_u):  # ascending
+                sel = wbs_u == wb
                 wb = int(wb)
                 if open_wb is not None and wb > open_wb:
                     close(open_wb, counters)
                     counters = {}
                 open_wb = wb
                 counters = merge(
-                    counters, zip(u.tolist(), c.astype("int64").tolist())
+                    counters,
+                    zip(uid_u[sel].tolist(), agg_c[sel].tolist()),
                 )
         items = sorted(counters.items())
         state.update(
@@ -3921,7 +3963,7 @@ def t22_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["shard", "window_num", "user_id", "n_events", "rk"],
             )
 
-    out = stream.groupBy("shard").applyInPandasWithState(
+    out = partials.groupBy("shard").applyInPandasWithState(
         topk,
         outputStructType=(
             "shard long, window_num long, user_id long, n_events long, rk long"
