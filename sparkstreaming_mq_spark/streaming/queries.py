@@ -4038,7 +4038,13 @@ def s21_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Full oracle: order-free integer sums per hour (never-round-in-
     pandas), dyadic shifts in exact Python ints, the same widened
-    convolution SQL as ts7 plus the cut."""
+    convolution SQL as ts7 plus the cut.
+
+    Like t22, a STATELESS mapInPandas pre-sums (user, hour) micro-unit
+    partials per scan partition before the user exchange (the
+    hand-built map-side combine stateful ops don't get): hourly sums
+    are additive integers, so the kernel folds partials exactly as it
+    folded raw events and the oracle is unchanged."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -4048,6 +4054,36 @@ def s21_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "ts", "value")
 
     US_HOUR = 3_600_000_000
+
+    def presum(batch_iter):
+        for pdf in batch_iter:
+            if not len(pdf):
+                continue
+            hs = np.asarray(
+                pdf["ts"].values, dtype="datetime64[ns]"
+            ).astype("int64") // (US_HOUR * 1000)
+            uid = pdf["user_id"].to_numpy(np.int64)
+            # floor per EVENT (the engines' expression), then exact
+            # integer partial sums — order-free
+            us = np.floor(
+                pdf["value"].to_numpy(dtype="float64") * 1000000 + 0.5
+            ).astype("int64")
+            order = np.lexsort((hs, uid))
+            uid, hs, us = uid[order], hs[order], us[order]
+            nb = np.ones(len(uid), dtype=bool)
+            nb[1:] = (uid[1:] != uid[:-1]) | (hs[1:] != hs[:-1])
+            i = np.flatnonzero(nb)
+            yield pd.DataFrame(
+                {
+                    "user_id": uid[i],
+                    "hnum": hs[i],
+                    "u": np.add.reduceat(us, i).astype("int64"),
+                }
+            )
+
+    partials = stream.mapInPandas(
+        presum, schema="user_id long, hnum long, u long"
+    )
 
     def ewma(key, pdf_iter, state: GroupState):
         (uid,) = key
@@ -4061,12 +4097,8 @@ def s21_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks = list(pdf_iter)
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            hs = np.asarray(
-                pdf["ts"].values, dtype="datetime64[ns]"
-            ).astype("int64") // (US_HOUR * 1000)
-            us = np.floor(
-                pdf["value"].to_numpy(dtype="float64") * 1000000 + 0.5
-            ).astype("int64")
+            hs = pdf["hnum"].to_numpy(np.int64)
+            us = pdf["u"].to_numpy(np.int64)
             hour_keys, inv = np.unique(hs, return_inverse=True)
             u_per = np.zeros(len(hour_keys), dtype="int64")
             np.add.at(u_per, inv, us)
@@ -4102,7 +4134,7 @@ def s21_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["user_id", "hour_num", "units_now", "ewma_scaled"]
             )
 
-    res = stream.groupBy("user_id").applyInPandasWithState(
+    res = partials.groupBy("user_id").applyInPandasWithState(
         ewma,
         outputStructType=(
             "user_id long, hour_num long, units_now long, ewma_scaled long"
