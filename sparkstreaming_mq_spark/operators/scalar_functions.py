@@ -1012,3 +1012,50 @@ def f17_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.count("parsed")).cast("long").alias("n_parse_null"),
         F.coalesce(F.sum("parsed"), F.lit(0)).cast("long").alias("sum_parsed"),
     )
+
+
+# --- F18: binary encode/decode surface (base64 / hex / byte lengths) ----------
+
+F18_ORACLE = """
+SELECT doc_id,
+       base64(encode(substring(text, 1, 120))) AS b64_head,
+       hex(substring(text, 1, 16)) AS hex_head,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(substring(text, 1, 120) =
+            decode(from_base64(base64(encode(substring(text, 1, 120)))))
+            AS INTEGER) AS roundtrip_ok
+FROM documents
+"""
+
+
+@query("f18_binary_encoding", oracle=F18_ORACLE)
+def f18_binary_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encode/decode functions — base64/unbase64, hex,
+    encode/decode, octet_length — the F-family leaf the string/hash
+    rows don't touch (payload fingerprinting, wire-format debugging,
+    opaque-column previews for the L5 multimodal path).
+
+    Cross-engine quirk, measured: Spark's ``base64`` is the MIME
+    encoder (CRLF every 76 chars) while DuckDB emits one continuous
+    string — the CRLFs are stripped so both engines compare the same
+    canonical form (``unbase64`` is lenient either way; the roundtrip
+    flag proves decode∘encode = id on every row). Encoding runs over
+    a bounded HEAD (120 chars → 160 base64 chars), not the whole
+    document: at 100 TB you index/preview with bounded-size encodings
+    rather than materializing a 1.33× copy of the corpus; byte length
+    covers the full text (char count ≠ UTF-8 byte count — multibyte
+    rows make the distinction non-vacuous). All JVM-side codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 120)
+    b64 = F.regexp_replace(
+        F.base64(F.encode(head, "UTF-8")), "\r\n", ""
+    )
+    return d.select(
+        "doc_id",
+        b64.alias("b64_head"),
+        F.hex(F.substring("text", 1, 16)).alias("hex_head"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        (F.decode(F.unbase64(b64), "UTF-8") == head)
+        .cast("int")
+        .alias("roundtrip_ok"),
+    )
