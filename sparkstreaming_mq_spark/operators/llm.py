@@ -3423,7 +3423,6 @@ def l51_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = l2_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     labels = _min_label_propagation(d, pairs)
-    toks = F.split("text", " ")
     scored = d.select(
         "doc_id",
         F.expr(

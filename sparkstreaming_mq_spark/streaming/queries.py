@@ -3864,8 +3864,29 @@ def t22_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "ts")
 
     def precount(batch_iter):
-        # stateless per-Arrow-batch partial counts — the hand-built
-        # map-side combiner (runs BEFORE the shard exchange)
+        # stateless per-PARTITION partial counts, accumulated across the
+        # Arrow batch iterator (_a18_partials-style; ADVICE r13) — the
+        # hand-built map-side combiner (runs BEFORE the shard exchange).
+        # Emitting once per partition (not per Arrow batch) keeps the
+        # state-bound traffic O(scan partitions × windows × users), not
+        # × Arrow-batch count; the buffer compresses past a bound so
+        # kernel memory stays O(distinct (wb, user) of the partition).
+        acc_wb: list = []
+        acc_uid: list = []
+        acc_cnt: list = []
+        acc_len = 0
+
+        def _fold():
+            wb = np.concatenate(acc_wb)
+            uid = np.concatenate(acc_uid)
+            cnt = np.concatenate(acc_cnt)
+            order = np.lexsort((uid, wb))
+            wb, uid, cnt = wb[order], uid[order], cnt[order]
+            nb = np.ones(len(wb), dtype=bool)
+            nb[1:] = (wb[1:] != wb[:-1]) | (uid[1:] != uid[:-1])
+            i = np.flatnonzero(nb)
+            return wb[i], uid[i], np.add.reduceat(cnt, i).astype("int64")
+
         for pdf in batch_iter:
             if not len(pdf):
                 continue
@@ -3879,12 +3900,22 @@ def t22_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             nb = np.ones(len(wb), dtype=bool)
             nb[1:] = (wb[1:] != wb[:-1]) | (uid[1:] != uid[:-1])
             i = np.flatnonzero(nb)
+            acc_wb.append(wb[i])
+            acc_uid.append(uid[i])
+            acc_cnt.append(np.diff(np.append(i, len(wb))).astype("int64"))
+            acc_len += len(i)
+            if acc_len > 2_000_000:
+                fwb, fuid, fcnt = _fold()
+                acc_wb[:], acc_uid[:], acc_cnt[:] = [fwb], [fuid], [fcnt]
+                acc_len = len(fwb)
+        if acc_wb:
+            fwb, fuid, fcnt = _fold()
             yield pd.DataFrame(
                 {
-                    "shard": uid[i] % T22_SHARDS,  # np % == pmod for int64
-                    "wb": wb[i],
-                    "user_id": uid[i],
-                    "cnt": np.diff(np.append(i, len(wb))).astype("int64"),
+                    "shard": fuid % T22_SHARDS,  # np % == pmod for int64
+                    "wb": fwb,
+                    "user_id": fuid,
+                    "cnt": fcnt,
                 }
             )
 
@@ -3896,6 +3927,12 @@ def t22_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (shard,) = key
         if state.exists:
             open_wb, uids, cnts = state.get
+            # normalize the persisted -1 sentinel back to None (the s21
+            # rule; ADVICE r13) so a future refactor that persists
+            # counters alongside the sentinel can't emit a phantom
+            # window_num=-1 closure
+            if open_wb < 0:
+                open_wb = None
             counters = dict(zip(uids, cnts))
         else:
             open_wb, counters = None, {}
@@ -4056,6 +4093,26 @@ def s21_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     US_HOUR = 3_600_000_000
 
     def presum(batch_iter):
+        # accumulated across the partition's Arrow batch iterator and
+        # emitted ONCE per partition (_a18_partials-style; ADVICE r13):
+        # user-exchange traffic is O(scan partitions × users × hours),
+        # never × Arrow-batch count. Compress bound as in t22.
+        acc_uid: list = []
+        acc_hs: list = []
+        acc_u: list = []
+        acc_len = 0
+
+        def _fold():
+            uid = np.concatenate(acc_uid)
+            hs = np.concatenate(acc_hs)
+            u = np.concatenate(acc_u)
+            order = np.lexsort((hs, uid))
+            uid, hs, u = uid[order], hs[order], u[order]
+            nb = np.ones(len(uid), dtype=bool)
+            nb[1:] = (uid[1:] != uid[:-1]) | (hs[1:] != hs[:-1])
+            i = np.flatnonzero(nb)
+            return uid[i], hs[i], np.add.reduceat(u, i).astype("int64")
+
         for pdf in batch_iter:
             if not len(pdf):
                 continue
@@ -4073,13 +4130,17 @@ def s21_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             nb = np.ones(len(uid), dtype=bool)
             nb[1:] = (uid[1:] != uid[:-1]) | (hs[1:] != hs[:-1])
             i = np.flatnonzero(nb)
-            yield pd.DataFrame(
-                {
-                    "user_id": uid[i],
-                    "hnum": hs[i],
-                    "u": np.add.reduceat(us, i).astype("int64"),
-                }
-            )
+            acc_uid.append(uid[i])
+            acc_hs.append(hs[i])
+            acc_u.append(np.add.reduceat(us, i).astype("int64"))
+            acc_len += len(i)
+            if acc_len > 2_000_000:
+                fu, fh, fv = _fold()
+                acc_uid[:], acc_hs[:], acc_u[:] = [fu], [fh], [fv]
+                acc_len = len(fu)
+        if acc_uid:
+            fu, fh, fv = _fold()
+            yield pd.DataFrame({"user_id": fu, "hnum": fh, "u": fv})
 
     partials = stream.mapInPandas(
         presum, schema="user_id long, hnum long, u long"
