@@ -2881,6 +2881,14 @@ def s19_stream_gapfill(
     toward a partial endpoint). Hours that straddle a batch boundary
     merge into the open slot instead of emitting.
 
+    Like t22/s21, a STATELESS mapInPandas pre-sums (user, hour) →
+    (count, micro-units) partials per scan partition BEFORE the user
+    exchange (the hand-built map-side combine stateful ops don't get):
+    both per-hour aggregates are additive integers, so the kernel
+    folds partials exactly as it folded raw events and the emitted
+    grid — hence the oracle — is unchanged. State-exchange traffic
+    drops from O(events) rows to O(scan partitions × users × hours).
+
     With no AvailableNow trailing flush (measured, t7), the emitted
     set is the batch grid minus each user's final observation row AND
     final gap run (its right endpoint never closes) — the
@@ -2926,6 +2934,77 @@ def s19_stream_gapfill(
     US_HOUR = 3_600_000_000
     NO_PREV = -1  # sentinel: no closed hour in state yet
 
+    import numpy as np
+
+    def presum(batch_iter):
+        # stateless per-PARTITION (user, hour) partials — count AND
+        # exact micro-unit sum, both additive integers — accumulated
+        # across the Arrow batch iterator and emitted ONCE per
+        # partition (_a18_partials-style), so the state exchange moves
+        # O(scan partitions × users × hours) rows, never O(events) and
+        # never × Arrow-batch count. Compress bound as in t22/s21.
+        acc_uid: list = []
+        acc_hs: list = []
+        acc_n: list = []
+        acc_u: list = []
+        acc_len = 0
+
+        def _fold():
+            uid = np.concatenate(acc_uid)
+            hs = np.concatenate(acc_hs)
+            n = np.concatenate(acc_n)
+            u = np.concatenate(acc_u)
+            order = np.lexsort((hs, uid))
+            uid, hs, n, u = uid[order], hs[order], n[order], u[order]
+            nb = np.ones(len(uid), dtype=bool)
+            nb[1:] = (uid[1:] != uid[:-1]) | (hs[1:] != hs[:-1])
+            i = np.flatnonzero(nb)
+            return (
+                uid[i],
+                hs[i],
+                np.add.reduceat(n, i).astype("int64"),
+                np.add.reduceat(u, i).astype("int64"),
+            )
+
+        for pdf in batch_iter:
+            if not len(pdf):
+                continue
+            # tz-aware pandas ts -> UTC ns int64 (same epoch µs t7
+            # reads per-element via .value)
+            hs = np.asarray(
+                pdf["ts"].values, dtype="datetime64[ns]"
+            ).astype("int64") // (US_HOUR * 1000)
+            uid = pdf["user_id"].to_numpy(np.int64)
+            # floor per EVENT (the engines' expression), then exact
+            # integer partial sums — order-free
+            us = np.floor(
+                pdf["value"].to_numpy(dtype="float64") * 1000000 + 0.5
+            ).astype("int64")
+            order = np.lexsort((hs, uid))
+            uid, hs, us = uid[order], hs[order], us[order]
+            nb = np.ones(len(uid), dtype=bool)
+            nb[1:] = (uid[1:] != uid[:-1]) | (hs[1:] != hs[:-1])
+            i = np.flatnonzero(nb)
+            acc_uid.append(uid[i])
+            acc_hs.append(hs[i])
+            acc_n.append(np.diff(np.append(i, len(uid))).astype("int64"))
+            acc_u.append(np.add.reduceat(us, i).astype("int64"))
+            acc_len += len(i)
+            if acc_len > 2_000_000:
+                fu, fh, fn, fv = _fold()
+                acc_uid[:], acc_hs[:] = [fu], [fh]
+                acc_n[:], acc_u[:] = [fn], [fv]
+                acc_len = len(fu)
+        if acc_uid:
+            fu, fh, fn, fv = _fold()
+            yield pd.DataFrame(
+                {"user_id": fu, "hnum": fh, "n": fn, "u": fv}
+            )
+
+    partials = stream.mapInPandas(
+        presum, schema="user_id long, hnum long, n long, u long"
+    )
+
     def gapfill(key, pdf_iter, state: GroupState):
         # Vectorized kernel: the first cut looped python-per-event and
         # appended python tuples per OUTPUT row — at the 10x smoke that
@@ -2933,33 +3012,28 @@ def s19_stream_gapfill(
         # wall. Hour aggregation and gap-run generation now run in
         # numpy; the remaining python loop is one step per DISTINCT
         # hour per batch (calendar-bounded). Bit parity is preserved:
-        # np.floor on float64 is elementwise-identical to math.floor,
-        # and the interp expression keeps the exact operand order of
-        # both engines' CAST-DOUBLE arithmetic.
-        import numpy as np
-
+        # the per-event floor runs in the presum combiner (np.floor on
+        # float64 is elementwise-identical to math.floor), and the
+        # interp expression keeps the exact operand order of both
+        # engines' CAST-DOUBLE arithmetic.
         (uid,) = key
         if state.exists:
             ph, pu, oh, ou, on = state.get  # prev closed; open hour
         else:
             ph, pu, oh, ou, on = NO_PREV, 0, None, 0, 0
-        # aggregate this micro-batch's events to hours (order-free
+        # fold this micro-batch's (hour, n, units) partials (order-free
         # integer sums, so no sort is needed before the merge)
         chunks = list(pdf_iter)
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            # tz-aware pandas ts -> UTC ns int64 (same epoch µs t7 reads
-            # per-element via .value)
-            hs = np.asarray(
-                pdf["ts"].values, dtype="datetime64[ns]"
-            ).astype("int64") // (US_HOUR * 1000)
-            us = np.floor(pdf["value"].to_numpy(dtype="float64") * 1000000 + 0.5)
-            us = us.astype("int64")
-            hour_keys, inv, n_per = np.unique(hs, return_inverse=True,
-                                              return_counts=True)
+            hs = pdf["hnum"].to_numpy(np.int64)
+            ns = pdf["n"].to_numpy(np.int64)
+            us = pdf["u"].to_numpy(np.int64)
+            hour_keys, inv = np.unique(hs, return_inverse=True)
             u_per = np.zeros(len(hour_keys), dtype="int64")
             np.add.at(u_per, inv, us)
-            n_per = n_per.astype("int64")
+            n_per = np.zeros(len(hour_keys), dtype="int64")
+            np.add.at(n_per, inv, ns)
         else:
             hour_keys = np.empty(0, dtype="int64")
             n_per = u_per = hour_keys
@@ -3021,7 +3095,7 @@ def s19_stream_gapfill(
             }
         )
 
-    res = stream.groupBy("user_id").applyInPandasWithState(
+    res = partials.groupBy("user_id").applyInPandasWithState(
         gapfill,
         outputStructType=(
             "user_id long, hour_num long, n_obs long, "
@@ -4206,4 +4280,22 @@ def s21_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_stream_to_table(res, "append")
+    # State-group count is input-sized (one per user: ~15k at sf0.1),
+    # so the 2-partition tiny-state profile serializes the per-group
+    # python work onto two tasks — size state partitions to the input
+    # like s19 (rows // per-partition target, clamped). Measured
+    # fresh-session mins (query_profile, r14): sf0.1 2p 11.1 s,
+    # 4p 8.6 s, 8p 11.7 s; 10x corpus 2p 36.7 s, 32p 14.9 s — the
+    # 25k-events-per-partition divisor keeps both regimes on their
+    # measured winner. Emission is partition-count-invariant, so the
+    # oracle is unchanged.
+    import os as _s21_os
+
+    from sparkstreaming_mq_spark.tables import table_rowcount as _rowcount
+
+    _parts_env = _s21_os.environ.get("SPARK_GRAFT_S21_PARTS")
+    if _parts_env is not None:
+        s21_parts = int(_parts_env)
+    else:
+        s21_parts = min(32, max(4, _rowcount(sf_dir, "events") // 25_000))
+    return run_stream_to_table(res, "append", state_partitions=s21_parts)

@@ -274,16 +274,20 @@ def run_stream_to_table(
     stream_df: DataFrame,
     output_mode: str = "append",
     checkpoint: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion with
     Trigger.AvailableNow into a memory sink (S5) and return the result
     as a batch DataFrame. Checkpoint directory (S9) gives the run the
     same offset/commit WAL a production query has; pass ``checkpoint``
-    to use a known location (e.g. for post-run state inspection)."""
+    to use a known location (e.g. for post-run state inspection).
+    ``state_partitions`` overrides the tiny-state fixture profile for
+    operators whose state-group count is input-sized (the s19 rule) —
+    None keeps the measured 2-partition local default."""
     spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = checkpoint or tempfile.mkdtemp(prefix="sparkgraft_ckpt_")
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, state_partitions):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
