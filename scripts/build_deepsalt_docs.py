@@ -26,7 +26,19 @@ CPU-heavy shingling passes on a 32-core box and contaminates the rung
 — measured r12: 3 shingle passes at 4-task parallelism were ~30% of
 l49's deep-salt 100x wall. A real 100 TB table is thousands of files.
 
-Usage: python scripts/build_deepsalt_docs.py [n_copies]
+--salt-every 1 (the "fullsalt" corpus) salts EVERY token, which is a
+per-copy TOKEN BIJECTION: within one copy every pairwise token-set
+Jaccard is IDENTICAL to the base corpus (near-dup cluster structure
+preserved exactly, incl. l51's uniq_ppm scores), while cross-copy
+token sets are disjoint (Jaccard 0 < any threshold). That bounds
+cluster size at the base corpus's as copies grow — the instrument the
+CLUSTER-family rungs (l51) need, where deep-salt's positional
+salting is wrong: near-dup pair members differ in token count, so
+"every 4th position" salts DIFFERENT tokens across the pair and
+destroys their similarity (measured r14: l51 keepers 43300 on
+deepsalt-10x vs 11950 = 10x base on fullsalt-10x).
+
+Usage: python scripts/build_deepsalt_docs.py [n_copies] [--salt-every K]
 """
 
 from __future__ import annotations
@@ -48,8 +60,15 @@ SALT_EVERY = 4  # < L38_NGRAM(8)/2 -> every 8-shingle holds >=2 salted tokens
 
 
 def main() -> int:
-    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    out_dir = f"/tmp/sparkgraft_deepsalt_{n_copies}x_v2"  # v2: 64-file layout
+    args = list(sys.argv[1:])
+    salt_every = SALT_EVERY
+    if "--salt-every" in args:
+        i = args.index("--salt-every")
+        salt_every = int(args[i + 1])
+        del args[i : i + 2]
+    n_copies = int(args[0]) if args else 100
+    kind = "fullsalt" if salt_every == 1 else "deepsalt"
+    out_dir = f"/tmp/sparkgraft_{kind}_{n_copies}x_v2"  # v2: 64-file layout
     done = os.path.join(out_dir, "_READY")
     if os.path.exists(done):
         print(f"reusing {out_dir}")
@@ -70,7 +89,7 @@ def main() -> int:
                 F.transform(
                     F.split(F.col("text"), " "),
                     lambda t, j: F.when(
-                        j % SALT_EVERY == 0,
+                        j % salt_every == 0,
                         F.concat(t, F.lit("~c"), F.col("i").cast("string")),
                     ).otherwise(t),
                 ),
