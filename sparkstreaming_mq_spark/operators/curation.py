@@ -1040,6 +1040,177 @@ def l25_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L52: hybrid retrieval fusion (reciprocal-rank fusion) --------------------
+
+# RRF constant (Cormack/Clarke/Buettcher's 60) and the integer scale:
+# each retriever contributes floor(1e9 / (RRF_K + rank)) "parts per
+# billion" — the fusion score is a sum of two BIGINTs, so ranking is
+# engine-exact with no float reciprocal anywhere.
+RRF_K = 60
+RRF_SCALE = 1_000_000_000
+
+_QL_PIV = ",\n         ".join(
+    f"coalesce(max(CASE WHEN term = '{w}' THEN sc END), 0.0) AS s_{w}"
+    for w in BM25_TERMS
+)
+_QL_SUM = " + ".join(f"s_{w}" for w in BM25_TERMS)
+
+L52_ORACLE = f"""
+WITH dld AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+g AS (SELECT count(*) AS n_docs, sum(dl) AS total_tok FROM dld),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_BM25_IN}) GROUP BY doc_id, term
+),
+dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ({_BM25_IN}) GROUP BY term
+),
+cft AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok
+  WHERE term IN ({_BM25_IN}) GROUP BY term
+),
+bs AS (
+  SELECT tf.doc_id, tf.term,
+         {_bm25_score_sql("tf.tf", "dft.df", "dld.dl", "g.n_docs", "g.total_tok")} AS sc
+  FROM tf JOIN dft USING (term) JOIN dld ON tf.doc_id = dld.doc_id
+  CROSS JOIN g
+),
+bp AS (SELECT doc_id, {_BM25_PIV} FROM bs GROUP BY doc_id),
+bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY ({_BM25_SUM}) DESC, doc_id) AS rnk
+  FROM bp ORDER BY ({_BM25_SUM}) DESC, doc_id LIMIT {BM25_TOP_K}
+),
+qs AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * g.total_tok + cft.cf * dld.dl AS DOUBLE)
+           / (dld.dl * g.total_tok) AS sc
+  FROM tf JOIN cft USING (term) JOIN dld ON tf.doc_id = dld.doc_id
+  CROSS JOIN g
+),
+qp AS (SELECT doc_id, {_QL_PIV} FROM qs GROUP BY doc_id),
+ql AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY ({_QL_SUM}) DESC, doc_id) AS rnk
+  FROM qp ORDER BY ({_QL_SUM}) DESC, doc_id LIMIT {BM25_TOP_K}
+),
+fused AS (
+  SELECT coalesce(bm.doc_id, ql.doc_id) AS doc_id,
+         CAST(coalesce(bm.rnk, 0) AS BIGINT) AS bm25_rnk,
+         CAST(coalesce(ql.rnk, 0) AS BIGINT) AS ql_rnk,
+         CAST(CASE WHEN bm.rnk IS NULL THEN 0
+              ELSE {RRF_SCALE} // ({RRF_K} + bm.rnk) END
+            + CASE WHEN ql.rnk IS NULL THEN 0
+              ELSE {RRF_SCALE} // ({RRF_K} + ql.rnk) END AS BIGINT) AS rrf_ppb
+  FROM bm FULL OUTER JOIN ql ON bm.doc_id = ql.doc_id
+)
+SELECT doc_id, bm25_rnk, ql_rnk, rrf_ppb,
+       CAST(row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) AS BIGINT)
+         AS fused_rnk
+FROM fused
+"""
+
+
+@query("l52_hybrid_rrf", oracle=L52_ORACLE)
+def l52_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion: reciprocal-rank fusion (RRF, the
+    standard hybrid-search combiner) of two independent retrievers
+    over the same fixed query — l25's BM25 ranking and a
+    Jelinek-Mercer query-likelihood ranking (λ=1/2 additive per-term
+    smoothing: tf/dl + cf/N as ONE BIGINT-ratio division per term,
+    summed in fixed pivot order like BM25's — no logs, no float
+    reduction). Each retriever's top-k contributes
+    floor(1e9/(60+rank)) integer points; absent docs contribute 0.
+    The fusion therefore needs only the two RANK columns — exactly
+    why production hybrid search fuses on ranks, not scores: rank
+    lists compose across retrievers whose score scales are
+    incomparable (BM25 odds-idf vs smoothed likelihood here).
+
+    Scale shape: each retriever is a term-filtered exploded scan +
+    broadcast stats + TakeOrderedAndProject top-k (never a global
+    sort); the fusion joins two k-row frames — driver-trivial at any
+    corpus size. The k-row full outer join is a broadcast NLJ on
+    frames of 20 rows."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    bm = l25_bm25_retrieval(spark, sf_dir).select(
+        "doc_id", F.col("rnk").cast("long").alias("bm_rnk")
+    )
+
+    dld = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    g = dld.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total_tok"))
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*BM25_TERMS))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cft = tok.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    qs = (
+        tf.join(F.broadcast(cft), "term")
+        .join(dld, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                "CAST(tf * total_tok + cf * dl AS DOUBLE) / (dl * total_tok)"
+            ).alias("sc"),
+        )
+    )
+    qp = qs.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == w, F.col("sc"))), F.lit(0.0)
+            ).alias(f"s_{w}")
+            for w in BM25_TERMS
+        ]
+    )
+    qscore = None
+    for w in BM25_TERMS:
+        qscore = F.col(f"s_{w}") if qscore is None else qscore + F.col(f"s_{w}")
+    qtop = (
+        qp.select("doc_id", qscore.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+    ql = qtop.withColumn(
+        "ql_rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .cast("long"),
+    ).select("doc_id", "ql_rnk")
+
+    # floor(1e9/(K+rank)) via integral `div` on BOTH engines (DuckDB
+    # `//`) — never a double reciprocal truncated back to integer
+    rrf_sum = F.expr(
+        f"CAST(CASE WHEN bm_rnk IS NULL THEN 0"
+        f" ELSE {RRF_SCALE} DIV ({RRF_K} + bm_rnk) END"
+        f" + CASE WHEN ql_rnk IS NULL THEN 0"
+        f" ELSE {RRF_SCALE} DIV ({RRF_K} + ql_rnk) END AS BIGINT)"
+    )
+    fused = (
+        bm.join(ql, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("bm_rnk", F.lit(0)).cast("long").alias("bm25_rnk"),
+            F.coalesce("ql_rnk", F.lit(0)).cast("long").alias("ql_rnk"),
+            rrf_sum.alias("rrf_ppb"),
+        )
+    )
+    return fused.withColumn(
+        "fused_rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf_ppb"), "doc_id"))
+        .cast("long"),
+    )
+
+
 # --- L27: deterministic epoch shuffle ----------------------------------------
 
 SHUFFLE_EPOCHS = 2

@@ -1029,6 +1029,168 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L53: perceptual-hash near-dup over the binary media payload --------------
+
+# Average-hash (aHash) over the opaque BinaryType payload: 48 byte
+# stripes, bit j = 1 iff stripe-j byte sum * 48 >= whole-payload byte
+# sum — the integer-exact form of "stripe brighter than average", the
+# classic perceptual-hash structure applied to the fixture's utf-8
+# payload (the corpus is pure ASCII, so byte slicing == char slicing
+# and the DuckDB oracle can replay the hash per-character; a real
+# image corpus would put decoded luma bytes in the same column). 48
+# bits (not 64) keeps every shift/accumulate in non-negative BIGINT
+# range on both engines — no sign-bit special case anywhere.
+PHASH_STRIPES = 48
+PHASH_BANDS = 4
+PHASH_BAND_BITS = PHASH_STRIPES // PHASH_BANDS  # 12-bit bands
+PHASH_MAX_HAMMING = 4
+
+
+def _ahash_kernel(pdf):
+    """(doc_id, text) pandas batch -> (doc_id, phash int64) — the
+    Arrow-side aHash: one concatenated byte buffer, per-stripe sums
+    via add.reduceat over vectorized ceil-boundaries, bits compared in
+    exact int64. Spark-free (unit-tested with plain pandas batches).
+    Short payloads (len < stripes) leave trailing stripes empty; the
+    seg-length mask zeroes them (fixture min length 48 never hits it,
+    the mask keeps the kernel total)."""
+    import numpy as np
+    import pandas as pd
+
+    texts = pdf["text"].tolist()
+    if not texts:
+        return pd.DataFrame({"doc_id": [], "phash": []})
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    blob = np.frombuffer(
+        "".join(texts).encode("utf-8"), dtype=np.uint8
+    ).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    j = np.arange(PHASH_STRIPES, dtype=np.int64)
+    # stripe j of doc i covers chars [ceil(j*L/S), ceil((j+1)*L/S))
+    starts = offs[:-1, None] + (j[None, :] * lens[:, None] + PHASH_STRIPES - 1) // PHASH_STRIPES
+    flat = starts.ravel()
+    nxt = np.append(flat[1:], len(blob))
+    seg_len = nxt - flat
+    sums = np.add.reduceat(blob, np.minimum(flat, len(blob) - 1))
+    sums = np.where(seg_len > 0, sums, 0).reshape(len(texts), PHASH_STRIPES)
+    total = sums.sum(axis=1)
+    bits = (sums * PHASH_STRIPES >= total[:, None]).astype(np.int64)
+    phash = (bits << j[None, :]).sum(axis=1)
+    return pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(np.int64), "phash": phash})
+
+
+_L53_STRIPE_SUM_SQL = f"""
+ch AS (
+  SELECT doc_id,
+         unnest(range(0, length(text))) AS i
+  FROM documents
+),
+sc AS (
+  SELECT c.doc_id,
+         (c.i * {PHASH_STRIPES}) // length(d.text) AS stripe,
+         CAST(ascii(substring(d.text, c.i + 1, 1)) AS BIGINT) AS code
+  FROM ch c JOIN documents d USING (doc_id)
+),
+ss AS (
+  SELECT doc_id, stripe, CAST(sum(code) AS BIGINT) AS ssum
+  FROM sc GROUP BY doc_id, stripe
+),
+tot AS (
+  SELECT doc_id, CAST(sum(ssum) AS BIGINT) AS total FROM ss GROUP BY doc_id
+),
+sig AS (
+  SELECT ss.doc_id,
+         CAST(sum(CASE WHEN ss.ssum * {PHASH_STRIPES} >= tot.total
+                  THEN (CAST(1 AS BIGINT) << ss.stripe) ELSE 0 END)
+           AS BIGINT) AS phash
+  FROM ss JOIN tot USING (doc_id)
+  GROUP BY ss.doc_id
+)"""
+
+_L53_BAND_SQL = " OR ".join(
+    f"((a.phash >> {PHASH_BAND_BITS * t}) & {(1 << PHASH_BAND_BITS) - 1})"
+    f" = ((b.phash >> {PHASH_BAND_BITS * t}) & {(1 << PHASH_BAND_BITS) - 1})"
+    for t in range(PHASH_BANDS)
+)
+
+L53_ORACLE = f"""
+WITH {_L53_STRIPE_SUM_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE ({_L53_BAND_SQL})
+  AND bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+"""
+
+
+@query("l53_phash_neardup", oracle=L53_ORACLE)
+def l53_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup via perceptual hash: the media column's
+    bytes collapse to one 48-bit average-hash per doc (an Arrow
+    mapInPandas numpy kernel — the payload crosses to Python once,
+    vectorized, never per-row Python), then candidates come from a
+    4×12-bit band self-join (the l2c blocking shape) and survive at
+    Hamming ≤ {PHASH_MAX_HAMMING}. This is image/audio dedup
+    machinery in engine form: pHash/aHash fingerprints, banded
+    blocking, Hamming verify — on the fixture the payload is the
+    utf-8 text bytes (pure-ASCII corpus, so the DuckDB oracle replays
+    the identical integer hash per character; a real pipeline feeds
+    decoded luma/PCM bytes through the same column and kernel).
+
+    Scale shape: the hash pass is one linear scan (48 int64 sums per
+    payload); state after it is 8 bytes per doc — the band join's
+    traffic is O(docs × bands) narrow rows plus collision pairs, the
+    same postings discipline as l2/l2c; verification is a bit_count
+    on two longs, O(1) per candidate with no arrays shipped (the l50
+    lesson)."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def gen(batch_iter):
+        for pdf in batch_iter:
+            out = _ahash_kernel(pdf)
+            if len(out):
+                yield out
+
+    sigs = d.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, phash long"
+    )
+    bands = sigs.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("band"),
+                        F.shiftright("phash", PHASH_BAND_BITS * t)
+                        .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+                        .alias("bv"),
+                    )
+                    for t in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "phash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )
+
+
 # --- L3b: ANN via random-hyperplane LSH buckets (the 100 TB search path) -----
 
 ANN_TABLES = 8

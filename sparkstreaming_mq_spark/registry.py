@@ -158,6 +158,12 @@ PRIORITY: tuple[str, ...] = (
 TAIL_PRIORITY: tuple[str, ...] = (
     "o9_sample",                # O9 (rows-only; determinism pytest-pinned)
     "l2b_ngram_jaccard",        # L2 exact kernel (ceded its slot to t22, r14)
+    # r14 additions — deliberate tail placement (ADVICE r13 pattern):
+    # both carry full oracles, swept green at sf0.001/0.01/0.1; their
+    # families (L3 retrieval, L2/L5 dedup+multimodal) keep scored
+    # full-oracle rows inside the 50-slot window, so no swap.
+    "l52_hybrid_rrf",           # hybrid retrieval RRF fusion (integer-exact)
+    "l53_phash_neardup",        # perceptual-hash media near-dup (banded Hamming)
     "l9_dedup_pipeline",        # composed curation pipeline (L4+L1+L2+L8)
     "o10_bucketed_join",        # bonus: zero-exchange bucketed join
     "o11_partitioned_prune",    # bonus: hive-partitioned layout + pruned scan

@@ -144,6 +144,8 @@ def test_tail_priority_head_order_pinned():
     expected_head = (
         "o9_sample",
         "l2b_ngram_jaccard",  # ceded its PRIORITY slot to t22 (r14)
+        "l52_hybrid_rrf",     # r14: hybrid RRF fusion (full oracle, new evidence)
+        "l53_phash_neardup",  # r14: perceptual-hash media near-dup (full oracle)
         "l9_dedup_pipeline",
         "o10_bucketed_join",
         "o11_partitioned_prune",

@@ -13,8 +13,16 @@ the recorded run").
 import json
 import os
 
+import numpy as np
+import pandas as pd
+
+from sparkstreaming_mq_spark import registry
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ARTIFACT = os.path.join(REPO, "measurements", "t22_lossy_regime_r14.json")
+
+registry.load_all()
+Q = registry.QUERIES
 
 
 class TestT22LossyRegimeArtifact:
@@ -59,3 +67,123 @@ class TestT22LossyRegimeArtifact:
         assert r256["mean_recall_at_k"] == 1.0
         assert r256["min_recall_at_k"] == 1.0
         assert r256["max_overshoot"] == 0
+
+
+class TestAhashKernel:
+    """The l53 perceptual-hash kernel is Spark-free — unit-test it with
+    plain pandas batches (the repo's kernel convention)."""
+
+    def _k(self, docs):
+        from sparkstreaming_mq_spark.operators.llm import _ahash_kernel
+
+        return _ahash_kernel(
+            pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+        )
+
+    def test_uniform_payload_sets_every_bit(self):
+        from sparkstreaming_mq_spark.operators.llm import PHASH_STRIPES
+
+        out = self._k(["a" * 96])
+        # every stripe sum equals the mean -> >= comparison sets all bits
+        assert int(out.phash.iloc[0]) == (1 << PHASH_STRIPES) - 1
+
+    def test_bit_semantics_on_a_two_level_payload(self):
+        from sparkstreaming_mq_spark.operators.llm import PHASH_STRIPES
+
+        # first half 'z' (0x7a), second half 'a' (0x61): heavy stripes
+        # are the first 24, exactly those bits set
+        out = self._k(["z" * 48 + "a" * 48])
+        expect = (1 << (PHASH_STRIPES // 2)) - 1
+        assert int(out.phash.iloc[0]) == expect
+
+    def test_batch_matches_per_doc_calls(self):
+        docs = ["spark " * 20, "z" * 48 + "a" * 48, "a" * 96, "quick brown " * 10]
+        batch = self._k(docs)
+        singles = [int(self._k([d]).phash.iloc[0]) for d in docs]
+        assert batch.phash.tolist() == singles
+
+    def test_short_payload_empty_stripes_are_zero_bits(self):
+        from sparkstreaming_mq_spark.operators.llm import PHASH_STRIPES
+
+        # len 24 < 48 stripes: odd stripes are empty -> bit 0 unless
+        # total is 0; the mask must zero them, not leak reduceat junk
+        out = self._k(["b" * 24])
+        ph = int(out.phash.iloc[0])
+        assert 0 < ph < (1 << PHASH_STRIPES) - 1
+        assert bin(ph).count("1") == 24
+
+
+class TestL52HybridRrf:
+    def test_fusion_arithmetic_and_membership(self, spark, sf_dir):
+        from sparkstreaming_mq_spark.operators.curation import RRF_K, RRF_SCALE
+
+        rows = Q["l52_hybrid_rrf"](spark, sf_dir).toPandas()
+        assert len(rows) > 0
+        for r in rows.itertuples():
+            expect = 0
+            if r.bm25_rnk > 0:
+                expect += RRF_SCALE // (RRF_K + r.bm25_rnk)
+            if r.ql_rnk > 0:
+                expect += RRF_SCALE // (RRF_K + r.ql_rnk)
+            assert r.rrf_ppb == expect
+            assert r.bm25_rnk > 0 or r.ql_rnk > 0
+        # fused rank 1 must dominate: it holds the max rrf_ppb
+        top = rows[rows.fused_rnk == 1]
+        assert len(top) == 1
+        assert top.rrf_ppb.iloc[0] == rows.rrf_ppb.max()
+
+    def test_bm25_side_matches_l25(self, spark, sf_dir):
+        fused = Q["l52_hybrid_rrf"](spark, sf_dir).toPandas()
+        bm = Q["l25_bm25_retrieval"](spark, sf_dir).toPandas()
+        got = {
+            int(r.doc_id): int(r.bm25_rnk)
+            for r in fused.itertuples()
+            if r.bm25_rnk > 0
+        }
+        want = {int(r.doc_id): int(r.rnk) for r in bm.itertuples()}
+        assert got == want
+
+
+class TestL53PhashNeardup:
+    def test_pairs_are_canonical_and_bounded(self, spark, sf_dir):
+        from sparkstreaming_mq_spark.operators.llm import PHASH_MAX_HAMMING
+
+        rows = Q["l53_phash_neardup"](spark, sf_dir).toPandas()
+        assert len(rows) > 0, "fixture dup density must surface pairs"
+        assert (rows.doc_a < rows.doc_b).all()
+        assert rows.hamming.max() <= PHASH_MAX_HAMMING
+        assert not rows.duplicated(["doc_a", "doc_b"]).any()
+
+    def test_identical_payloads_hash_identically(self):
+        """Byte-equal payloads can never be split by the hash (hamming
+        0, guaranteed band collision) — kernel-level, since the fixture
+        corpus has no byte-identical texts (verified r14)."""
+        from sparkstreaming_mq_spark.operators.llm import _ahash_kernel
+
+        out = _ahash_kernel(
+            pd.DataFrame(
+                {"doc_id": [1, 2], "text": ["the same payload bytes " * 4] * 2}
+            )
+        )
+        assert int(out.phash.iloc[0]) == int(out.phash.iloc[1])
+
+    def test_emitted_hamming_matches_kernel_recompute(self, spark, sf_dir):
+        """Each emitted pair's hamming must equal bit_count(xor) of the
+        kernel-computed hashes — ties the distributed band-join path to
+        the Spark-free kernel ground truth."""
+        from sparkstreaming_mq_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).toPandas()
+        from sparkstreaming_mq_spark.operators.llm import _ahash_kernel
+
+        ph = dict(
+            zip(
+                _ahash_kernel(docs).doc_id.astype(int),
+                _ahash_kernel(docs).phash.astype(int),
+            )
+        )
+        rows = Q["l53_phash_neardup"](spark, sf_dir).toPandas()
+        for r in rows.itertuples():
+            assert r.hamming == bin(ph[int(r.doc_a)] ^ ph[int(r.doc_b)]).count("1")
