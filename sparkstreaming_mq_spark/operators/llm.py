@@ -3149,10 +3149,13 @@ def _probe_cells(
     )
 
 
-def _ivf_oracle() -> str:
+def _ivf_ctes() -> str:
+    """The full IVF chain (train → assign → probe → score → rank) as a
+    CTE fragment, shared by the l3d oracle and the l54 recall-eval
+    oracle (which compares the same chain against an exact brute-force
+    top-k over the identical quantized space)."""
     n = KMEANS_ITERS
-    return f"""
-WITH {_kmeans_sql_iters()},
+    return f"""{_kmeans_sql_iters()},
 asg_fin AS (
   SELECT vec_id, c FROM (
     SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
@@ -3184,12 +3187,20 @@ scored AS (
   JOIN comp cq ON cq.vec_id = cand.query_id
   JOIN comp cv ON cv.vec_id = cand.vec_id AND cv.i = cq.i
   GROUP BY cand.query_id, cand.vec_id
-)
-SELECT query_id, vec_id, dist, CAST(rn AS BIGINT) AS rnk FROM (
-  SELECT query_id, vec_id, dist,
-         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
-  FROM scored
-) WHERE rn <= {L3D_IVF_TOPK}
+),
+ivf_topk AS (
+  SELECT query_id, vec_id, dist, rn FROM (
+    SELECT query_id, vec_id, dist,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= {L3D_IVF_TOPK}
+)"""
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH {_ivf_ctes()}
+SELECT query_id, vec_id, dist, CAST(rn AS BIGINT) AS rnk FROM ivf_topk
 """
 
 
@@ -3258,6 +3269,153 @@ def l3d_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= L3D_IVF_TOPK)
         .select("query_id", "vec_id", "dist", "rnk")
+    )
+
+
+# --- L54: ANN quality evaluation (recall@k / MRR vs exact, oracle-exact) ------
+
+L54_ORACLE = f"""
+WITH {_ivf_ctes()},
+exact_sc AS (
+  SELECT cq.vec_id AS query_id, cv.vec_id,
+         CAST(sum((cq.x - cv.x) * (cq.x - cv.x)) AS BIGINT) AS dist
+  FROM comp cq JOIN comp cv ON cv.i = cq.i AND cv.vec_id <> cq.vec_id
+  WHERE cq.vec_id < {L3D_IVF_QUERIES}
+  GROUP BY cq.vec_id, cv.vec_id
+),
+exact_topk AS (
+  SELECT query_id, vec_id, rn FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+    FROM exact_sc
+  ) WHERE rn <= {L3D_IVF_TOPK}
+),
+hits AS (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+  FROM exact_topk e
+  JOIN ivf_topk v ON v.query_id = e.query_id AND v.vec_id = e.vec_id
+  GROUP BY e.query_id
+),
+nn AS (SELECT query_id, vec_id FROM exact_topk WHERE rn = 1),
+rr AS (
+  SELECT n.query_id,
+         CAST(coalesce(max(1000000 // v.rn), 0) AS BIGINT) AS rr_ppm
+  FROM nn n
+  LEFT JOIN ivf_topk v ON v.query_id = n.query_id AND v.vec_id = n.vec_id
+  GROUP BY n.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(h.hits, 0) * 10000 // {L3D_IVF_TOPK} AS BIGINT) AS recall_bp,
+       rr.rr_ppm
+FROM (SELECT DISTINCT query_id FROM exact_topk) q
+LEFT JOIN hits h USING (query_id)
+JOIN rr USING (query_id)
+"""
+
+
+@query("l54_ann_recall_eval", oracle=L54_ORACLE)
+def l54_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a first-class operator: per query,
+    recall@{L3D_IVF_TOPK} and the reciprocal rank of the TRUE nearest
+    neighbor, comparing l3d's IVF list against an exact integer-L2
+    brute-force top-k over the SAME quantized space. Until now the
+    IVF recall floor lived only in pytest; this makes the eval itself
+    oracle-checked — recall_bp (basis points, hits×10000 div k) and
+    rr_ppm (1e6 div rank of the exact top-1 inside the IVF list, 0 if
+    missed) are pure integer arithmetic, so DuckDB replays the entire
+    train→assign→probe→score→eval chain value-exactly.
+
+    Scale shape: the exact side is the eval harness, not the serving
+    path — Q×corpus distances computed in an Arrow numpy kernel
+    (int64, vectorized per partition, each partition emitting only its
+    local top-k per query; the global top-k window sees
+    O(partitions × Q × k) rows). At 100 TB the same kernel evaluates
+    a SAMPLED query set against the full corpus — the standard
+    recall-audit pattern for a production ANN index. IVF side reuses
+    l3d verbatim."""
+    import numpy as np
+    import pandas as pd
+
+    ivf = l3d_ivf_exact(spark, sf_dir).select("query_id", "vec_id", "rnk")
+    qdf = _kmeans_quantized(spark, sf_dir)
+    qrows = qdf.filter(F.col("vec_id") < L3D_IVF_QUERIES).collect()
+    qids = sorted(int(r["vec_id"]) for r in qrows)
+    qmat = {int(r["vec_id"]): np.array(r["q"], dtype=np.int64) for r in qrows}
+    topk = L3D_IVF_TOPK
+
+    def brute(batch_iter):
+        # partition-local exact top-k per query, accumulated across the
+        # Arrow batch iterator (emit once per partition — the ADVICE
+        # r13 rule; output is O(Q × k) rows per partition)
+        best: dict[int, list] = {qi: [] for qi in qids}
+        import heapq
+
+        for pdf in batch_iter:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["q"].tolist(), dtype=np.int64)
+            vid = pdf["vec_id"].to_numpy(np.int64)
+            for qi in qids:
+                diff = V - qmat[qi][None, :]
+                dist = np.einsum("ij,ij->i", diff, diff)
+                mask = vid != qi
+                d, v = dist[mask], vid[mask]
+                # ties break on (dist, vec_id): push negatives for a
+                # max-heap of the current k best
+                h = best[qi]
+                for di, vi in zip(d.tolist(), v.tolist()):
+                    item = (-di, -vi)
+                    if len(h) < topk:
+                        heapq.heappush(h, item)
+                    elif item > h[0]:
+                        heapq.heapreplace(h, item)
+        rows = [
+            (qi, -nvi, -ndi)
+            for qi, h in best.items()
+            for ndi, nvi in h
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["query_id", "vec_id", "dist"])
+
+    partials = qdf.mapInPandas(
+        brute, schema="query_id long, vec_id long, dist long"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    exact = (
+        partials.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "vec_id", "rn")
+    )
+    hits = (
+        exact.join(ivf, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    nn = exact.filter(F.col("rn") == 1).select("query_id", "vec_id")
+    rr = (
+        nn.join(ivf, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(
+                F.max(F.expr("1000000 DIV rnk")), F.lit(0)
+            ).cast("long").alias("rr_ppm")
+        )
+    )
+    base = exact.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .join(rr, "query_id")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.expr(f"CAST(coalesce(hits, 0) * 10000 DIV {topk} AS BIGINT)").alias(
+                "recall_bp"
+            ),
+            "rr_ppm",
+        )
     )
 
 

@@ -164,6 +164,7 @@ TAIL_PRIORITY: tuple[str, ...] = (
     # full-oracle rows inside the 50-slot window, so no swap.
     "l52_hybrid_rrf",           # hybrid retrieval RRF fusion (integer-exact)
     "l53_phash_neardup",        # perceptual-hash media near-dup (banded Hamming)
+    "l54_ann_recall_eval",      # oracle-exact recall@k/MRR of IVF vs brute force
     "l9_dedup_pipeline",        # composed curation pipeline (L4+L1+L2+L8)
     "o10_bucketed_join",        # bonus: zero-exchange bucketed join
     "o11_partitioned_prune",    # bonus: hive-partitioned layout + pruned scan

@@ -146,6 +146,7 @@ def test_tail_priority_head_order_pinned():
         "l2b_ngram_jaccard",  # ceded its PRIORITY slot to t22 (r14)
         "l52_hybrid_rrf",     # r14: hybrid RRF fusion (full oracle, new evidence)
         "l53_phash_neardup",  # r14: perceptual-hash media near-dup (full oracle)
+        "l54_ann_recall_eval",  # r14: oracle-exact ANN recall/MRR eval
         "l9_dedup_pipeline",
         "o10_bucketed_join",
         "o11_partitioned_prune",

@@ -187,3 +187,32 @@ class TestL53PhashNeardup:
         rows = Q["l53_phash_neardup"](spark, sf_dir).toPandas()
         for r in rows.itertuples():
             assert r.hamming == bin(ph[int(r.doc_a)] ^ ph[int(r.doc_b)]).count("1")
+
+
+class TestL54AnnRecallEval:
+    def test_metrics_are_internally_consistent(self, spark, sf_dir):
+        from sparkstreaming_mq_spark.operators.llm import (
+            L3D_IVF_QUERIES,
+            L3D_IVF_TOPK,
+        )
+
+        rows = Q["l54_ann_recall_eval"](spark, sf_dir).toPandas()
+        assert len(rows) == L3D_IVF_QUERIES
+        valid_rr = {0} | {1_000_000 // r for r in range(1, L3D_IVF_TOPK + 1)}
+        for r in rows.itertuples():
+            assert 0 <= r.hits <= L3D_IVF_TOPK
+            assert r.recall_bp == r.hits * 10_000 // L3D_IVF_TOPK
+            assert r.rr_ppm in valid_rr
+            # the true NN being found implies at least one hit
+            if r.rr_ppm > 0:
+                assert r.hits >= 1
+
+    def test_recall_floor_matches_pinned_ivf_quality(self, spark, sf_dir):
+        """The l3d recall floor pytest pins ~0.77 mean recall; the eval
+        operator must agree with that order of magnitude — a broken
+        join (0 hits everywhere) or a vacuous comparison (all 10000)
+        both fail."""
+        rows = Q["l54_ann_recall_eval"](spark, sf_dir).toPandas()
+        mean_bp = rows.recall_bp.mean()
+        assert 5_000 <= mean_bp < 10_000
+        assert (rows.rr_ppm == 1_000_000).sum() >= len(rows) // 2
