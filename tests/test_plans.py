@@ -862,3 +862,33 @@ def test_j21_nearest_asof_one_exchange_two_sorts(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 2
+
+
+def test_l52_fusion_is_topk_not_global_sort(spark, sf_dir):
+    """Both retrievers must lower to TakeOrderedAndProject (per-partition
+    top-k, no global sort), and no cartesian product may appear — the
+    fusion join is keyed on doc_id over two k-row frames."""
+    plan = executed_plan(Q["l52_hybrid_rrf"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_l53_band_join_is_equi_keyed_narrow(spark, sf_dir):
+    """The phash candidate join must be an equality hash join on
+    (band, bv) — never a nested-loop over doc pairs — and the only
+    Python crossing is the hash kernel (mapInPandas; it prints once
+    per join side in the executed tree, never more)."""
+    plan = executed_plan(Q["l53_phash_neardup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert 1 <= plan.count("MapInPandas") <= 2
+
+
+def test_l54_exact_side_is_partition_local_topk(spark, sf_dir):
+    """The brute-force eval side runs in ONE MapInPandas kernel over the
+    quantized scan (partition-local top-k), so the global rank window
+    sees partial rows, not the N x Q distance matrix; the IVF side
+    rides l3d unchanged."""
+    plan = formatted_plan(Q["l54_ann_recall_eval"](spark, sf_dir))
+    assert plan.count("MapInPandas") >= 1
+    assert "CartesianProduct" not in plan
