@@ -535,18 +535,136 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_allpairs_kernel(ids, mat, threshold: float):
+    """mapInPandas kernel for exact all-pairs Jaccard over the bitmap
+    representation: probe partitions of (doc_id, jr) stream against the
+    full corpus bitmap matrix shipped as a task literal (the l3
+    query-matrix pattern). Emits (doc_a, doc_b, jac_raw) for every pair
+    with doc_a < doc_b and jac >= threshold.
+
+    Exactness: intersections are computed as a float32 BLAS matmul of
+    the unpacked 0/1 bit-planes — sums of ≤ 64·w ones, exactly
+    representable in float32 far below its 2^24 integer bound, so the
+    counts are the same integers the Catalyst ``bit_count`` expression
+    produced (a popcount-lookup first cut of this kernel measured
+    ~10.7 s/task of byte-gather on the 10× rung; the matmul form hands
+    the same arithmetic to BLAS). Union comes from exact per-row
+    popcounts; the division is the identical int→float64 IEEE divide,
+    so every emitted double is bit-equal to the HOF form's (round-4
+    stays Spark-side, never in pandas). Blocked over the corpus axis so
+    the intersection slab stays tens of MB regardless of corpus size."""
+    PROBE_BLK = 1024
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+        def pc(x):  # uint64 (..., w) -> int64 (...): popcount summed over words
+            return pop8[x.view(np.uint8)].sum(axis=-1, dtype=np.int64)
+
+        def bits_f32(x):  # uint64 (m, w) -> float32 (m, 64*w) 0/1 bit-planes
+            return np.unpackbits(
+                np.ascontiguousarray(x).view(np.uint8), axis=1
+            ).astype(np.float32)
+
+        B = mat  # (n, w) uint64
+        n, w = B.shape
+        popb = pc(B)
+        # corpus bit-planes are unpacked per block (never the whole
+        # matrix: 64w·4 bytes/doc would be 4 GB at the 1M-doc cliff);
+        # slab sizes stay ~tens of MB at any corpus size
+        corp_blk = max(1024, (32 << 20) // (4 * PROBE_BLK))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            all_ids = pdf["doc_id"].to_numpy(np.int64)
+            A_all = np.ascontiguousarray(
+                np.stack(pdf["jr"].to_numpy()).astype(np.int64, copy=False)
+            ).view(np.uint64)
+            for alo in range(0, len(all_ids), PROBE_BLK):
+                a_ids = all_ids[alo : alo + PROBE_BLK]
+                popa = pc(A_all[alo : alo + PROBE_BLK])
+                Abits = bits_f32(A_all[alo : alo + PROBE_BLK])
+                out_a, out_b, out_j = [], [], []
+                for lo in range(0, n, corp_blk):
+                    b_ids = ids[lo : lo + corp_blk]
+                    # exact: 0/1 dot products ≤ 64w << 2^24
+                    inter = (Abits @ bits_f32(B[lo : lo + corp_blk]).T).astype(
+                        np.int64
+                    )
+                    union = popa[:, None] + popb[lo : lo + corp_blk][None, :] - inter
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        jac = inter / union
+                    # NaN (union 0: two empty token sets) compares False,
+                    # exactly as the Catalyst filter treated NaN >= t
+                    mask = (a_ids[:, None] < b_ids[None, :]) & (jac >= threshold)
+                    ii, jj = np.nonzero(mask)
+                    if len(ii):
+                        out_a.append(a_ids[ii])
+                        out_b.append(b_ids[jj])
+                        out_j.append(jac[ii, jj])
+                if out_a:
+                    yield pd.DataFrame(
+                        {
+                            "doc_a": np.concatenate(out_a),
+                            "doc_b": np.concatenate(out_b),
+                            "jac_raw": np.concatenate(out_j),
+                        }
+                    )
+
+    return kernel
+
+
 def _broadcast_jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
-    """Exact all-pairs Jaccard via blocked broadcast nested-loop:
-    probe-side partitions stream against the broadcast token-set/bitmap
-    table, every pair scored in whole-stage codegen — zero shuffles.
-    Caller is responsible for the corpus-size boundary
-    (L2B_MAX_BROADCAST_DOCS): the broadcast side must fit executor
-    memory."""
-    repr_df, jac_fn = _jaccard_repr(d)
+    """Exact all-pairs Jaccard, blocked against a task-resident corpus
+    table. Caller is responsible for the corpus-size boundary
+    (L2B_MAX_BROADCAST_DOCS): the corpus representation must fit
+    executor memory (the same bound the broadcast relation had).
+
+    Bitmap-representable corpora (vocab ≤ MAX_BITMAP_VOCAB) score in
+    the vectorized Arrow/numpy popcount kernel — the repo-wide rule
+    that dense N×K work never runs as interpreted Catalyst lambdas
+    (guide §4 / the l3 lesson: the previous crossJoin +
+    zip_with/aggregate form evaluated every pair's bitmap words through
+    interpreted higher-order functions; r14 profile charged it ~20 s of
+    CPU on sf0.1's 12.5M pairs, and the l51 10× rung 96% of its 185 s
+    wall). The corpus matrix rides the task closure exactly like l3's
+    query matrix — at the 1M-doc cliff that is ≤128 MB, the same bytes
+    the broadcast hash relation held. Sparse-vocab corpora (ragged
+    token arrays, no fixed-width matrix) keep the broadcast
+    nested-loop + HOF form."""
+    repr_df, jac_fn, is_bitmap = _jaccard_repr_modes(d)
+    n_parts = max(2, (d.sparkSession.sparkContext.defaultParallelism or 8) * 2)
+    if is_bitmap:
+        import numpy as np
+
+        # materialize the bitmap build ONCE: both the driver-side
+        # matrix collect and the probe scan below read the checkpointed
+        # frame instead of re-running the explode + vocab-position +
+        # bit_or aggregation (the r14 10× profile charged the rebuild a
+        # full corpus scan per consumer)
+        repr_df = repr_df.localCheckpoint(eager=True)
+        rows = repr_df.collect()  # ≤ cliff docs × ≤16 longs — the bytes the
+        # old plan collected driver-side to build the broadcast relation
+        ids = np.array([r.doc_id for r in rows], dtype=np.int64)
+        mat = np.ascontiguousarray(
+            np.array([r.jr for r in rows], dtype=np.int64)
+        ).view(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, mat = ids[order], mat[order]
+        scored = (
+            repr_df.repartition(n_parts)
+            .mapInPandas(
+                _jaccard_allpairs_kernel(ids, mat, threshold),
+                schema="doc_a long, doc_b long, jac_raw double",
+            )
+        )
+        return scored.select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jac"))
     a = repr_df.select(F.col("doc_id").alias("doc_a"), F.col("jr").alias("ja"))
     b = repr_df.select(F.col("doc_id").alias("doc_b"), F.col("jr").alias("jb"))
     jac = jac_fn(F.col("ja"), F.col("jb"))
-    n_parts = max(2, (a.sparkSession.sparkContext.defaultParallelism or 8) * 2)
     return (
         a.repartition(n_parts)
         .crossJoin(F.broadcast(b))
@@ -627,6 +745,15 @@ def _jaccard_repr(d: DataFrame):
     (small vocabs) or the distinct token array (fallback); ``jac``
     computes the exact Jaccard similarity between two ``jr`` values.
     """
+    repr_df, jac_fn, _ = _jaccard_repr_modes(d)
+    return repr_df, jac_fn
+
+
+def _jaccard_repr_modes(d: DataFrame):
+    """``_jaccard_repr`` plus an ``is_bitmap`` flag: True when ``jr``
+    is the fixed-width array<long> bitmap (vocab ≤ MAX_BITMAP_VOCAB),
+    which is the representation the vectorized all-pairs popcount
+    kernel (``_jaccard_allpairs_kernel``) can consume."""
     tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
     # LIMIT before collect: pull at most MAX_BITMAP_VOCAB+1 tokens to the
     # driver. On a 100 TB corpus the full distinct vocabulary is unbounded;
@@ -668,7 +795,7 @@ def _jaccard_repr(d: DataFrame):
             )
             return inter.cast("double") / union
 
-        return repr_df, jac
+        return repr_df, jac, True
 
     repr_df = _token_sets(d).withColumnRenamed("toks", "jr")
 
@@ -677,7 +804,7 @@ def _jaccard_repr(d: DataFrame):
         union = F.size(F.array_union(a, b))
         return inter.cast("double") / union
 
-    return repr_df, jac
+    return repr_df, jac, False
 
 
 def _band_hashes(d: DataFrame) -> DataFrame:
@@ -1648,11 +1775,21 @@ def _min_label_propagation(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     re-plans an ever-growing DAG and eventually stack-overflows the
     optimizer). At 100 TB the same loop is the standard alternating
     small-star/large-star shape."""
+    # Materialize the pair frame BEFORE the symmetric union: neither
+    # union branch ends in an exchange, so ReuseExchange has nothing to
+    # dedup and both branches would re-execute the entire candidate/
+    # verify pipeline above (the a18 multi-consumer lesson; measured
+    # r14 on the 10× rung: the exact pair kernel ran as a 128-task
+    # stage — once per branch — and checkpointing the pair frame
+    # halved it). The frame is pair-sized, far below the candidate
+    # pipeline's cost.
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
     edges = edges.persist()
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    prev_handle = None
     for it in range(CC_MAX_ITERS):
         # neighbor's current label, take the min of (own, neighbors')
         neighbor_min = (
@@ -1660,27 +1797,29 @@ def _min_label_propagation(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # carry the convergence bit on the row instead of re-joining
+        # new vs old labels afterwards (r14: the old per-iteration
+        # changed-check was its own join + count job; a label can only
+        # DECREASE, so "nmin < label" on the merge row is the same
+        # predicate the join evaluated)
+        new_frame = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("__chg"),
             )
         )
         if (it + 1) % CC_CHECKPOINT_EVERY == 0:
             # truncate lineage: keeps the plan depth constant across rounds
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_frame = new_frame.localCheckpoint(eager=True)
         else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()  # no-op on the unpersisted initial frame
-        labels = new_labels
+            new_frame = new_frame.persist()
+        changed = new_frame.filter(F.col("__chg")).limit(1).count()
+        if prev_handle is not None:
+            prev_handle.unpersist()
+        prev_handle = new_frame
+        labels = new_frame.drop("__chg")
         if changed == 0:
             break
     edges.unpersist()

@@ -115,9 +115,16 @@ def test_minhash_verify_falls_back_to_shuffle_past_broadcast_bound(
 
 
 def test_minhash_small_corpus_takes_exact_kernel(spark, sf_dir):
-    # below the boundary: broadcast nested-loop, no shuffle joins
+    """Below the boundary the exact path runs the vectorized numpy
+    popcount kernel (r14, the l3 rule: dense N×K work never runs as
+    interpreted Catalyst lambdas) — a MapInPandas scan of the bitmap
+    representation with the corpus matrix as a task literal. No join
+    of any kind touches the pair scoring (the old
+    BroadcastNestedLoopJoin + zip_with/aggregate form measured ~20 s
+    CPU on sf0.1's 12.5M pairs)."""
     plan = executed_plan(Q["l2_minhash_lsh"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 # --- driver-slot (merged) queries: same scale guarantees as the originals ----
