@@ -131,6 +131,16 @@ def _g1_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .distinct()
     )
+    # Materialize the half-edge set BEFORE it fans out: it is consumed
+    # four ways (two union branches, each again by pairs and by deg's
+    # rollup), none of which ends in a reusable exchange above the
+    # kernel — the r14 stage profile measured the scan+kernel+distinct
+    # pipeline executing TWICE (two identical 32-task stages) and the
+    # lineitem scan FOUR times (4 × 220 MB input stages) under the
+    # edges checkpoint. The frame is distinct-edge-sized; one eager
+    # materialization replaces all re-executions (the CC/a18
+    # multi-consumer lesson).
+    half = half.localCheckpoint(eager=True)
     pairs = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
