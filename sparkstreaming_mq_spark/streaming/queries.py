@@ -3016,65 +3016,97 @@ def s19_stream_gapfill(
         # float64 is elementwise-identical to math.floor), and the
         # interp expression keeps the exact operand order of both
         # engines' CAST-DOUBLE arithmetic.
-        (uid,) = key
+        # SHARD-keyed state (r14, the t22/s21 layout): one state group
+        # per hash shard holding every shard user's five scalars as
+        # parallel arrays. Keying by user_id paid one python call +
+        # state ser/de per user per batch (~15k groups at sf0.1); the
+        # shard kernel walks the same (user, hour) partials in the
+        # same per-user ascending-hour order, so the emitted grid —
+        # and the oracle — are unchanged.
+        (_shard,) = key
+        su: dict[int, list] = {}  # uid -> [ph, pu, oh, ou, on]
         if state.exists:
-            ph, pu, oh, ou, on = state.get  # prev closed; open hour
-        else:
-            ph, pu, oh, ou, on = NO_PREV, 0, None, 0, 0
-        # fold this micro-batch's (hour, n, units) partials (order-free
-        # integer sums, so no sort is needed before the merge)
+            uids_a, ph_a, pu_a, oh_a, ou_a, on_a = state.get
+            for u_id, p0, p1, o0, o1, o2 in zip(
+                uids_a, ph_a, pu_a, oh_a, ou_a, on_a
+            ):
+                su[u_id] = [p0, p1, o0, o1, o2]
+        # fold this micro-batch's (user, hour, n, units) partials from
+        # different scan partitions (order-free integer sums), then
+        # walk per user in ascending hour order (lexsort runs)
         chunks = list(pdf_iter)
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            uid_r = pdf["user_id"].to_numpy(np.int64)
             hs = pdf["hnum"].to_numpy(np.int64)
             ns = pdf["n"].to_numpy(np.int64)
             us = pdf["u"].to_numpy(np.int64)
-            hour_keys, inv = np.unique(hs, return_inverse=True)
-            u_per = np.zeros(len(hour_keys), dtype="int64")
-            np.add.at(u_per, inv, us)
-            n_per = np.zeros(len(hour_keys), dtype="int64")
-            np.add.at(n_per, inv, ns)
+            order = np.lexsort((hs, uid_r))
+            uid_r, hs, ns, us = uid_r[order], hs[order], ns[order], us[order]
+            nb = np.ones(len(uid_r), dtype=bool)
+            nb[1:] = (uid_r[1:] != uid_r[:-1]) | (hs[1:] != hs[:-1])
+            i = np.flatnonzero(nb)
+            uid_k = uid_r[i]
+            hour_keys = hs[i]
+            n_per = np.add.reduceat(ns, i).astype("int64")
+            u_per = np.add.reduceat(us, i).astype("int64")
         else:
-            hour_keys = np.empty(0, dtype="int64")
+            uid_k = hour_keys = np.empty(0, dtype="int64")
             n_per = u_per = hour_keys
-        obs_rows: list[tuple] = []          # (hour, n, units) per closed hour
-        gap_runs: list[tuple] = []          # (ph, pu, oh, ou) per closed run
+        obs_rows: list[tuple] = []      # (uid, hour, n, units) per closed hour
+        gap_runs: list[tuple] = []      # (uid, ph, pu, oh, ou) per closed run
         n_gap = 0
-        for h, u_h, n_h in zip(hour_keys.tolist(), u_per.tolist(),
-                               n_per.tolist()):
-            if oh is None:
-                oh, ou, on = h, u_h, n_h
-            elif h == oh:
+        for u_id, h, u_h, n_h in zip(
+            uid_k.tolist(), hour_keys.tolist(), u_per.tolist(), n_per.tolist()
+        ):
+            st = su.get(u_id)
+            if st is None:
+                su[u_id] = [NO_PREV, 0, h, u_h, n_h]
+                continue
+            ph, pu, oh, ou, on = st
+            if h == oh:
                 # the open hour straddles a batch boundary: merge
-                ou += u_h
-                on += n_h
+                st[3] = ou + u_h
+                st[4] = on + n_h
             else:
                 # the open hour closes: emit its observation row, and
                 # the gap run it terminates (endpoints now both final)
-                obs_rows.append((oh, on, ou))
+                obs_rows.append((u_id, oh, on, ou))
                 if ph != NO_PREV and oh - ph > 1:
-                    gap_runs.append((ph, pu, oh, ou))
+                    gap_runs.append((u_id, ph, pu, oh, ou))
                     n_gap += oh - ph - 1
-                ph, pu = oh, ou
-                oh, ou, on = h, u_h, n_h
-        if oh is not None:
-            state.update((ph, pu, oh, ou, on))
+                st[0], st[1] = oh, ou
+                st[2], st[3], st[4] = h, u_h, n_h
+        uids_o = sorted(su)
+        state.update(
+            (
+                uids_o,
+                [su[u][0] for u in uids_o],
+                [su[u][1] for u in uids_o],
+                [su[u][2] for u in uids_o],
+                [su[u][3] for u in uids_o],
+                [su[u][4] for u in uids_o],
+            )
+        )
         n_out = len(obs_rows) + n_gap
         if not n_out:
             return
+        user_a = np.empty(n_out, dtype="int64")
         hour_a = np.empty(n_out, dtype="int64")
         nobs_a = np.zeros(n_out, dtype="int64")
         locf_a = np.empty(n_out, dtype="float64")
         intp_a = np.empty(n_out, dtype="float64")
         i = 0
-        for h, n_h, u_h in obs_rows:
+        for u_id, h, n_h, u_h in obs_rows:
+            user_a[i] = u_id
             hour_a[i] = h
             nobs_a[i] = n_h
             locf_a[i] = intp_a[i] = float(u_h) / 1000000.0
             i += 1
-        for gph, gpu, goh, gou in gap_runs:
+        for u_id, gph, gpu, goh, gou in gap_runs:
             g = np.arange(gph + 1, goh, dtype="int64")
             k = len(g)
+            user_a[i : i + k] = u_id
             hour_a[i : i + k] = g
             locf_a[i : i + k] = float(gpu) / 1000000.0
             # same operand order as the engines' CAST-DOUBLE expression:
@@ -3087,7 +3119,7 @@ def s19_stream_gapfill(
             i += k
         yield pd.DataFrame(
             {
-                "user_id": np.full(n_out, uid, dtype="int64"),
+                "user_id": user_a,
                 "hour_num": hour_a,
                 "n_obs": nobs_a,
                 "locf_val": locf_a,
@@ -3095,15 +3127,22 @@ def s19_stream_gapfill(
             }
         )
 
-    res = partials.groupBy("user_id").applyInPandasWithState(
-        gapfill,
-        outputStructType=(
-            "user_id long, hour_num long, n_obs long, "
-            "locf_val double, interp_val double"
-        ),
-        stateStructType="ph long, pu long, oh long, ou long, onn long",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    res = (
+        partials.withColumn("shard", F.pmod("user_id", F.lit(64)))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            gapfill,
+            outputStructType=(
+                "user_id long, hour_num long, n_obs long, "
+                "locf_val double, interp_val double"
+            ),
+            stateStructType=(
+                "uids array<long>, ph array<long>, pu array<long>, "
+                "oh array<long>, ou array<long>, onn array<long>"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
     # A row-GENERATING operator's output is corpus-sized (the dense
     # grid is ~10x the event count at 10x scale), so it must leave
@@ -4110,6 +4149,7 @@ def t22b_rocksdb_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- S21: streaming EWMA (stateful twin of batch ts7) --------------------------
 
 S21_LAGS = 24  # keep in lockstep with operators/timeseries.TS7_LAGS
+S21_SHARDS = 64  # state keys: pmod(user_id, S21_SHARDS) — the t22 layout
 
 
 def _s21_oracle() -> str:
@@ -4232,31 +4272,58 @@ def s21_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ewma(key, pdf_iter, state: GroupState):
-        (uid,) = key
+        # SHARD-keyed state (r14, the t22 layout): one state group per
+        # hash shard, holding every shard user's trailing sums as
+        # flattened parallel arrays. Keying by user_id cost one python
+        # call + one state ser/de PER USER PER BATCH (~15k groups at
+        # sf0.1; the r14 stage profile charged the four stateful
+        # stages ~266 µs/group, ~4 s of the 6.9 s wall); a shard sees
+        # the same per-(user, hour) partials and runs the identical
+        # per-user closure logic, so the emitted rows — and the oracle
+        # — are unchanged while group overhead drops to O(shards).
+        (_shard,) = key
+        per_user: dict[int, list] = {}
         if state.exists:
-            hrs_a, uns_a, oh, ou = state.get
-            hrs, uns = list(hrs_a), list(uns_a)
-            if oh < 0:
-                oh = None
-        else:
-            hrs, uns, oh, ou = [], [], None, 0
+            uids_a, hcnt_a, hrs_f, uns_f, oh_a, ou_a = state.get
+            pos = 0
+            for u_id, hc, oh_v, ou_v in zip(uids_a, hcnt_a, oh_a, ou_a):
+                per_user[u_id] = [
+                    list(hrs_f[pos : pos + hc]),
+                    list(uns_f[pos : pos + hc]),
+                    oh_v if oh_v >= 0 else None,
+                    ou_v,
+                ]
+                pos += hc
         chunks = list(pdf_iter)
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            uid = pdf["user_id"].to_numpy(np.int64)
             hs = pdf["hnum"].to_numpy(np.int64)
             us = pdf["u"].to_numpy(np.int64)
-            hour_keys, inv = np.unique(hs, return_inverse=True)
-            u_per = np.zeros(len(hour_keys), dtype="int64")
-            np.add.at(u_per, inv, us)
+            # fold duplicate (user, hour) partials from different scan
+            # partitions, then walk each user's hours in order — the
+            # same order-free integer merge the per-user form did
+            order = np.lexsort((hs, uid))
+            uid, hs, us = uid[order], hs[order], us[order]
+            nb = np.ones(len(uid), dtype=bool)
+            nb[1:] = (uid[1:] != uid[:-1]) | (hs[1:] != hs[:-1])
+            i = np.flatnonzero(nb)
+            uid_k = uid[i]
+            hour_k = hs[i]
+            u_per = np.add.reduceat(us, i).astype("int64")
         else:
-            hour_keys = np.empty(0, dtype="int64")
-            u_per = hour_keys
+            uid_k = hour_k = u_per = np.empty(0, dtype="int64")
         out: list[tuple] = []
-        for h, u_h in zip(hour_keys.tolist(), u_per.tolist()):
+        for u_id, h, u_h in zip(uid_k.tolist(), hour_k.tolist(), u_per.tolist()):
+            st = per_user.get(u_id)
+            if st is None:
+                st = [[], [], None, 0]
+                per_user[u_id] = st
+            hrs, uns, oh, ou = st
             if oh is None:
-                oh, ou = h, u_h
+                st[2], st[3] = h, u_h
             elif h == oh:
-                ou += u_h  # open hour straddles a batch boundary
+                st[3] = ou + u_h  # open hour straddles a batch boundary
             else:
                 # oh closes: its sum and all trailing sums are final
                 hrs.append(oh)
@@ -4266,30 +4333,44 @@ def s21_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for hr, u in zip(hrs, uns)
                     if oh - hr <= S21_LAGS
                 )
-                out.append((uid, oh, ou, scaled))
+                out.append((u_id, oh, ou, scaled))
                 # prune past the horizon of any FUTURE closing hour
                 # (the next closure is > oh, so hr < oh - LAGS + 1 can
                 # never contribute again); bounds state at <= 25 pairs
                 while hrs and hrs[0] < h - S21_LAGS:
                     hrs.pop(0)
                     uns.pop(0)
-                oh, ou = h, u_h
-        state.update((hrs, uns, oh if oh is not None else -1, ou))
+                st[2], st[3] = h, u_h
+        uids_o, hcnt_o, hrs_o, uns_o, oh_o, ou_o = [], [], [], [], [], []
+        for u_id in sorted(per_user):
+            hrs, uns, oh, ou = per_user[u_id]
+            uids_o.append(u_id)
+            hcnt_o.append(len(hrs))
+            hrs_o.extend(hrs)
+            uns_o.extend(uns)
+            oh_o.append(oh if oh is not None else -1)
+            ou_o.append(ou)
+        state.update((uids_o, hcnt_o, hrs_o, uns_o, oh_o, ou_o))
         if out:
             yield pd.DataFrame(
                 out, columns=["user_id", "hour_num", "units_now", "ewma_scaled"]
             )
 
-    res = partials.groupBy("user_id").applyInPandasWithState(
-        ewma,
-        outputStructType=(
-            "user_id long, hour_num long, units_now long, ewma_scaled long"
-        ),
-        stateStructType=(
-            "hrs array<long>, uns array<long>, oh long, ou long"
-        ),
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    res = (
+        partials.withColumn("shard", F.pmod("user_id", F.lit(S21_SHARDS)))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            ewma,
+            outputStructType=(
+                "user_id long, hour_num long, units_now long, ewma_scaled long"
+            ),
+            stateStructType=(
+                "uids array<long>, hcnt array<long>, hrs array<long>, "
+                "uns array<long>, oh array<long>, ou array<long>"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
     # State-group count is input-sized (one per user: ~15k at sf0.1),
     # so the 2-partition tiny-state profile serializes the per-group
