@@ -349,7 +349,14 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("a"), "b", "c")
     )
     closer = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closer, ["b", "c"])
+    # Materialize the triangle list before the 3-way apex union: tri
+    # ends in a join (no exchange for ReuseExchange to dedup), so each
+    # union branch would re-execute the wedge and closing joins (the
+    # r14 multi-consumer rule: g1's half-edge frame measured 2× the
+    # kernel and 4× the scan under the same shape). The frame is
+    # triangle-count-sized — the algorithm's output, far below the
+    # wedge set it derives from.
+    tri = wedges.join(closer, ["b", "c"]).localCheckpoint(eager=True)
     return (
         tri.select(F.col("a").alias("part_key"))
         .unionAll(tri.select(F.col("b").alias("part_key")))
