@@ -29,7 +29,7 @@ HEADLINES = {
     "o11_partitioned_prune": "PartitionFilters prunes the status directory",
     "o15_dynamic_pruning": "dynamicpruningexpression in the fact scan's PartitionFilters",
     "l1_exact_dedup": "sha2 hash-groupBy, single shuffle on digest",
-    "l2_minhash_lsh": "broadcast verify joins (cost-based exact kernel at this scale)",
+    "l2_minhash_lsh": "exact path = MapInPandas popcount-matmul kernel over the checkpointed bitmap repr (r14; no join touches pair scoring)",
     "l3_cosine_topk": "bounded probe set broadcast, corpus never shuffles",
     "l17_domain_mixture": "narrow: no Exchange, no Python eval",
     "l25_bm25_retrieval": "term filter under the tf agg + TakeOrderedAndProject top-k",

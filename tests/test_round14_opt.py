@@ -28,7 +28,6 @@ def _reference_pairs(ids, mat, threshold):
         for j in range(n):
             if not ids[i] < ids[j]:
                 continue
-            a, b = int(mat[i, 0]), None  # placeholder, multiword below
             inter = sum(
                 bin(int(mat[i, w]) & int(mat[j, w])).count("1")
                 for w in range(mat.shape[1])

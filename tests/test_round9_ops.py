@@ -226,6 +226,10 @@ def test_priority_plan_hygiene_no_stray_python(spark, sf_dir):
         "u6_udtf_tokenize",      # U6
         "a10_udaf_geomean",      # U3 grouped-agg UDF
         "l3_cosine_topk",        # designed Arrow/numpy top-k kernel
+        "l2_minhash_lsh",        # designed Arrow/numpy exact-Jaccard
+                                 # kernel (r14; same rule as l3 — the
+                                 # HOF form it replaced measured ~20 s
+                                 # CPU at sf0.1, 96% of the 10× rung)
     }
     # exact PRIORITY streaming names (NOT bare prefixes — "s1"/"t2"
     # would also match a future batch query named s12_*/t20_* and
