@@ -654,12 +654,14 @@ def _broadcast_jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
         ).view(np.uint64)
         order = np.argsort(ids, kind="stable")
         ids, mat = ids[order], mat[order]
-        scored = (
-            repr_df.repartition(n_parts)
-            .mapInPandas(
-                _jaccard_allpairs_kernel(ids, mat, threshold),
-                schema="doc_a long, doc_b long, jac_raw double",
-            )
+        # the probe repartition is LOAD-BEARING: AQE coalesces the tiny
+        # checkpointed repr to 1 partition (bytes-based — it cannot see
+        # that each probe row carries O(corpus) kernel compute), so the
+        # round-robin spread to 2× parallelism is what parallelizes the
+        # pair scoring (probed r14: sf0.1 checkpoint = 1 partition)
+        scored = repr_df.repartition(n_parts).mapInPandas(
+            _jaccard_allpairs_kernel(ids, mat, threshold),
+            schema="doc_a long, doc_b long, jac_raw double",
         )
         return scored.select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jac"))
     a = repr_df.select(F.col("doc_id").alias("doc_a"), F.col("jr").alias("ja"))

@@ -940,21 +940,41 @@ def t7_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def sessionize(key, pdf_iter, state: GroupState):
+        # SHARD-keyed state (r14, the t22/s21/s19 layout): one state
+        # group per hash shard holding every shard user's four session
+        # scalars as parallel arrays. Keying by user_id paid one python
+        # call + one state ser/de per user per batch (~15k groups at
+        # sf0.1; r14 profile: 13.4 s wall, 21.4 s task runTime, 0.9 s
+        # JVM cpu — ~96 % group-overhead wait). The shard kernel walks
+        # the same rows per user in the same ts order through the
+        # identical per-event state machine (same math.floor float
+        # arithmetic, same integer cent adds), so the emitted sessions
+        # — and the full oracle — are unchanged.
         import math
 
-        (uid,) = key
+        (_shard,) = key
+        su: dict[int, list] = {}  # uid -> [start, last, n, cents]
         if state.exists:
-            start, last, n, cents = state.get
-        else:
-            start, last, n, cents = None, None, 0, 0
+            uids_a, st_a, la_a, n_a, c_a = state.get
+            for u_id, s0, l0, n0, c0 in zip(uids_a, st_a, la_a, n_a, c_a):
+                su[u_id] = [s0, l0, n0, c0]
         closed: list[tuple] = []
         # Concatenate BEFORE sorting: the iterator yields the group's
         # micro-batch rows as multiple Arrow chunks once they exceed
         # arrow.maxRecordsPerBatch, and a per-chunk sort would let `last`
         # move backward across chunk boundaries at scale (review r4).
+        # Sorting (user_id, ts) keeps each user's rows in the ts order
+        # the per-user form saw; cross-user order is irrelevant.
         chunks = list(pdf_iter)
-        for pdf in [pd.concat(chunks).sort_values("ts")] if chunks else []:
-            for ts, val in zip(pdf["ts"], pdf["value"]):
+        for pdf in (
+            [pd.concat(chunks).sort_values(["user_id", "ts"])] if chunks else []
+        ):
+            for uid, ts, val in zip(pdf["user_id"], pdf["ts"], pdf["value"]):
+                uid = int(uid)
+                st = su.get(uid)
+                if st is None:
+                    st = su[uid] = [None, None, 0, 0]
+                start, last, n, cents = st
                 us = int(ts.value // 1000)  # pandas ns → µs
                 if last is not None and us - last > SESSION_GAP_US:
                     closed.append((uid, start, last, n, cents))
@@ -963,23 +983,39 @@ def t7_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     start = us
                 # fixed-point cents: same IEEE double ops as the SQL
                 # floor(v*100+0.5), then exact integer accumulation
-                last, n = us, n + 1
-                cents += int(math.floor(float(val) * 100 + 0.5))
-        state.update((start, last, n, cents))
+                st[0], st[1], st[2] = start, us, n + 1
+                st[3] = cents + int(math.floor(float(val) * 100 + 0.5))
+        uids_o = sorted(su)
+        state.update(
+            (
+                uids_o,
+                [su[u][0] for u in uids_o],
+                [su[u][1] for u in uids_o],
+                [su[u][2] for u in uids_o],
+                [su[u][3] for u in uids_o],
+            )
+        )
         if closed:
             yield pd.DataFrame(
                 closed,
                 columns=["user_id", "start_us", "end_us", "n_events", "total_cents"],
             )
 
-    out = stream.groupBy("user_id").applyInPandasWithState(
-        sessionize,
-        outputStructType=(
-            "user_id long, start_us long, end_us long, n_events long, total_cents long"
-        ),
-        stateStructType="start long, last long, n long, total_cents long",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    out = (
+        stream.withColumn("shard", F.pmod("user_id", F.lit(64)))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=(
+                "user_id long, start_us long, end_us long, n_events long, total_cents long"
+            ),
+            stateStructType=(
+                "uids array<long>, start array<long>, last array<long>, "
+                "n array<long>, total_cents array<long>"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
     res = run_stream_to_table(out, "append")
     return res.select(
