@@ -1859,32 +1859,49 @@ def s14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = crawl.join(F.broadcast(corpus), "digest", "left")
 
     def classify(key, pdf_iter, state: GroupState):
-        (digest,) = key
-        seen = state.get[0] if state.exists else 0
+        # SHARD-keyed state (r14, the t7/s21 layout): one group per
+        # digest-hash shard, the shard's seen-digest set in a state
+        # array — per-digest groups paid one python call + state
+        # ser/de per distinct digest per batch. Rows sorted
+        # (digest, doc_id): each digest sees the identical doc order,
+        # so the emitted labels — and the replay oracle — are
+        # unchanged.
+        (_shard,) = key
+        seen: set = set()
+        if state.exists:
+            seen = set(state.get[0])
         rows: list[tuple] = []
         # concat-then-sort: see t7's sessionize — per-chunk sorts break
         # global doc_id order once a group's batch spans Arrow chunks
         chunks = list(pdf_iter)
-        for pdf in [pd.concat(chunks).sort_values("doc_id")] if chunks else []:
-            for doc_id, in_corpus in zip(pdf["doc_id"], pdf["in_corpus"]):
+        for pdf in (
+            [pd.concat(chunks).sort_values(["digest", "doc_id"])] if chunks else []
+        ):
+            for doc_id, digest, in_corpus in zip(
+                pdf["doc_id"], pdf["digest"], pdf["in_corpus"]
+            ):
                 if not pd.isna(in_corpus):
                     status = "dup_of_corpus"
-                elif seen:
+                elif digest in seen:
                     status = "dup_in_batch"
                 else:
                     status = "new"
-                seen = 1
+                seen.add(digest)
                 rows.append((int(doc_id), digest, status))
-        state.update((seen,))
+        state.update((sorted(seen),))
         if rows:
             yield pd.DataFrame(rows, columns=["doc_id", "digest", "status"])
 
-    out = probed.groupBy("digest").applyInPandasWithState(
-        classify,
-        outputStructType="doc_id long, digest string, status string",
-        stateStructType="seen int",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    out = (
+        probed.withColumn("shard", F.pmod(F.xxhash64("digest"), F.lit(64)))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            classify,
+            outputStructType="doc_id long, digest string, status string",
+            stateStructType="seen array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
     return run_stream_to_table(out, "append")
 
@@ -2612,29 +2629,54 @@ def t17_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def attribute(key, pdf_iter, state: GroupState):
-        (uid,) = key
-        touch = state.get[0] if state.exists else -1
+        # SHARD-keyed state (r14, the t7/s21/s19 layout): one state
+        # group per hash shard with each shard user's latest-touch
+        # long in parallel arrays — per-user groups paid one python
+        # call + state ser/de per user per batch. Rows sorted
+        # (user_id, ts, event_id): every user sees the identical
+        # event order, so the emitted rows — and the batch-window
+        # oracle — are unchanged.
+        (_shard,) = key
+        touch_by: dict[int, int] = {}
+        if state.exists:
+            uids_a, touch_a = state.get
+            touch_by = dict(zip(uids_a, touch_a))
         out: list[tuple] = []
         chunks = list(pdf_iter)
-        for pdf in [pd.concat(chunks).sort_values(["ts", "event_id"])] if chunks else []:
-            for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+        for pdf in (
+            [pd.concat(chunks).sort_values(["user_id", "ts", "event_id"])]
+            if chunks
+            else []
+        ):
+            for uid, ts, eid, etype in zip(
+                pdf["user_id"], pdf["ts"], pdf["event_id"], pdf["event_type"]
+            ):
+                uid = int(uid)
                 us = int(ts.value // 1000)  # pandas ns -> µs
                 if etype == "purchase":
+                    touch = touch_by.get(uid, -1)
                     out.append((int(eid), uid, us, touch if touch >= 0 else None))
                 elif etype in ("click", "view"):
-                    touch = us
-        state.update((touch,))
+                    touch_by[uid] = us
+        uids_o = sorted(touch_by)
+        state.update((uids_o, [touch_by[u] for u in uids_o]))
         if out:
             yield pd.DataFrame(
                 out, columns=["event_id", "user_id", "purchase_us", "touch_us"]
             )
 
-    raw = stream.groupBy("user_id").applyInPandasWithState(
-        attribute,
-        outputStructType="event_id long, user_id long, purchase_us long, touch_us long",
-        stateStructType="touch long",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    raw = (
+        stream.withColumn("shard", F.pmod("user_id", F.lit(64)))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            attribute,
+            outputStructType=(
+                "event_id long, user_id long, purchase_us long, touch_us long"
+            ),
+            stateStructType="uids array<long>, touch array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
     res = run_stream_to_table(raw, "append")
     gap = F.col("purchase_us") - F.col("touch_us")
