@@ -536,11 +536,26 @@ def l2b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_allpairs_kernel(ids, mat, threshold: float):
-    """mapInPandas kernel for exact all-pairs Jaccard over the bitmap
-    representation: probe partitions of (doc_id, jr) stream against the
-    full corpus bitmap matrix shipped as a task literal (the l3
-    query-matrix pattern). Emits (doc_a, doc_b, jac_raw) for every pair
-    with doc_a < doc_b and jac >= threshold.
+    """Exact all-pairs Jaccard: every (a, b) with a < b and
+    jac >= threshold over one corpus matrix. Thin wrapper over
+    ``_jaccard_matrix_kernel`` with probe == corpus (r15; the r14
+    all-pairs kernel generalized so l34's batch-vs-corpus probe shares
+    the arithmetic)."""
+    return _jaccard_matrix_kernel(ids, mat, ids, mat, threshold, lt_only=True)
+
+
+def _jaccard_matrix_kernel(probe_ids, probe_mat, corp_ids, corp_mat, threshold: float, lt_only: bool):
+    """mapInPandas kernel for exact Jaccard of probe rows against a
+    corpus bitmap matrix shipped as a task literal (the l3
+    query-matrix pattern). Probe partitions carry only ``pos`` — an
+    int64 position into ``probe_ids``/``probe_mat`` — so the probe
+    frame can be a bare ``spark.range`` (native source, no driver
+    serialization, no exchange; the createDataFrame(pandas) probe
+    measured 0.57 s vs range's ~0 at sf0.1). Emits
+    (doc_a, doc_b, jac_raw) for every pair with jac >= threshold —
+    additionally doc_a < doc_b when ``lt_only`` (the symmetric
+    all-pairs dedup), every pair otherwise (asymmetric batch-vs-corpus,
+    probe and corpus disjoint).
 
     Exactness: intersections are computed as a float32 BLAS matmul of
     the unpacked 0/1 bit-planes — sums of ≤ 64·w ones, exactly
@@ -569,7 +584,7 @@ def _jaccard_allpairs_kernel(ids, mat, threshold: float):
                 np.ascontiguousarray(x).view(np.uint8), axis=1
             ).astype(np.float32)
 
-        B = mat  # (n, w) uint64
+        B = corp_mat  # (n, w) uint64
         n, w = B.shape
         popb = pc(B)
         # corpus bit-planes are unpacked per block (never the whole
@@ -579,17 +594,18 @@ def _jaccard_allpairs_kernel(ids, mat, threshold: float):
         for pdf in batches:
             if not len(pdf):
                 continue
-            all_ids = pdf["doc_id"].to_numpy(np.int64)
-            A_all = np.ascontiguousarray(
-                np.stack(pdf["jr"].to_numpy()).astype(np.int64, copy=False)
-            ).view(np.uint64)
+            all_pos = pdf["pos"].to_numpy(np.int64)
+            # probe rows are positions into the task-literal arrays —
+            # the probe frame ships 8 bytes/row and no lookup is needed
+            all_ids = probe_ids[all_pos]
+            A_all = probe_mat[all_pos]
             for alo in range(0, len(all_ids), PROBE_BLK):
                 a_ids = all_ids[alo : alo + PROBE_BLK]
                 popa = pc(A_all[alo : alo + PROBE_BLK])
                 Abits = bits_f32(A_all[alo : alo + PROBE_BLK])
                 out_a, out_b, out_j = [], [], []
                 for lo in range(0, n, corp_blk):
-                    b_ids = ids[lo : lo + corp_blk]
+                    b_ids = corp_ids[lo : lo + corp_blk]
                     # exact: 0/1 dot products ≤ 64w << 2^24
                     inter = (Abits @ bits_f32(B[lo : lo + corp_blk]).T).astype(
                         np.int64
@@ -597,9 +613,15 @@ def _jaccard_allpairs_kernel(ids, mat, threshold: float):
                     union = popa[:, None] + popb[lo : lo + corp_blk][None, :] - inter
                     with np.errstate(divide="ignore", invalid="ignore"):
                         jac = inter / union
-                    # NaN (union 0: two empty token sets) compares False,
-                    # exactly as the Catalyst filter treated NaN >= t
-                    mask = (a_ids[:, None] < b_ids[None, :]) & (jac >= threshold)
+                    # union == 0 (two empty bitmaps) is unreachable with
+                    # the current repr (every repr doc has ≥1 token bit
+                    # set); if a future repr admits empty bitmaps, the
+                    # NaN here is silently excluded by the >= compare —
+                    # a deliberate choice, NOT parity with the Catalyst
+                    # form (ANSI inter/union raises DIVIDE_BY_ZERO there)
+                    mask = jac >= threshold
+                    if lt_only:
+                        mask &= a_ids[:, None] < b_ids[None, :]
                     ii, jj = np.nonzero(mask)
                     if len(ii):
                         out_a.append(a_ids[ii])
@@ -615,6 +637,51 @@ def _jaccard_allpairs_kernel(ids, mat, threshold: float):
                     )
 
     return kernel
+
+
+def _collect_bitmap_matrix(repr_df: DataFrame):
+    """Collect the (doc_id, jr) bitmap representation to the driver as
+    sorted numpy arrays (ids int64 ascending, mat uint64) via ONE Arrow
+    collect. r15: the r14 form paid an eager localCheckpoint job PLUS a
+    Row-object collect (~1M pyspark Rows each holding a 16-element
+    Python list at the cliff — several GB of object overhead, vs the
+    ~128 MB the raw matrix is); the Arrow path materializes the frame
+    exactly once and lands near raw-matrix driver memory."""
+    import numpy as np
+
+    spark = repr_df.sparkSession
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        pdf = repr_df.toPandas()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    ids = pdf["doc_id"].to_numpy(np.int64)
+    if len(ids) == 0:
+        return ids, np.zeros((0, 1), dtype=np.uint64)
+    mat = np.ascontiguousarray(
+        np.stack(pdf["jr"].to_numpy()).astype(np.int64, copy=False)
+    ).view(np.uint64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order]
+
+
+def _probe_pos_frame(spark, n: int, n_parts: int) -> DataFrame:
+    """Probe frame for the Jaccard matrix kernels: positions 0..n-1
+    into the task-literal probe arrays, as a bare ``spark.range`` cut
+    into n_parts contiguous chunks. Native source — no driver
+    serialization, no exchange in the plan — and the explicit
+    numPartitions is LOAD-BEARING: AQE cannot see that each probe row
+    carries O(corpus) kernel compute, so the even n_parts split is
+    what parallelizes the pair scoring (probed r14/r15: the
+    checkpointed repr coalesced to 1 partition; a
+    createDataFrame(pandas).repartition probe cost 0.57 s of fixed
+    driver/exchange work at sf0.1 vs ~0.1 s for this)."""
+    return spark.range(0, n, 1, numPartitions=n_parts).toDF("pos")
 
 
 def _broadcast_jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
@@ -638,28 +705,15 @@ def _broadcast_jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
     repr_df, jac_fn, is_bitmap = _jaccard_repr_modes(d)
     n_parts = max(2, (d.sparkSession.sparkContext.defaultParallelism or 8) * 2)
     if is_bitmap:
-        import numpy as np
-
-        # materialize the bitmap build ONCE: both the driver-side
-        # matrix collect and the probe scan below read the checkpointed
-        # frame instead of re-running the explode + vocab-position +
-        # bit_or aggregation (the r14 10× profile charged the rebuild a
-        # full corpus scan per consumer)
-        repr_df = repr_df.localCheckpoint(eager=True)
-        rows = repr_df.collect()  # ≤ cliff docs × ≤16 longs — the bytes the
-        # old plan collected driver-side to build the broadcast relation
-        ids = np.array([r.doc_id for r in rows], dtype=np.int64)
-        mat = np.ascontiguousarray(
-            np.array([r.jr for r in rows], dtype=np.int64)
-        ).view(np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids, mat = ids[order], mat[order]
-        # the probe repartition is LOAD-BEARING: AQE coalesces the tiny
-        # checkpointed repr to 1 partition (bytes-based — it cannot see
-        # that each probe row carries O(corpus) kernel compute), so the
-        # round-robin spread to 2× parallelism is what parallelizes the
-        # pair scoring (probed r14: sf0.1 checkpoint = 1 partition)
-        scored = repr_df.repartition(n_parts).mapInPandas(
+        # ONE materialization serves everything (r15): the Arrow
+        # collect builds the driver matrix, the probe frame is the id
+        # vector parallelized back out, and the kernel looks each probe
+        # row's bitmap up from the task-literal matrix — the r14 form
+        # paid an eager checkpoint job AND a Row-object collect of the
+        # same frame back-to-back (its ~0.3 s local fixed cost, the
+        # suite's one >10% regression in PERF_r14).
+        ids, mat = _collect_bitmap_matrix(repr_df)
+        scored = _probe_pos_frame(d.sparkSession, len(ids), n_parts).mapInPandas(
             _jaccard_allpairs_kernel(ids, mat, threshold),
             schema="doc_a long, doc_b long, jac_raw double",
         )
@@ -764,11 +818,31 @@ def _jaccard_repr_modes(d: DataFrame):
     vocab = sorted(r.token for r in vocab_rows)
     if 0 < len(vocab) <= MAX_BITMAP_VOCAB:
         n_words = (len(vocab) + 63) // 64
-        vocab_arr = F.array(*[F.lit(t) for t in vocab])
-        with_bits = tok.select(
-            "doc_id",
-            (F.array_position(vocab_arr, F.col("token")) - 1).cast("int").alias("tid"),
-        )
+        # token → bit position. Two forms, picked by vocab size (r15):
+        # array_position over the vocab literal is O(|vocab|) string
+        # compares per token row — fine for a single-word vocab (≤64
+        # compares, pure codegen, no extra job) but it embeds the whole
+        # vocabulary in the plan and scales linearly with it; past one
+        # word, a broadcast-joined assignment table makes the probe
+        # O(1) per token at a fixed ~0.5 s broadcast cost (measured
+        # sf0.1: join 0.78 s vs array_position 0.35 s at |vocab|=31 —
+        # the fixed cost only pays for itself on multi-word vocabs).
+        # Inner join drops nothing — the vocab IS the full distinct
+        # token set whenever this branch runs. tid matches
+        # (array_position - 1): 0-based rank in the sorted vocab.
+        if len(vocab) <= 64:
+            vocab_arr = F.array(*[F.lit(t) for t in vocab])
+            with_bits = tok.select(
+                "doc_id",
+                (F.array_position(vocab_arr, F.col("token")) - 1)
+                .cast("int")
+                .alias("tid"),
+            )
+        else:
+            tid_df = d.sparkSession.createDataFrame(
+                [(t, i) for i, t in enumerate(vocab)], schema="token string, tid int"
+            )
+            with_bits = tok.join(F.broadcast(tid_df), "token").select("doc_id", "tid")
         word_cols = [
             F.bit_or(
                 F.when(
@@ -3608,30 +3682,59 @@ def l34_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard against SOME standing-corpus doc — reported with the best
     match and its similarity, ties to the lower corpus id) or 'novel'.
 
-    Batch-vs-corpus is asymmetric all-pairs: the incoming drop streams
-    against the broadcast corpus representation (the l2b bitmap
-    kernel), argmax per incoming doc via one max(struct) aggregate —
-    no pair materialization beyond the kernel scan. At 100 TB the
-    standing side is the persisted MinHash band index and the kernel
-    verifies only band-colliding candidates (``_band_hashes`` /
-    ``_lsh_candidate_pairs`` are exactly that machinery, measured in
-    l2's banded path); the exact kernel here keeps the full-oracle
-    evidence, like l2b below its cost boundary.
+    Batch-vs-corpus is asymmetric all-pairs: the incoming drop probes
+    the task-resident standing-corpus bitmap matrix through the
+    asymmetric ``_jaccard_matrix_kernel`` (r15 — the last
+    interpreted-HOF pair loop on the dedup path; the r14 l2b lesson:
+    the crossJoin + zip_with/aggregate form evaluated ~3M pairs at
+    sf0.1 through interpreted Catalyst lambdas), argmax per incoming
+    doc via one max(struct) aggregate over the kernel's ≥threshold
+    emissions. At 100 TB the standing side is the persisted MinHash
+    band index and the kernel verifies only band-colliding candidates
+    (``_band_hashes`` / ``_lsh_candidate_pairs`` are exactly that
+    machinery, measured in l2's banded path); the exact kernel here
+    keeps the full-oracle evidence, like l2b below its cost boundary.
     """
     d = load_table(spark, sf_dir, "documents")
-    repr_df, jac_fn = _jaccard_repr(d)
-    inc = repr_df.filter(F.col("doc_id") % L34_BATCH_MOD == 0).select(
-        F.col("doc_id").alias("din"), F.col("jr").alias("ja")
-    )
-    corp = repr_df.filter(F.col("doc_id") % L34_BATCH_MOD != 0).select(
-        F.col("doc_id").alias("dc"), F.col("jr").alias("jb")
-    )
-    jac = jac_fn(F.col("ja"), F.col("jb"))
+    repr_df, jac_fn, is_bitmap = _jaccard_repr_modes(d)
+    if is_bitmap:
+        n_parts = max(2, (spark.sparkContext.defaultParallelism or 8) * 2)
+        ids, mat = _collect_bitmap_matrix(repr_df)
+        corp_sel = ids % L34_BATCH_MOD != 0
+        # probe = the incoming drop, corpus = the standing side; the
+        # closure ships each matrix row exactly once (inc slice + corp
+        # slice partition the full matrix)
+        scored = _probe_pos_frame(spark, int((~corp_sel).sum()), n_parts).mapInPandas(
+            _jaccard_matrix_kernel(
+                ids[~corp_sel],
+                mat[~corp_sel],
+                ids[corp_sel],
+                mat[corp_sel],
+                L34_THRESHOLD,
+                lt_only=False,
+            ),
+            schema="doc_a long, doc_b long, jac_raw double",
+        )
+        pairs = scored.select(
+            F.col("doc_a").alias("din"),
+            F.col("doc_b").alias("dc"),
+            F.col("jac_raw").alias("jac"),
+        )
+    else:
+        inc = repr_df.filter(F.col("doc_id") % L34_BATCH_MOD == 0).select(
+            F.col("doc_id").alias("din"), F.col("jr").alias("ja")
+        )
+        corp = repr_df.filter(F.col("doc_id") % L34_BATCH_MOD != 0).select(
+            F.col("doc_id").alias("dc"), F.col("jr").alias("jb")
+        )
+        jac = jac_fn(F.col("ja"), F.col("jb"))
+        pairs = (
+            inc.crossJoin(F.broadcast(corp))
+            .select("din", "dc", jac.alias("jac"))
+            .filter(F.col("jac") >= L34_THRESHOLD)
+        )
     best = (
-        inc.crossJoin(F.broadcast(corp))
-        .select("din", "dc", jac.alias("jac"))
-        .filter(F.col("jac") >= L34_THRESHOLD)
-        .groupBy("din")
+        pairs.groupBy("din")
         .agg(F.max(F.struct(F.col("jac"), (-F.col("dc")).alias("negdc"))).alias("m"))
         .select(
             "din",

@@ -47,19 +47,12 @@ def _reference_pairs(ids, mat, threshold):
 
 def _run_kernel(ids, mat, threshold, batches=1):
     k = _jaccard_allpairs_kernel(ids, mat, threshold)
-    # split probe rows over several pandas batches like Arrow would
+    # split probe rows over several pandas batches like Arrow would;
+    # since r15 the probe frame carries positions into the task-literal
+    # arrays (spark.range), not (doc_id, jr) rows
     frames = []
     splits = np.array_split(np.arange(len(ids)), batches)
-    pdfs = [
-        pd.DataFrame(
-            {
-                "doc_id": ids[s],
-                "jr": [mat[i].view(np.int64) for i in s],
-            }
-        )
-        for s in splits
-        if len(s)
-    ]
+    pdfs = [pd.DataFrame({"pos": s}) for s in splits if len(s)]
     for out in k(iter(pdfs)):
         frames.append(out)
     if not frames:
