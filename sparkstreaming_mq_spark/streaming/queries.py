@@ -1860,45 +1860,57 @@ def s14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def classify(key, pdf_iter, state: GroupState):
         # SHARD-keyed state (r14, the t7/s21 layout): one group per
-        # digest-hash shard, the shard's seen-digest set in a state
-        # array — per-digest groups paid one python call + state
-        # ser/de per distinct digest per batch. Rows sorted
-        # (digest, doc_id): each digest sees the identical doc order,
-        # so the emitted labels — and the replay oracle — are
-        # unchanged.
+        # digest-hash shard — per-digest groups paid one python call +
+        # state ser/de per distinct digest per batch. r15 bounds the
+        # shard state (VERDICT item 2): (a) raw 32-byte digests packed
+        # into ONE binary blob instead of an array of 64-char hex
+        # strings (~3x fewer state bytes, no per-element object
+        # overhead); (b) corpus-dup digests are NOT stored — the
+        # in_corpus probe short-circuits the seen-test, so their
+        # membership is never consulted and the state tracks only the
+        # stream-new share of digests. Rows sorted (dig, doc_id): each
+        # digest sees the identical doc order (hex and raw bytes sort
+        # identically byte-wise), so the emitted labels — and the
+        # replay oracle — are unchanged.
         (_shard,) = key
         seen: set = set()
         if state.exists:
-            seen = set(state.get[0])
+            blob = state.get[0] or b""
+            seen = {bytes(blob[i : i + 32]) for i in range(0, len(blob), 32)}
         rows: list[tuple] = []
         # concat-then-sort: see t7's sessionize — per-chunk sorts break
         # global doc_id order once a group's batch spans Arrow chunks
         chunks = list(pdf_iter)
         for pdf in (
-            [pd.concat(chunks).sort_values(["digest", "doc_id"])] if chunks else []
+            [pd.concat(chunks).sort_values(["dig", "doc_id"])] if chunks else []
         ):
-            for doc_id, digest, in_corpus in zip(
-                pdf["doc_id"], pdf["digest"], pdf["in_corpus"]
+            for doc_id, dig, in_corpus in zip(
+                pdf["doc_id"], pdf["dig"], pdf["in_corpus"]
             ):
+                d = bytes(dig)
                 if not pd.isna(in_corpus):
                     status = "dup_of_corpus"
-                elif digest in seen:
+                elif d in seen:
                     status = "dup_in_batch"
                 else:
                     status = "new"
-                seen.add(digest)
-                rows.append((int(doc_id), digest, status))
-        state.update((sorted(seen),))
+                    seen.add(d)
+                rows.append((int(doc_id), d.hex(), status))
+        state.update((b"".join(sorted(seen)),))
         if rows:
             yield pd.DataFrame(rows, columns=["doc_id", "digest", "status"])
 
     out = (
+        # the python workers receive the 32-byte unhexed digest, not
+        # the 64-char hex string (the hex round-trips exactly through
+        # bytes.hex() — F.sha2 emits lowercase)
         probed.withColumn("shard", F.pmod(F.xxhash64("digest"), F.lit(64)))
+        .select("shard", "doc_id", F.unhex("digest").alias("dig"), "in_corpus")
         .groupBy("shard")
         .applyInPandasWithState(
             classify,
             outputStructType="doc_id long, digest string, status string",
-            stateStructType="seen array<string>",
+            stateStructType="seen binary",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -2584,6 +2596,8 @@ def s15_stream_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- T17: streaming last-touch attribution (stateful, batch-equivalent) -------
 
+T17_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # the 7-day attribution window
+
 @query(
     "t17_stream_attribution",
     oracle=f"""
@@ -2638,8 +2652,9 @@ def t17_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle — are unchanged.
         (_shard,) = key
         touch_by: dict[int, int] = {}
+        max_us = -(1 << 62)
         if state.exists:
-            uids_a, touch_a = state.get
+            uids_a, touch_a, max_us = state.get
             touch_by = dict(zip(uids_a, touch_a))
         out: list[tuple] = []
         chunks = list(pdf_iter)
@@ -2658,8 +2673,21 @@ def t17_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out.append((int(eid), uid, us, touch if touch >= 0 else None))
                 elif etype in ("click", "view"):
                     touch_by[uid] = us
-        uids_o = sorted(touch_by)
-        state.update((uids_o, [touch_by[u] for u in uids_o]))
+                if us > max_us:
+                    max_us = us
+        # EVICTION (r15, VERDICT item 3): a touch strictly older than
+        # the attribution window behind the shard's max seen event time
+        # can never attribute again — the time-ordered replay
+        # guarantees every future event's ts >= this batch's max (ties
+        # allowed, hence STRICT >), so a future purchase's gap would
+        # exceed the window and the JVM-side filter emits it exactly
+        # as if the touch were absent (gap_us NULL, attributed false).
+        # Per-batch shard ser/de then tracks LIVE touches, not every
+        # user ever seen (the corpus spans ~30 days vs the 7-day
+        # window).
+        cutoff = max_us - T17_WINDOW_US
+        uids_o = sorted(u for u, t in touch_by.items() if t >= cutoff)
+        state.update((uids_o, [touch_by[u] for u in uids_o], max_us))
         if out:
             yield pd.DataFrame(
                 out, columns=["event_id", "user_id", "purchase_us", "touch_us"]
@@ -2673,7 +2701,7 @@ def t17_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputStructType=(
                 "event_id long, user_id long, purchase_us long, touch_us long"
             ),
-            stateStructType="uids array<long>, touch array<long>",
+            stateStructType="uids array<long>, touch array<long>, max_us long",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
