@@ -22,7 +22,9 @@ from sparkstreaming_mq_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = sys.argv[1]
     names = sys.argv[2:]
-    spark = get_spark()
+    # same driver heap bench.py uses — g1's localCheckpoint fan-out at
+    # sf0.1 kills the 1g default (measured r9)
+    spark = get_spark(extra_conf={"spark.driver.memory": "8g"})
     qs = registry.all_queries()
     out = {}
     for name in names:

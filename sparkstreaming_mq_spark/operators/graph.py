@@ -214,6 +214,7 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select(
         F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("pr")
     )
+    broadcast_regime = rank_side is F.broadcast
     for it in range(PR_ITERS):
         ranks = (
             edges.join(rank_side(ranks), edges.src == F.col("node"))
@@ -226,8 +227,23 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("pr"),
             )
         )
-        if (it + 1) % PR_CKPT_EVERY == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+        if (it + 1) % PR_CKPT_EVERY == 0 and it < PR_ITERS - 1:
+            if broadcast_regime:
+                # lineage truncation via a driver roundtrip (r15, was
+                # localCheckpoint): toPandas of the O(nodes) rank frame
+                # is one lightweight job vs a 20-32-task checkpoint
+                # write, and the next BroadcastExchange builds from a
+                # LocalTableScan — a driver-local fast path with no
+                # executor job inside the broadcast thread (partial
+                # de-risking of the r14 slow-host-phase broadcast-wait
+                # signature). int64 round-trips exactly through Arrow.
+                # The final-iteration truncation is skipped outright —
+                # the caller's terminal action truncates for free.
+                ranks = spark.createDataFrame(
+                    ranks.toPandas(), schema="node long, pr long"
+                )
+            else:
+                ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("node").alias("part_key"), F.col("pr").alias("rank_scaled")
     )

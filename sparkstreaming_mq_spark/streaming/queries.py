@@ -3992,7 +3992,11 @@ def t21_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "drift_ppm": _pa.array([int(drift)], _pa.int64()),
             }
         )
-        tmp = _os.path.join(edir, "part-00000.parquet.tmp")
+        # dot-prefixed temp name: Spark's InMemoryFileIndex ignores
+        # hidden files, so a crash between write and replace can never
+        # leave a file the log read would choke on (r15 ADVICE; a bare
+        # .tmp suffix is NOT filtered by the hidden-file rules)
+        tmp = _os.path.join(edir, ".part-00000.parquet.tmp")
         _pq.write_table(tbl, tmp)
         _os.replace(tmp, _os.path.join(edir, "part-00000.parquet"))
 
