@@ -1863,6 +1863,19 @@ def _min_label_propagation(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
+    # Size the edge frame's partitions to the DATA, not to the kernel's
+    # probe layout (r15): the checkpointed pair frame inherits the
+    # kernel's 64 probe partitions, the symmetric union doubles that to
+    # 128, and every CC iteration re-scans all of them — at sf0.1 that
+    # is 128 tasks per iteration over a few MB of pairs, pure
+    # scheduling overhead (the r15 l51 profile: five 128-task stages,
+    # 6.4 MB input each). coalesce (no exchange — each task reads a few
+    # checkpointed blocks locally) to ~250k edge rows per partition,
+    # clamped to [4, 2x parallelism]; the count is a metadata-cheap job
+    # over the already-materialized checkpoint.
+    par = edges.sparkSession.sparkContext.defaultParallelism or 8
+    n_edges = 2 * pairs.count()
+    edges = edges.coalesce(max(4, min(2 * par, 1 + n_edges // 250_000)))
     edges = edges.persist()
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
     prev_handle = None
