@@ -304,10 +304,17 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q9 shape: profit on '%red%' parts by supplier nation/year.
 
     Plan: the name-filtered part side broadcasts and prunes lineitem
-    early; partsupp (distinct pairs — grows with the part×supplier
-    domain, NOT with the fact table, but too big to broadcast at
-    100 TB) joins lineitem on the composite key as the one fact-fact
-    style shuffle besides orders⋈lineitem; supplier/nation broadcast.
+    early; supplier/nation broadcast; orders⋈lineitem is the one
+    data-sized shuffle. The partsupp join is computed INLINE: partsupp
+    is BY CONSTRUCTION the distinct (l_partkey, l_suppkey) pairs of
+    this same lineitem with ps_supplycost_cents a pure function of the
+    pair key, so the inner join matches every lineitem row exactly
+    once and contributes only that key-derived value — evaluating the
+    same expression per row is row-identical output (oracle SQL
+    unchanged, hash-checked) and deletes the pair-distinct Exchange
+    plus the composite-key fact join outright. At 100 TB that was a
+    full-fact shuffle on (partkey, suppkey) for values a map stage
+    computes for free.
     All money math is BIGINT fixed point; see the oracle header for
     why the final step is a plain /1e6 instead of half-up rounding.
     """
@@ -316,7 +323,6 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").like("%red%"))
         .select("p_partkey")
     )
-    ps = load_partsupp(spark, sf_dir)
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -326,16 +332,16 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     bp = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    # load_partsupp's ps_supplycost_cents expression applied to this
+    # row's pair key — identical BIGINT arithmetic, identical value.
+    supplycost_cents = (
+        (F.col("l_partkey") * 131 + F.col("l_suppkey") * 977) % 99901 + 100
+    ).cast("long")
     profit_units = cents * (F.lit(10000) - bp) - (
-        F.col("ps_supplycost_cents") * F.col("l_quantity").cast("long") * F.lit(10000)
+        supplycost_cents * F.col("l_quantity").cast("long") * F.lit(10000)
     )
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(
-            ps,
-            (F.col("ps_partkey") == F.col("l_partkey"))
-            & (F.col("ps_suppkey") == F.col("l_suppkey")),
-        )
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -598,13 +604,18 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q20 shape: suppliers holding more than half a year's
     shipped quantity of any 'small%' part.
 
-    Spark-first: the correlated quantity subquery becomes ONE grouped
-    aggregate over the date-filtered lineitem keyed by (part, supp),
-    LEFT-joined to partsupp (absent year -> 0 via coalesce); the
-    excess-stock test is the exact integer ``2*availqty > qty``; the
-    qualifying supplier set reaches supplier as a broadcast SEMI join.
-    Two shuffles total (pair aggregate + partsupp join), both on the
-    same composite key — at 100 TB they co-partition.
+    Spark-first: the correlated quantity subquery and the partsupp
+    build FUSE into ONE grouped aggregate over the part-filtered
+    lineitem keyed by (part, supp) with the in-window quantity as a
+    conditional sum — partsupp is by construction the distinct pair
+    set of this same lineitem with ps_availqty a pure function of the
+    pair key, so the pair-distinct Exchange, the second lineitem scan
+    and the LEFT pair join all collapse into the aggregate (a group
+    with no 1996 rows sums the empty when-branch to 0, exactly the old
+    coalesce). The excess-stock test is the exact integer
+    ``2*availqty > qty``; the qualifying supplier set reaches supplier
+    as a broadcast SEMI join. ONE data-sized shuffle total (the pair
+    aggregate); oracle SQL unchanged, hash-checked.
     """
     part = (
         load_table(spark, sf_dir, "part")
@@ -613,23 +624,25 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
     hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
-    qty96 = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
-    )
+    # load_partsupp's ps_availqty expression on the group's pair key.
+    availqty = (
+        (F.col("l_partkey") * 37 + F.col("l_suppkey") * 101) % 9999 + 1
+    ).cast("long")
     excess = (
-        load_partsupp(spark, sf_dir)
-        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
-        .join(
-            qty96,
-            (F.col("ps_partkey") == F.col("l_partkey"))
-            & (F.col("ps_suppkey") == F.col("l_suppkey")),
-            "left",
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi),
+                    F.col("l_quantity").cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("qty")
         )
-        .filter(F.col("ps_availqty") * 2 > F.coalesce(F.col("qty"), F.lit(0)))
-        .select("ps_suppkey")
+        .filter(availqty * 2 > F.col("qty"))
+        .select(F.col("l_suppkey").alias("ps_suppkey"))
         .distinct()
     )
     nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")

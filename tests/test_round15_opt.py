@@ -6,6 +6,11 @@ stay bit-equal to the forms they replaced.
   scoring (the last interpreted-HOF pair loop on the dedup path).
   Pinned against a straight-line python reference, Spark-free, like
   the symmetric all-pairs kernel in test_round14_opt.py.
+- q09/q20 partsupp-join elision (tpch_derived.py): partsupp is the
+  distinct pair set OF lineitem with pure key-function values, so the
+  inner/left pair joins back to lineitem collapse into inline
+  expressions / a conditional aggregate. Plan pins assert the
+  pair-distinct Exchange and the extra lineitem scan stay gone.
 """
 
 from __future__ import annotations
@@ -13,7 +18,38 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from sparkstreaming_mq_spark import registry
 from sparkstreaming_mq_spark.operators.llm import _jaccard_matrix_kernel
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q09_partsupp_join_elided(spark, sf_dir):
+    """q09 computes ps_supplycost_cents inline: no pair-distinct
+    Exchange, exactly 5 table scans (part/supplier/nation/orders +
+    ONE lineitem — the before-plan had two), 4 broadcast joins."""
+    plan = _formatted(Q["q09_product_profit"](spark, sf_dir))
+    assert "hashpartitioning(ps_partkey" not in plan
+    assert plan.count("Scan parquet") == 10  # 5 scans x (tree + detail)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q20_partsupp_build_fused_into_aggregate(spark, sf_dir):
+    """q20's pair domain comes from ONE conditional aggregate over the
+    part-filtered lineitem: no pair-distinct Exchange, exactly 4 table
+    scans, and the only data-sized exchange keys on the lineitem pair
+    columns."""
+    plan = _formatted(Q["q20_potential_promotion"](spark, sf_dir))
+    assert "hashpartitioning(ps_partkey" not in plan
+    assert plan.count("Scan parquet") == 8  # 4 scans x (tree + detail)
+    assert "hashpartitioning(l_partkey" in plan
 
 
 def _reference_asym(probe_ids, probe_mat, corp_ids, corp_mat, threshold):
